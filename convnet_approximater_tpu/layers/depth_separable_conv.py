@@ -1,0 +1,111 @@
+"""Depthwise separable strip-conv building blocks for MSCA.
+
+Rebuilds of ``/root/reference/src/approx/layers/depth_seperable_conv.py`` on
+NHWC.  ``CascadeConv`` applies a horizontal (1, k) depthwise conv then a
+vertical (k, 1) depthwise conv — the order matters for the re-parameterization
+algebra in :mod:`convnet_approximater_tpu.core.msca_rep`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from convnet_approximater_tpu.nn import Conv2d, Ctx, Identity, Module, ModuleList
+
+
+class CascadeConv(Module):
+    """Depthwise (1, k) then (k, 1) cascade (reference ``:5-16``).
+
+    ``bias`` is the second conv's bias flag, ``first_bias`` the first's.
+    """
+
+    def __init__(self, dim: int, kernel_size: int, padding: int, bias: bool, first_bias: bool):
+        super().__init__()
+        self.dim = dim
+        self.kernel_size = kernel_size
+        self.conv1 = Conv2d(dim, dim, (1, kernel_size), padding=(0, padding), groups=dim, bias=first_bias)
+        self.conv2 = Conv2d(dim, dim, (kernel_size, 1), padding=(padding, 0), groups=dim, bias=bias)
+
+    def __call__(self, params, x, ctx: Ctx):
+        x = self.child("conv1", params, x, ctx)
+        return self.child("conv2", params, x, ctx)
+
+
+class ParallelConv(Module):
+    """Multi-branch sum of :class:`CascadeConv` (+ optional identity branch).
+
+    Bias policy matches the reference (``:33-41``): ``all_bias=True`` gives
+    every conv a bias; otherwise only the last branch's second conv has one.
+    This is both the original MSCA multi-scale strip bank (k = 7, 11, 21 +
+    identity) and the decomposed target (``decomp`` >= 2 branches of max-k).
+    """
+
+    def __init__(self, dim: int, kernel_sizes, paddings, nbranch: int,
+                 all_bias: bool, identity: bool):
+        super().__init__()
+        self.dim = dim
+        if isinstance(kernel_sizes, int):
+            kernel_sizes = [kernel_sizes] * nbranch
+        if isinstance(paddings, int):
+            paddings = [paddings] * nbranch
+        assert len(kernel_sizes) == nbranch and len(paddings) == nbranch
+        if all_bias:
+            branches = [
+                CascadeConv(dim, kernel_sizes[i], paddings[i], bias=True, first_bias=True)
+                for i in range(nbranch)
+            ]
+        else:
+            branches = [
+                CascadeConv(dim, kernel_sizes[i], paddings[i],
+                            bias=(i == nbranch - 1), first_bias=False)
+                for i in range(nbranch)
+            ]
+        self.branches = ModuleList(branches)
+        if identity:
+            self.branches.append(Identity())
+
+    def __call__(self, params, x, ctx: Ctx):
+        branch_params = params.get("branches", {})
+        out = None
+        ctx.enter("branches")
+        try:
+            for name, mod in self.branches.named_children():
+                ctx.enter(name)
+                try:
+                    y = mod(branch_params.get(name, {}), x, ctx)
+                finally:
+                    ctx.exit()
+                out = y if out is None else out + y
+        finally:
+            ctx.exit()
+        return out
+
+
+class FixPaddingBias(Module):
+    """Learnable border-correction strips (reference ``:50-61``).
+
+    Adds trainable residuals to the top/bottom ``padding`` rows of the feature
+    map, compensating that merging cascaded biased convs into one kernel is
+    exact only away from borders.  ``res`` has shape (2, C, p): res[0] = top
+    rows, res[1] = bottom rows.
+    """
+
+    def __init__(self, num_channels: int, padding: int):
+        super().__init__()
+        self.num_channels = num_channels
+        self.p = padding
+
+    def init_params(self, rng):
+        import jax
+
+        return {"res": jax.random.normal(rng, (2, self.num_channels, self.p))}
+
+    def __call__(self, params, x, ctx: Ctx):
+        res = params["res"]
+        p2 = min(x.shape[1], self.p)
+        # res[0][:, :p2] -> (C, p2) -> broadcast (1, p2, 1, C) over NHWC rows
+        top = jnp.transpose(res[0, :, :p2])[None, :, None, :]
+        bot = jnp.transpose(res[1, :, self.p - p2:])[None, :, None, :]
+        x = x.at[:, :p2, :, :].add(top)
+        x = x.at[:, x.shape[1] - p2:, :, :].add(bot)
+        return x

@@ -1,0 +1,173 @@
+"""Jaderberg low-rank expansion target layers (arXiv 1405.3866).
+
+Rebuilds of ``/root/reference/src/approx/layers/low_rank_conv.py`` on NHWC /
+HWIO layouts, with the channel ordering conventions of the reference preserved
+so checkpoints map 1:1 (grouped-conv output channel ``c*M + m`` applies basis
+``m`` to input channel ``c``).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax.numpy as jnp
+
+from convnet_approximater_tpu.nn import Conv2d, Ctx, Module
+from convnet_approximater_tpu.utils.general import to_2tuple
+
+from .substitution import LAYER
+
+
+class SeparableConv(Module):
+    """Separable version of the grouped basis conv (C -> M*C, groups=C).
+
+    ``v_conv``: (kh, 1) grouped conv C -> C*M (vertical strips), then
+    ``h_conv``: (1, kw) depthwise over C*M (horizontal strips).  Strides are
+    split across the pair; no biases (reference ``low_rank_conv.py:9-25``).
+    """
+
+    def __init__(self, in_channels: int, num_bases: int, kernel_size, stride, padding):
+        super().__init__()
+        kernel_size = to_2tuple(kernel_size)
+        stride = to_2tuple(stride)
+        padding = to_2tuple(padding)
+        self.v_conv = Conv2d(
+            in_channels,
+            in_channels * num_bases,
+            (kernel_size[0], 1),
+            stride=(stride[0], 1),
+            padding=(padding[0], 0),
+            groups=in_channels,
+            bias=False,
+        )
+        self.h_conv = Conv2d(
+            in_channels * num_bases,
+            in_channels * num_bases,
+            (1, kernel_size[1]),
+            stride=(1, stride[1]),
+            padding=(0, padding[1]),
+            groups=in_channels * num_bases,
+            bias=False,
+        )
+
+    def __call__(self, params, x, ctx: Ctx):
+        x = self.child("v_conv", params, x, ctx)
+        return self.child("h_conv", params, x, ctx)
+
+
+@LAYER.register_module()
+class LowRankExpConvV1(Module):
+    """Scheme-1 target: grouped basis conv (``s_conv``) + 1x1 mixing conv
+    (``d_conv``); bias lives on ``d_conv`` (reference
+    ``low_rank_conv.py:29-66``).  ``decomp`` picks the separable variant of
+    ``s_conv`` at build time; :meth:`decomp` factorizes post-hoc via SVD.
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size: Union[int, tuple],
+        stride: Union[int, tuple],
+        padding: Union[int, tuple],
+        num_base: int,
+        decomp: bool = False,
+    ):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = to_2tuple(kernel_size)
+        self.stride = to_2tuple(stride)
+        self.padding = to_2tuple(padding)
+        self.num_base = num_base
+        if decomp:
+            self.s_conv = SeparableConv(
+                in_channels, num_base, self.kernel_size, self.stride, self.padding
+            )
+        else:
+            self.s_conv = Conv2d(
+                in_channels,
+                in_channels * num_base,
+                self.kernel_size,
+                stride=self.stride,
+                padding=self.padding,
+                groups=in_channels,
+                bias=False,
+            )
+        self.d_conv = Conv2d(in_channels * num_base, out_channels, 1)
+
+    def __call__(self, params, x, ctx: Ctx):
+        x = self.child("s_conv", params, x, ctx)
+        return self.child("d_conv", params, x, ctx)
+
+    def decomp(self, params: dict) -> dict:
+        """Spatially factorize ``s_conv`` into rank-1 vertical/horizontal pairs.
+
+        Mutates module structure (``s_conv`` becomes a :class:`SeparableConv`)
+        and returns the updated param subtree for this module.  Matches the
+        reference's SVD split (``low_rank_conv.py:58-66``): each (kh, kw)
+        basis kernel -> u0*sqrt(s0) vertical, vh0*sqrt(s0) horizontal.
+        """
+        if isinstance(self.s_conv, SeparableConv):
+            return params
+        w = params["s_conv"]["weight"]  # (kh, kw, 1, C*M) HWIO grouped
+        kh, kw, _, cm = w.shape
+        # -> (C*M, kh, kw) for per-output-channel SVD
+        k = jnp.transpose(w[:, :, 0, :], (2, 0, 1))
+        u, s, vh = jnp.linalg.svd(k, full_matrices=False)
+        s0 = jnp.sqrt(s[:, 0])
+        v_w = (u[:, :, 0] * s0[:, None])  # (C*M, kh)
+        h_w = (vh[:, 0, :] * s0[:, None])  # (C*M, kw)
+        self.s_conv = SeparableConv(
+            self.in_channels, self.num_base, self.kernel_size, self.stride, self.padding
+        )
+        new_params = dict(params)
+        new_params["s_conv"] = {
+            # v_conv HWIO: (kh, 1, 1, C*M); h_conv: (1, kw, 1, C*M)
+            "v_conv": {"weight": jnp.transpose(v_w, (1, 0))[:, None, None, :]},
+            "h_conv": {"weight": jnp.transpose(h_w, (1, 0))[None, :, None, :]},
+        }
+        return new_params
+
+
+@LAYER.register_module()
+class LowRankExpConvV2(Module):
+    """Scheme-2 target: dense vertical conv C -> M, then horizontal conv
+    M -> N with bias.
+
+    The reference's layer (``low_rank_conv.py:70-88``) made ``h_conv`` a
+    grouped M -> M conv, which cannot substitute an N-output conv and was
+    never driven by any approximater.  This build completes the scheme as
+    published (Jaderberg et al. scheme-2: W[n,c,u,v] ~= sum_m V[m,c,u] *
+    H[n,m,v]) with a dense (1, kw) conv M -> N, plus a ``grouped=True`` flag
+    reproducing the reference's original (M -> M) shape for checkpoint parity.
+    """
+
+    def __init__(self, in_channels: int, out_channels: int, num_base: int,
+                 kernel_size, stride, padding, grouped: bool = False):
+        super().__init__()
+        kernel_size = to_2tuple(kernel_size)
+        stride = to_2tuple(stride)
+        padding = to_2tuple(padding)
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.num_base = num_base
+        self.grouped = grouped
+        self.v_conv = Conv2d(
+            in_channels, num_base, (kernel_size[0], 1), stride=(stride[0], 1),
+            padding=(padding[0], 0), bias=False,
+        )
+        if grouped:
+            self.h_conv = Conv2d(
+                num_base, num_base, (1, kernel_size[1]), stride=(1, stride[1]),
+                padding=(0, padding[1]), groups=num_base,
+            )
+        else:
+            self.h_conv = Conv2d(
+                num_base, out_channels, (1, kernel_size[1]), stride=(1, stride[1]),
+                padding=(0, padding[1]),
+            )
+
+    def __call__(self, params, x, ctx: Ctx):
+        x = self.child("v_conv", params, x, ctx)
+        return self.child("h_conv", params, x, ctx)

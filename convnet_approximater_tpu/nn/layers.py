@@ -1,0 +1,229 @@
+"""Leaf neural-net layers (Conv2d, Linear, norms, activations, dropout).
+
+These are the building blocks the reference got from ``torch.nn``; here each
+is a :class:`~convnet_approximater_tpu.nn.module.Module` leaf with explicit
+param/state trees and pure forward functions on NHWC tensors.  Initializers
+match torch defaults (kaiming-uniform fan-in with a = sqrt(5), uniform bias
+bound 1/sqrt(fan_in)) so randomly-initialised models are statistically
+comparable to the reference's.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from convnet_approximater_tpu.ops import conv as ops
+from convnet_approximater_tpu.utils.general import to_2tuple
+
+from .module import Ctx, Module
+
+
+def _kaiming_uniform(key, shape, fan_in, dtype=jnp.float32):
+    # torch's default conv/linear weight init: kaiming_uniform(a=sqrt(5))
+    gain = math.sqrt(2.0 / (1 + 5.0))
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _bias_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+class Conv2d(Module):
+    """NHWC conv with HWIO kernel ``(kh, kw, in/groups, out)``.
+
+    Mirrors ``torch.nn.Conv2d`` semantics (reference models use it directly,
+    e.g. ``/root/reference/src/approx/models/alexnet.py:12-24``); it is the
+    ``src_type`` of the scheme-1 approximater and is registered in the LAYER
+    registry as ``SimpleConv`` (reference ``layers/simple_conv.py:7-47``).
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        kernel_size,
+        stride=1,
+        padding=0,
+        dilation=1,
+        groups: int = 1,
+        bias: bool = True,
+    ):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = to_2tuple(kernel_size)
+        self.stride = to_2tuple(stride)
+        self.padding = to_2tuple(padding)
+        self.dilation = to_2tuple(dilation)
+        self.groups = groups
+        self.use_bias = bias
+        assert in_channels % groups == 0 and out_channels % groups == 0
+
+    def init_params(self, rng):
+        kh, kw = self.kernel_size
+        cin_g = self.in_channels // self.groups
+        fan_in = cin_g * kh * kw
+        k1, k2 = jax.random.split(rng)
+        params = {"weight": _kaiming_uniform(k1, (kh, kw, cin_g, self.out_channels), fan_in)}
+        if self.use_bias:
+            params["bias"] = _bias_uniform(k2, (self.out_channels,), fan_in)
+        return params
+
+    def __call__(self, params, x, ctx: Ctx):
+        return ops.conv2d(
+            x,
+            params["weight"],
+            params.get("bias"),
+            stride=self.stride,
+            padding=self.padding,
+            groups=self.groups,
+            dilation=self.dilation,
+        )
+
+
+class Linear(Module):
+    """Dense layer; weight ``(in, out)`` so forward is ``x @ W + b``."""
+
+    def __init__(self, in_features: int, out_features: int, bias: bool = True):
+        super().__init__()
+        self.in_features = in_features
+        self.out_features = out_features
+        self.use_bias = bias
+
+    def init_params(self, rng):
+        k1, k2 = jax.random.split(rng)
+        params = {"weight": _kaiming_uniform(k1, (self.in_features, self.out_features), self.in_features)}
+        if self.use_bias:
+            params["bias"] = _bias_uniform(k2, (self.out_features,), self.in_features)
+        return params
+
+    def __call__(self, params, x, ctx: Ctx):
+        y = x @ params["weight"]
+        if self.use_bias:
+            y = y + params["bias"]
+        return y
+
+
+class BatchNorm2d(Module):
+    """BatchNorm over (B, H, W) of NHWC tensors with running stats.
+
+    Running mean/var live in the *state* collection, updated functionally via
+    ``ctx.put_state``.  Under ``jit`` over a sharded global batch the reduction
+    is a global mean, so multi-device runs get synchronized-BN semantics for
+    free — replacing the reference's ``distribute_bn`` NCCL machinery
+    (``/root/reference/src/approx/utils/distributed.py:16-26``).
+    """
+
+    def __init__(self, num_features: int, eps: float = 1e-5, momentum: float = 0.1):
+        super().__init__()
+        self.num_features = num_features
+        self.eps = eps
+        self.momentum = momentum
+
+    def init_params(self, rng):
+        return {
+            "scale": jnp.ones((self.num_features,)),
+            "bias": jnp.zeros((self.num_features,)),
+        }
+
+    def init_own_state(self):
+        return {
+            "mean": jnp.zeros((self.num_features,)),
+            "var": jnp.ones((self.num_features,)),
+        }
+
+    def __call__(self, params, x, ctx: Ctx):
+        state = ctx.get_state()
+        if ctx.training:
+            mean = jnp.mean(x, axis=(0, 1, 2))
+            var = jnp.var(x, axis=(0, 1, 2))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            # torch tracks unbiased var in running stats
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            ctx.put_state(
+                {
+                    "mean": (1 - m) * state["mean"] + m * mean,
+                    "var": (1 - m) * state["var"] + m * unbiased,
+                }
+            )
+        else:
+            mean, var = state["mean"], state["var"]
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean) * inv * params["scale"] + params["bias"]
+
+
+class LayerNorm(Module):
+    """LayerNorm over the trailing (channel) axis."""
+
+    def __init__(self, num_features: int, eps: float = 1e-5):
+        super().__init__()
+        self.num_features = num_features
+        self.eps = eps
+
+    def init_params(self, rng):
+        return {
+            "scale": jnp.ones((self.num_features,)),
+            "bias": jnp.zeros((self.num_features,)),
+        }
+
+    def __call__(self, params, x, ctx: Ctx):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * params["scale"] + params["bias"]
+
+
+class ReLU(Module):
+    def __call__(self, params, x, ctx: Ctx):
+        return jax.nn.relu(x)
+
+
+class GELU(Module):
+    def __call__(self, params, x, ctx: Ctx):
+        return jax.nn.gelu(x)
+
+
+class MaxPool2d(Module):
+    def __init__(self, kernel_size, stride=None, padding=0):
+        super().__init__()
+        self.kernel_size = kernel_size
+        self.stride = stride
+        self.padding = padding
+
+    def __call__(self, params, x, ctx: Ctx):
+        return ops.max_pool2d(x, self.kernel_size, self.stride, self.padding)
+
+
+class AdaptiveAvgPool2d(Module):
+    def __init__(self, output_size):
+        super().__init__()
+        self.output_size = output_size
+
+    def __call__(self, params, x, ctx: Ctx):
+        return ops.adaptive_avg_pool2d(x, self.output_size)
+
+
+class Dropout(Module):
+    def __init__(self, p: float = 0.5):
+        super().__init__()
+        self.p = p
+
+    def __call__(self, params, x, ctx: Ctx):
+        if not ctx.training or self.p == 0.0:
+            return x
+        keep = 1.0 - self.p
+        mask = jax.random.bernoulli(ctx.rng(), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Flatten(Module):
+    """Flatten all dims after batch."""
+
+    def __call__(self, params, x, ctx: Ctx):
+        return x.reshape(x.shape[0], -1)

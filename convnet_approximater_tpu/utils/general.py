@@ -1,0 +1,41 @@
+"""Small general helpers (reference: ``src/approx/utils/general.py``)."""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+
+def check_file(file, ext=None) -> bool:
+    if file is None:
+        return False
+    if not os.path.exists(file):
+        warnings.warn(f"{file} does not exist")
+        return False
+    if not os.path.isfile(file):
+        warnings.warn(f"{file} must be a file")
+        return False
+    if ext and os.path.splitext(file)[1] not in ext:
+        return False
+    return True
+
+
+def parse_path(path):
+    """Split into (dir, stem, ext)."""
+    d = os.path.dirname(path)
+    base = os.path.basename(path)
+    stem, ext = os.path.splitext(base)
+    return d, stem, ext
+
+
+def to_2tuple(x):
+    if isinstance(x, (tuple, list)):
+        assert len(x) == 2
+        return tuple(x)
+    return (x, x)
+
+
+def is_method_overridden(method: str, base_class: type, derived) -> bool:
+    base_method = getattr(base_class, method)
+    derived_method = getattr(type(derived) if not isinstance(derived, type) else derived, method)
+    return derived_method is not base_method

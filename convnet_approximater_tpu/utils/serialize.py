@@ -1,0 +1,122 @@
+"""Checkpoint save/load for param/state pytrees.
+
+TPU-native rebuild of ``/root/reference/src/approx/utils/serialize.py``: the
+reference stored ``{'state_dict': ...}`` torch pickles with ``strict=False``
+loading and missing/unexpected-key warnings.  Here checkpoints are a single
+``.npz`` of flat ``/``-joined keys over the nested ``{'params': ..., 'state':
+...}`` collections (host numpy arrays — safe, portable, no pickling), and
+``load_into`` grafts matching keys into an existing tree, warning about
+missing / unexpected keys exactly like the reference's non-strict load.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from .logger import get_logger
+
+SEP = "/"
+
+
+def flatten_tree(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{SEP}{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_tree(v, key))
+        elif v is None:
+            continue
+        else:
+            out[key] = v
+    return out
+
+
+def unflatten_tree(flat: Dict[str, Any]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split(SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_model(variables: Dict[str, Any], path: str):
+    """Save a ``{'params': ..., 'state': ...}`` tree to ``path`` (.npz)."""
+    flat = flatten_tree(variables)
+    flat = {k: np.asarray(v) for k, v in flat.items()}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # Write via a buffer for atomicity on interrupted runs.
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def load_ckpt(path: str) -> Dict[str, Any]:
+    """Load a checkpoint file into a nested tree of numpy arrays."""
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    return unflatten_tree(flat)
+
+
+def load_into(variables: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, Any]:
+    """Non-strict graft of ``loaded`` into ``variables`` (same semantics as the
+    reference's ``load_model`` with ``strict=False``): warns on missing and
+    unexpected keys, returns the updated tree (new dict; leaves shared)."""
+    cur = flatten_tree(variables)
+    new = flatten_tree(loaded)
+    missing = sorted(set(cur) - set(new))
+    unexpected = sorted(set(new) - set(cur))
+    logger = get_logger()
+    if missing:
+        logger.warning(f"missing keys in checkpoint: {missing}")
+    if unexpected:
+        logger.warning(f"unexpected keys in checkpoint: {unexpected}")
+    merged = dict(cur)
+    for k in set(cur) & set(new):
+        if tuple(np.shape(cur[k])) != tuple(np.shape(new[k])):
+            logger.warning(
+                f"shape mismatch for {k}: ckpt {np.shape(new[k])} vs model {np.shape(cur[k])}; skipped"
+            )
+            continue
+        merged[k] = new[k]
+    return unflatten_tree(merged)
+
+
+def load_model(variables: Dict[str, Any], path: str) -> Dict[str, Any]:
+    """Load checkpoint at ``path`` into ``variables`` non-strictly."""
+    get_logger().info(f"loading checkpoint from {path}")
+    return load_into(variables, load_ckpt(path))
+
+
+def tree_get(tree: Dict[str, Any], path: str):
+    """Fetch a subtree/leaf by dotted path ('' returns the tree itself)."""
+    if not path:
+        return tree
+    node = tree
+    for p in path.split("."):
+        node = node[p]
+    return node
+
+
+def tree_set(tree: Dict[str, Any], path: str, value) -> None:
+    """Set a subtree/leaf by dotted path, in place."""
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def tree_del(tree: Dict[str, Any], path: str) -> None:
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node[p]
+    node.pop(parts[-1], None)

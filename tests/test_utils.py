@@ -1,0 +1,109 @@
+"""Unit tests for the utils layer: config merge, registry, serialization."""
+
+import os
+
+import numpy as np
+import pytest
+
+from convnet_approximater_tpu.utils.config import Config
+from convnet_approximater_tpu.utils.registry import Registry, build_from_cfg
+from convnet_approximater_tpu.utils.serialize import (
+    flatten_tree,
+    load_ckpt,
+    load_into,
+    save_model,
+    tree_get,
+    tree_set,
+    unflatten_tree,
+)
+
+
+def test_config_base_inheritance(tmp_path):
+    base = tmp_path / "base.py"
+    base.write_text("model = dict(type='A', depth=2, width=8)\nseed = 1\n")
+    child = tmp_path / "child.py"
+    child.write_text("_base_ = ['base.py']\nmodel = dict(width=16)\nextra = 'x'\n")
+    cfg = Config(str(child))
+    assert cfg.model.type == "A"
+    assert cfg.model.depth == 2
+    assert cfg.model.width == 16
+    assert cfg.extra == "x"
+    assert cfg.seed == 1
+    assert cfg.name == "child"
+    assert cfg.work_dir == "work_dirs/child"
+
+
+def test_config_cover_key(tmp_path):
+    base = tmp_path / "base.py"
+    base.write_text("app = dict(type='A', a=1, b=2)\n")
+    child = tmp_path / "child.py"
+    child.write_text("_base_ = ['base.py']\napp = dict(_cover_=True, type='B', c=3)\n")
+    cfg = Config(str(child))
+    assert cfg.app.type == "B"
+    assert cfg.app.c == 3
+    assert "a" not in cfg.app and "_cover_" not in cfg.app
+
+
+def test_config_multi_base_and_yaml(tmp_path):
+    (tmp_path / "m.yaml").write_text("model: {type: M}\n")
+    (tmp_path / "a.py").write_text("app = dict(type='App')\n")
+    leaf = tmp_path / "leaf.py"
+    leaf.write_text("_base_ = ['m.yaml', 'a.py']\nfilters = []\n")
+    cfg = Config(str(leaf))
+    assert cfg.model.type == "M" and cfg.app.type == "App" and cfg.filters == []
+
+
+def test_config_missing_key_is_none():
+    cfg = Config()
+    assert cfg.not_there is None
+
+
+def test_registry_build():
+    REG = Registry("test")
+
+    @REG.register_module()
+    class Foo:
+        def __init__(self, a=1, b=2):
+            self.a, self.b = a, b
+
+    obj = build_from_cfg(dict(type="Foo", a=5), REG)
+    assert obj.a == 5 and obj.b == 2
+    assert build_from_cfg("Foo", REG).a == 1
+    assert build_from_cfg(None, REG) is None
+    with pytest.raises(KeyError):
+        REG.get("Bar")
+    with pytest.raises(TypeError):
+        build_from_cfg(dict(type="Foo", nope=1), REG)
+
+
+def test_flatten_roundtrip():
+    tree = {"a": {"b": np.ones(3), "c": {"d": np.zeros(2)}}, "e": np.arange(4)}
+    flat = flatten_tree(tree)
+    assert set(flat) == {"a/b", "a/c/d", "e"}
+    back = unflatten_tree(flat)
+    np.testing.assert_array_equal(back["a"]["c"]["d"], np.zeros(2))
+
+
+def test_save_load_roundtrip(tmp_path):
+    vars_ = {"params": {"conv": {"weight": np.random.randn(3, 3, 4, 8).astype(np.float32)}}}
+    path = str(tmp_path / "m.ckpt.npz")
+    save_model(vars_, path)
+    loaded = load_ckpt(path)
+    np.testing.assert_allclose(loaded["params"]["conv"]["weight"], vars_["params"]["conv"]["weight"])
+
+
+def test_load_into_nonstrict(tmp_path):
+    cur = {"params": {"a": np.zeros(2), "b": np.zeros(3)}}
+    ckpt = {"params": {"a": np.ones(2), "z": np.ones(1)}}
+    merged = load_into(cur, ckpt)
+    np.testing.assert_array_equal(merged["params"]["a"], np.ones(2))
+    np.testing.assert_array_equal(merged["params"]["b"], np.zeros(3))
+    assert "z" not in merged["params"]
+
+
+def test_tree_get_set():
+    t = {"x": {"y": 1}}
+    assert tree_get(t, "x.y") == 1
+    tree_set(t, "x.z", 5)
+    assert t["x"]["z"] == 5
+    assert tree_get(t, "") is t
