@@ -1,0 +1,3 @@
+from .module_filter import FILTER, ModuleFilter, build_filter
+from .simple_conv_filter import SimpleConvFilter
+from .indices_filter import IndicesFilter

@@ -67,17 +67,10 @@ class ParallelConv(Module):
     def __call__(self, params, x, ctx: Ctx):
         branch_params = params.get("branches", {})
         out = None
-        ctx.enter("branches")
-        try:
-            for name, mod in self.branches.named_children():
-                ctx.enter(name)
-                try:
-                    y = mod(branch_params.get(name, {}), x, ctx)
-                finally:
-                    ctx.exit()
+        with ctx.scope("branches"):
+            for name, _ in self.branches.named_children():
+                y = self.branches.child(name, branch_params, x, ctx)
                 out = y if out is None else out + y
-        finally:
-            ctx.exit()
         return out
 
 

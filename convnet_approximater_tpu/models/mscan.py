@@ -1,0 +1,184 @@
+"""MSCAN (SegNeXt) backbone + classifier — the msca-rep workload.
+
+Rebuild of ``/root/reference/src/approx/models/mscan.py``: 4 stages of
+(StemConv/DownSample -> MultiScaleConvAttnModule x n -> LayerNorm), blocks =
+BN -> SpatialAttention(proj -> GELU -> MSCA -> proj + shortcut) -> BN ->
+conv-FFN with per-block layer-scale and drop-path; classifier adds GAP +
+Linear head.  NHWC throughout (the reference's NCHW <-> (B, N, C) flattening
+dance around LayerNorm disappears: LN over the trailing channel axis is a
+no-op layout-wise).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+import convnet_approximater_tpu.nn as nn
+from convnet_approximater_tpu.layers import MSCA, DropPath
+from convnet_approximater_tpu.nn import Ctx, Module
+
+from .switchable import MODEL, SwitchableModel
+
+
+class StemConv(Module):
+    def __init__(self, in_channels: int, out_channels: int):
+        super().__init__()
+        self.proj = nn.Sequential(
+            nn.Conv2d(in_channels, out_channels // 2, 3, stride=2, padding=1),
+            nn.BatchNorm2d(out_channels // 2),
+            nn.GELU(),
+            nn.Conv2d(out_channels // 2, out_channels, 3, stride=2, padding=1),
+            nn.BatchNorm2d(out_channels),
+        )
+
+    def __call__(self, params, x, ctx: Ctx):
+        return self.child("proj", params, x, ctx)
+
+
+class FFN(Module):
+    """1x1 conv -> depthwise 3x3 -> GELU -> 1x1 conv -> dropout."""
+
+    def __init__(self, num_channel: int, hidden_channel: int, drop: float):
+        super().__init__()
+        self.fc1 = nn.Conv2d(num_channel, hidden_channel, 1)
+        self.dconv = nn.Conv2d(hidden_channel, hidden_channel, 3, padding=1, groups=hidden_channel)
+        self.fc2 = nn.Conv2d(hidden_channel, num_channel, 1)
+        self.drop = nn.Dropout(drop)
+
+    def __call__(self, params, x, ctx: Ctx):
+        x = self.child("fc1", params, x, ctx)
+        x = self.child("dconv", params, x, ctx)
+        x = nn.GELU()({}, x, ctx)
+        x = self.child("fc2", params, x, ctx)
+        return self.child("drop", params, x, ctx)
+
+
+class SpatialAttention(Module):
+    def __init__(self, num_channel: int, k1_size: int = 5, k_sizes=(7, 11, 21)):
+        super().__init__()
+        self.proj_1 = nn.Conv2d(num_channel, num_channel, 1)
+        self.spatial_gating_unit = MSCA(num_channel, k1_size, k_sizes)
+        self.proj_2 = nn.Conv2d(num_channel, num_channel, 1)
+
+    def __call__(self, params, x, ctx: Ctx):
+        shortcut = x
+        x = self.child("proj_1", params, x, ctx)
+        x = nn.GELU()({}, x, ctx)
+        x = self.child("spatial_gating_unit", params, x, ctx)
+        x = self.child("proj_2", params, x, ctx)
+        return x + shortcut
+
+
+class MultiScaleConvAttnModule(Module):
+    """One MSCAN block (reference ``mscan.py:83-116``)."""
+
+    LAYER_SCALE_INIT = 1e-2
+
+    def __init__(self, num_channel: int, hidden_channel: int, drop: float, drop_path: float):
+        super().__init__()
+        self.num_channel = num_channel
+        self.norm1 = nn.BatchNorm2d(num_channel)
+        self.attn = SpatialAttention(num_channel)
+        self.norm2 = nn.BatchNorm2d(num_channel)
+        self.mlp = FFN(num_channel, hidden_channel, drop)
+        self.drop_path = DropPath(drop_path) if drop_path > 0.0 else nn.Identity()
+
+    def init_params(self, rng):
+        scale = self.LAYER_SCALE_INIT * jnp.ones((self.num_channel,))
+        return {"layer_scale_1": scale, "layer_scale_2": scale}
+
+    def __call__(self, params, x, ctx: Ctx):
+        y = self.child("attn", params, self.child("norm1", params, x, ctx), ctx)
+        x = x + self.child("drop_path", params, params["layer_scale_1"] * y, ctx)
+        y = self.child("mlp", params, self.child("norm2", params, x, ctx), ctx)
+        x = x + self.child("drop_path", params, params["layer_scale_2"] * y, ctx)
+        return x
+
+
+class DownSample(Module):
+    def __init__(self, in_channel: int, out_channel: int):
+        super().__init__()
+        self.proj = nn.Conv2d(in_channel, out_channel, 3, stride=2, padding=1)
+        self.norm = nn.BatchNorm2d(out_channel)
+
+    def __call__(self, params, x, ctx: Ctx):
+        return self.child("norm", params, self.child("proj", params, x, ctx), ctx)
+
+
+class MSCAN(Module):
+    """The backbone: returns per-stage feature maps."""
+
+    def __init__(
+        self,
+        in_channels: int = 3,
+        num_channels=(32, 64, 160, 256),
+        num_blocks=(3, 3, 5, 2),
+        exp_ratios=(8, 8, 4, 4),
+        drop_rate: float = 0.0,
+        drop_path_rate: float = 0.0,
+    ):
+        super().__init__()
+        assert len(num_channels) == len(num_blocks) == len(exp_ratios)
+        self.num_channels = tuple(num_channels)
+        self.num_blocks = tuple(num_blocks)
+        total = sum(num_blocks)
+        dpr = [drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        self.layers = nn.ModuleList()
+        cur = 0
+        for i, nb in enumerate(num_blocks):
+            out_c = num_channels[i]
+            hid_c = num_channels[i] * exp_ratios[i]
+            down = StemConv(in_channels, num_channels[0]) if i == 0 else DownSample(num_channels[i - 1], out_c)
+            stage = nn.Sequential(
+                *[
+                    MultiScaleConvAttnModule(out_c, hid_c, drop_rate, dpr[cur + j])
+                    for j in range(nb)
+                ]
+            )
+            norm = nn.LayerNorm(out_c)
+            self.layers.append(nn.ModuleList([down, stage, norm]))
+            cur += nb
+
+    def __call__(self, params, x, ctx: Ctx):
+        features = []
+        layers_params = params.get("layers", {})
+        with ctx.scope("layers"):
+            for name, layer in self.layers.named_children():
+                lp = layers_params.get(name, {})
+                with ctx.scope(name):
+                    # layer is ModuleList([downsample, stage, norm])
+                    for sub_name, _ in layer.named_children():
+                        x = layer.child(sub_name, lp, x, ctx)
+                features.append(x)
+        return features
+
+
+@MODEL.register_module()
+class MSCAN_Classifier(SwitchableModel):
+    def __init__(
+        self,
+        in_channels: int = 3,
+        num_channels=(32, 64, 160, 256),
+        num_blocks=(3, 3, 5, 2),
+        exp_ratios=(8, 8, 4, 4),
+        drop_rate: float = 0.0,
+        drop_path_rate: float = 0.0,
+        num_classes: int = 1000,
+        init_cfg=None,
+    ):
+        super().__init__(init_cfg=init_cfg)
+        self.num_classes = num_classes
+        self.backbone = MSCAN(
+            in_channels=in_channels,
+            num_channels=num_channels,
+            num_blocks=num_blocks,
+            exp_ratios=exp_ratios,
+            drop_rate=drop_rate,
+            drop_path_rate=drop_path_rate,
+        )
+        self.head = nn.Linear(num_channels[-1], num_classes, bias=True)
+
+    def __call__(self, params, x, ctx: Ctx):
+        x = self.child("backbone", params, x, ctx)[-1]
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        return self.child("head", params, x, ctx)

@@ -65,6 +65,20 @@ class Ctx:
     def exit(self):
         self._path.pop()
 
+    def scope(self, name: str):
+        """Context manager form of enter/exit."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _scope():
+            self.enter(name)
+            try:
+                yield
+            finally:
+                self.exit()
+
+        return _scope()
+
     @property
     def path(self) -> str:
         return ".".join(self._path)
