@@ -1,0 +1,5 @@
+from .approximater import APP, Approximater, build_app
+from .low_rank_exp import LowRankExpV1, LowRankExpV2
+from .msca_rep import MscaProfile, MscaRep, MscaRepProfile
+from .dummy import Dummy
+from . import low_rank_solvers

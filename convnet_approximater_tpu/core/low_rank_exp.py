@@ -1,0 +1,186 @@
+"""Scheme-1 / scheme-2 low-rank expansion approximaters (arXiv 1405.3866).
+
+Rebuilds of ``/root/reference/src/approx/core/low_rank_exp.py``.  The cvxpy
+alternating convex solve is replaced by the jitted proximal-IRLS alternation
+in :mod:`.low_rank_solvers` (the SVD-init / ``max_iter=0`` path the reference
+configs actually use is bit-identical up to LAPACK sign conventions).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_approximater_tpu.layers import (
+    LowRankExpConvV1,
+    LowRankExpConvV2,
+    Substitution,
+)
+from convnet_approximater_tpu.nn import Conv2d
+from convnet_approximater_tpu.ops.layout import hwio_to_oihw, oihw_to_hwio
+from convnet_approximater_tpu.utils.logger import get_logger
+
+from .approximater import APP, Approximater
+from . import low_rank_solvers as solvers
+
+
+@APP.register_module()
+class LowRankExpV1(Approximater):
+    """Scheme-1 filter reconstruction: W ~= sum_m a_m (basis_m) with shared
+    spatial bases per input channel (reference ``low_rank_exp.py:13-189``)."""
+
+    _src_type = Conv2d
+    _tgt_type = "LowRankExpConvV1"
+
+    def __init__(self, num_bases, max_iter, lmda_length, min_lmda, max_lmda,
+                 init_method: str = "svd", inc_rate: float = 1.5,
+                 do_decomp: bool = False, init_decomp: bool = False,
+                 verbose: bool = False, epsilon: float = 1e-3,
+                 deploy: bool = False):
+        super().__init__(deploy=deploy)
+        self.num_bases = num_bases
+        self.curr = 0
+        self.max_iter = max_iter
+        assert max_lmda >= min_lmda >= 0.0
+        self.lmda_list = solvers.lmda_schedule(lmda_length, min_lmda, max_lmda, inc_rate)
+        self.do_decomp = do_decomp
+        self.init_decomp = init_decomp
+        assert init_method in ("standard", "svd", "random")
+        self.init_method = init_method
+        self.verbose = verbose
+        self.epsilon = epsilon
+
+    def rewind(self):
+        self.curr = 0
+
+    def _get_tgt_args(self, src: Conv2d) -> Dict:
+        num_base = self.num_bases[self.curr]
+        self.curr += 1
+        return dict(
+            in_channels=src.in_channels,
+            out_channels=src.out_channels,
+            num_base=num_base,
+            kernel_size=src.kernel_size,
+            stride=src.stride,
+            padding=src.padding,
+            decomp=self.init_decomp,
+        )
+
+    def _fix_substitution(self, sub: Substitution, params: dict):
+        # carry the source conv's bias onto the 1x1 mixing conv
+        params["new"]["d_conv"]["bias"] = params["old"]["bias"]
+
+    def optimize(self, sub: Substitution, params: dict):
+        if self.init_decomp:
+            # separable target built directly; weights come from a checkpoint
+            # (reference ``low_rank_exp.py:141-142``)
+            return
+        logger = get_logger()
+        tgt: LowRankExpConvV1 = sub.new_module
+        W4 = hwio_to_oihw(params["old"]["weight"])  # (N, C, d, d)
+        N, C, d = W4.shape[:3]
+        M = tgt.num_base
+        W = W4.reshape(N * C, d * d).astype(jnp.float32)
+
+        if self.init_method == "svd":
+            A, B = solvers.svd_init(W, M)
+        elif self.init_method == "standard":
+            A, B = solvers.standard_init(W, M)
+        else:
+            A, B = solvers.random_init(jax.random.key(0), W, M)
+
+        logger.info(f"lambda list: {self.lmda_list}")
+        for lmda in self.lmda_list:
+            if self.max_iter > 0:
+                A, B, objs = solvers.als_l21_nuclear(
+                    W, A, B, jnp.float32(lmda), d, self.max_iter
+                )
+                objs = np.asarray(objs)
+                for it, obj in enumerate(objs, 1):
+                    logger.info(f"[lmda: {lmda}]({it}/{self.max_iter}) total error: {obj}")
+                    if it > 1 and abs(objs[it - 2] - obj) < self.epsilon:
+                        break
+            logger.info(f"PC Energy = {float(solvers.pc_energy(B, d))}")
+
+        # write back: s_conv gets the M bases replicated over the C groups
+        # (output channel c*M + m = basis m on input channel c); d_conv gets
+        # the (N, C*M) mixing weights.
+        bases = B.reshape(M, d, d)
+        s_w = jnp.broadcast_to(bases[None], (C, M, d, d)).reshape(C * M, 1, d, d)
+        params["new"]["s_conv"]["weight"] = oihw_to_hwio(s_w)
+        d_w = A.reshape(N, C * M)[:, :, None, None]  # OIHW (N, C*M, 1, 1)
+        params["new"]["d_conv"]["weight"] = oihw_to_hwio(d_w)
+
+    def _postprocess(self, sub: Substitution, params: dict):
+        if self.do_decomp:
+            tgt: LowRankExpConvV1 = sub.new_module
+            params["new"] = tgt.decomp(params["new"])
+
+
+@APP.register_module()
+class LowRankExpV2(Approximater):
+    """Scheme-2 separable reconstruction: W[n,c,:,:] ~= sum_m v_m^c (h_n^m)^T.
+
+    The solve the reference left open (its ``LowRankExpV2`` app was imported
+    but never written — SURVEY.md §2.2): closed-form truncated-SVD filter
+    reconstruction, with optional data-driven ALS refinement weighted by a
+    calibration-activation second moment (``xcov``) supplied by the
+    :class:`~convnet_approximater_tpu.hooks.CalibrationHook` or directly via
+    ``set_calibration``.
+    """
+
+    _src_type = Conv2d
+    _tgt_type = "LowRankExpConvV2"
+
+    def __init__(self, num_bases, data_driven_iters: int = 0, deploy: bool = False):
+        super().__init__(deploy=deploy)
+        self.num_bases = num_bases
+        self.curr = 0
+        self.data_driven_iters = data_driven_iters
+        self._xcov = {}  # switchable index -> (C*kh, C*kh) second moment
+
+    def rewind(self):
+        self.curr = 0
+
+    def set_calibration(self, index: int, xcov):
+        self._xcov[index] = xcov
+
+    def _get_tgt_args(self, src: Conv2d) -> Dict:
+        num_base = self.num_bases[self.curr]
+        self.curr += 1
+        return dict(
+            in_channels=src.in_channels,
+            out_channels=src.out_channels,
+            num_base=num_base,
+            kernel_size=src.kernel_size,
+            stride=src.stride,
+            padding=src.padding,
+        )
+
+    def _fix_substitution(self, sub: Substitution, params: dict):
+        params["new"]["h_conv"]["bias"] = params["old"]["bias"]
+
+    def optimize(self, sub: Substitution, params: dict, index: int = 0):
+        logger = get_logger()
+        tgt: LowRankExpConvV2 = sub.new_module
+        W4 = hwio_to_oihw(params["old"]["weight"]).astype(jnp.float32)  # (N, C, kh, kw)
+        N, C, kh, kw = W4.shape
+        M = tgt.num_base
+        V, H, energy = solvers.scheme2_factorize(W4, M)
+        logger.info(f"scheme-2 retained energy: {float(energy):.6f}")
+        if self.data_driven_iters > 0:
+            xcov = self._xcov.get(index)
+            if xcov is None:
+                xcov = jnp.eye(C * kh, dtype=jnp.float32)
+            V, H, errs = solvers.scheme2_data_driven(W4, V, H, xcov, self.data_driven_iters)
+            logger.info(f"scheme-2 ALS final err: {float(errs[-1]):.6f}")
+        # v_conv: (M, C, kh) -> OIHW (M, C, kh, 1) -> HWIO
+        params["new"]["v_conv"]["weight"] = oihw_to_hwio(V[:, :, :, None])
+        # h_conv: (N, M, kw) -> OIHW (N, M, 1, kw) -> HWIO
+        params["new"]["h_conv"]["weight"] = oihw_to_hwio(H[:, :, None, :])
+
+    def _postprocess(self, sub: Substitution, params: dict):
+        pass

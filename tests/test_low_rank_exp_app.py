@@ -1,0 +1,187 @@
+"""Scheme-1 / scheme-2 approximater correctness.
+
+The key invariants: with enough bases the SVD solve reconstructs the source
+conv exactly (forward equivalence through the Substitution), fewer bases
+degrade gracefully, spatial decomposition preserves rank-1 bases exactly, and
+the jitted ALS solve monotonically improves the reference's L2,1 objective.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convnet_approximater_tpu.core import LowRankExpV1, LowRankExpV2, low_rank_solvers
+from convnet_approximater_tpu.layers import Substitution
+from convnet_approximater_tpu.nn import Conv2d
+
+
+def _rel_err(y1, y2):
+    return float(jnp.linalg.norm(y1 - y2) / jnp.linalg.norm(y1))
+
+
+def _make_conv(key, C=8, N=16, d=5, padding=2, stride=1):
+    conv = Conv2d(C, N, d, stride=stride, padding=padding)
+    params = conv.init(key)
+    return conv, params
+
+
+def _v1_app(num_bases, **kw):
+    args = dict(num_bases=num_bases, max_iter=0, lmda_length=1, min_lmda=0.0,
+                max_lmda=0.0, init_method="svd")
+    args.update(kw)
+    return LowRankExpV1(**args)
+
+
+def test_v1_exact_with_full_rank():
+    key = jax.random.key(0)
+    conv, cparams = _make_conv(key, C=6, N=10, d=3)
+    app = _v1_app(num_bases=(9,))  # d*d = 9 bases = full rank
+    sub, sparams = app.initialize(conv, cparams, jax.random.key(1))
+    assert isinstance(sub, Substitution)
+    app.optimize(sub, sparams)
+    x = jax.random.normal(jax.random.key(2), (2, 12, 12, 6))
+    y_old, _, _ = sub.old_module.apply(sparams["old"], x)
+    y_new, _, _ = sub.new_module.apply(sparams["new"], x)
+    assert _rel_err(y_old, y_new) < 1e-5
+
+
+def test_v1_error_decreases_with_bases():
+    key = jax.random.key(0)
+    conv, cparams = _make_conv(key, C=6, N=10, d=5)
+    x = jax.random.normal(jax.random.key(2), (2, 12, 12, 6))
+    y_old, _, _ = conv.apply(cparams, x)
+    errs = []
+    for m in (2, 6, 25):  # 25 = d*d = full rank -> exact
+        app = _v1_app(num_bases=(m,))
+        sub, sparams = app.initialize(conv, cparams, jax.random.key(1))
+        app.optimize(sub, sparams)
+        y_new, _, _ = sub.new_module.apply(sparams["new"], x)
+        errs.append(_rel_err(y_old, y_new))
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 1e-4
+
+
+def test_v1_stride_and_bias_carry():
+    key = jax.random.key(3)
+    conv, cparams = _make_conv(key, C=4, N=8, d=5, padding=2, stride=2)
+    app = _v1_app(num_bases=(25,))
+    sub, sparams = app.initialize(conv, cparams, jax.random.key(1))
+    np.testing.assert_allclose(
+        np.asarray(sparams["new"]["d_conv"]["bias"]), np.asarray(cparams["bias"])
+    )
+    app.optimize(sub, sparams)
+    x = jax.random.normal(jax.random.key(2), (2, 16, 16, 4))
+    y_old, _, _ = sub.old_module.apply(sparams["old"], x)
+    y_new, _, _ = sub.new_module.apply(sparams["new"], x)
+    assert y_new.shape == y_old.shape
+    assert _rel_err(y_old, y_new) < 1e-5
+
+
+def test_v1_decomp_exact_for_rank1_bases():
+    """Separable split is exact when the SVD bases are rank-1 as (d, d)
+    matrices.  Craft W = sum_i s_i u_i vec(v_i h_i^T)^T with orthonormal
+    u / v / h and distinct singular values so the solve recovers exactly
+    those rank-1 bases (up to sign) and decomp() loses nothing."""
+    C, N, d, M = 4, 6, 5, 3
+    u_q, _ = jnp.linalg.qr(jax.random.normal(jax.random.key(0), (N * C, M)))
+    v_q, _ = jnp.linalg.qr(jax.random.normal(jax.random.key(1), (d, M)))
+    h_q, _ = jnp.linalg.qr(jax.random.normal(jax.random.key(6), (d, M)))
+    sigma = jnp.array([5.0, 3.0, 1.5])
+    bases = (v_q.T[:, :, None] * h_q.T[:, None, :]).reshape(M, d * d)
+    A = u_q * sigma[None, :]
+    W = (A @ bases).reshape(N, C, d, d)
+    conv = Conv2d(C, N, d, padding=2)
+    cparams = conv.init(jax.random.key(3))
+    cparams["weight"] = jnp.transpose(W, (2, 3, 1, 0))
+    app = _v1_app(num_bases=(M,), do_decomp=True)
+    sub, sparams = app.initialize(conv, cparams, jax.random.key(4))
+    app.optimize(sub, sparams)
+    x = jax.random.normal(jax.random.key(5), (2, 10, 10, C))
+    y_pre, _, _ = sub.new_module.apply(sparams["new"], x)
+    mod, new_params = app.postprocess(sub, sparams)
+    from convnet_approximater_tpu.layers.low_rank_conv import SeparableConv
+
+    assert isinstance(mod.s_conv, SeparableConv)
+    y_post, _, _ = mod.apply(new_params, x)
+    assert _rel_err(y_pre, y_post) < 1e-4
+
+
+def test_v1_init_decomp_skips_solve():
+    conv, cparams = _make_conv(jax.random.key(0), C=4, N=8, d=3, padding=1)
+    app = _v1_app(num_bases=(4,), init_decomp=True)
+    sub, sparams = app.initialize(conv, cparams, jax.random.key(1))
+    from convnet_approximater_tpu.layers.low_rank_conv import SeparableConv
+
+    assert isinstance(sub.new_module.s_conv, SeparableConv)
+    before = jax.tree_util.tree_map(np.asarray, sparams["new"])
+    app.optimize(sub, sparams)  # must be a no-op
+    after = jax.tree_util.tree_map(np.asarray, sparams["new"])
+    jax.tree_util.tree_map(np.testing.assert_array_equal, before, after)
+
+
+def test_als_objective_decreases():
+    key = jax.random.key(0)
+    W = jax.random.normal(key, (48, 25))
+    A0, B0 = low_rank_solvers.random_init(jax.random.key(1), W, 6)
+    A, B, objs = low_rank_solvers.als_l21_nuclear(W, A0, B0, jnp.float32(0.0), 5, 20)
+    objs = np.asarray(objs)
+    assert objs[-1] < objs[0]
+    # non-increasing within noise
+    assert np.all(np.diff(objs) < 1e-3)
+    # final fit at least as good as svd init's objective
+    As, Bs = low_rank_solvers.svd_init(W, 6)
+    svd_obj = float(low_rank_solvers.l21_objective(W, As, Bs, 0.0, 5))
+    assert objs[-1] <= svd_obj + 1e-3
+
+
+def test_als_nuclear_shrinks_bases():
+    key = jax.random.key(0)
+    W = jax.random.normal(key, (48, 25))
+    A0, B0 = low_rank_solvers.svd_init(W, 6)
+    _, B_free, _ = low_rank_solvers.als_l21_nuclear(W, A0, B0, jnp.float32(0.0), 5, 10)
+    _, B_reg, _ = low_rank_solvers.als_l21_nuclear(W, A0, B0, jnp.float32(5.0), 5, 10)
+    nuc_free = float(jnp.sum(jnp.linalg.svd(B_free.reshape(-1, 5, 5), compute_uv=False)))
+    nuc_reg = float(jnp.sum(jnp.linalg.svd(B_reg.reshape(-1, 5, 5), compute_uv=False)))
+    assert nuc_reg < nuc_free
+
+
+def test_scheme2_exact_full_rank():
+    key = jax.random.key(0)
+    C, N, d = 5, 7, 3
+    conv = Conv2d(C, N, d, padding=1)
+    cparams = conv.init(key)
+    M = C * d  # full row rank of the unfolding
+    app = LowRankExpV2(num_bases=(M,))
+    sub, sparams = app.initialize(conv, cparams, jax.random.key(1))
+    app.optimize(sub, sparams)
+    x = jax.random.normal(jax.random.key(2), (2, 10, 10, C))
+    y_old, _, _ = sub.old_module.apply(sparams["old"], x)
+    y_new, _, _ = sub.new_module.apply(sparams["new"], x)
+    assert _rel_err(y_old, y_new) < 1e-5
+
+
+def test_scheme2_data_driven_improves_weighted_err():
+    key = jax.random.key(0)
+    C, N, d, M = 4, 6, 3, 5
+    conv = Conv2d(C, N, d, padding=1)
+    cparams = conv.init(key)
+    app = LowRankExpV2(num_bases=(M,), data_driven_iters=25)
+    sub, sparams = app.initialize(conv, cparams, jax.random.key(1))
+    app.optimize(sub, sparams)
+    x = jax.random.normal(jax.random.key(2), (2, 10, 10, C))
+    y_old, _, _ = sub.old_module.apply(sparams["old"], x)
+    y_new, _, _ = sub.new_module.apply(sparams["new"], x)
+    # rank-5 of a 12x18 unfolding: approximate but close
+    assert _rel_err(y_old, y_new) < 0.5
+
+
+def test_v1_cursor_and_rewind():
+    app = _v1_app(num_bases=(3, 7))
+    conv, cparams = _make_conv(jax.random.key(0), C=4, N=4, d=3, padding=1)
+    _, p1 = app.initialize(conv, cparams, jax.random.key(1))
+    sub2, p2 = app.initialize(conv, cparams, jax.random.key(1))
+    assert sub2.new_module.num_base == 7
+    app.rewind()
+    sub3, _ = app.initialize(conv, cparams, jax.random.key(1))
+    assert sub3.new_module.num_base == 3
