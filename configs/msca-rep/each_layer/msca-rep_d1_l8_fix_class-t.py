@@ -1,0 +1,3 @@
+_base_ = ["./msca-rep_d1_l1_fix_class-t.py"]
+
+filters = [dict(type="IndicesFilter", indices=(8,))]

@@ -1,0 +1,7 @@
+_base_ = ["../../_base_/models/mscan/mscan-t.py", "../../_base_/apps/dummy.py"]
+
+filters = []
+
+hooks = [
+    dict(type="Fps", priority=50, repeat_times=3, dataset_args=dict(batch_size=64)),
+]

@@ -1,0 +1,3 @@
+_base_ = ["./msca-profile_mscan-t.py"]
+
+app = dict(_cover_=True, type="MscaRepProfile", decomp=1, fix=True)

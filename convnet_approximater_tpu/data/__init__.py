@@ -1,0 +1,13 @@
+from .datasets import (
+    ArrayDataset,
+    CIFAR10,
+    CIFAR10_MEAN,
+    CIFAR10_STD,
+    DATASET,
+    IMAGENET_DEFAULT_MEAN,
+    IMAGENET_DEFAULT_STD,
+    Npz,
+    Synthetic,
+    build_dataset,
+)
+from .loader import Loader

@@ -1,0 +1,98 @@
+"""Datasets: the input side the reference delegated to timm
+(``create_dataset`` in ``hooks/finetune.py:165-186``).
+
+Zero-egress friendly: CIFAR-10 reads the standard python pickle batches from
+a local root; ``Synthetic`` provides deterministic data for smoke tests and
+benchmarks; ``Npz`` loads pre-processed arrays.  All datasets expose
+``images`` (N, H, W, C) uint8/float and ``labels`` (N,) int arrays — the
+loader handles batching/normalization/sharding.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional, Tuple
+
+import numpy as np
+
+from convnet_approximater_tpu.utils.registry import Registry, build_from_cfg
+
+DATASET = Registry("DATASET")
+
+IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+CIFAR10_MEAN = (0.4914, 0.4822, 0.4465)
+CIFAR10_STD = (0.2470, 0.2435, 0.2616)
+
+
+class ArrayDataset:
+    """Base: in-memory (images, labels)."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray):
+        assert len(images) == len(labels)
+        self.images = images
+        self.labels = labels
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        return self.images[idx], self.labels[idx]
+
+
+@DATASET.register_module()
+class Synthetic(ArrayDataset):
+    """Deterministic random dataset (for smoke tests / throughput benches)."""
+
+    def __init__(self, num_samples: int = 512, image_size=(224, 224, 3),
+                 num_classes: int = 10, seed: int = 0, split: str = "train"):
+        rs = np.random.RandomState(seed + (0 if split == "train" else 1))
+        images = rs.randint(0, 256, (num_samples,) + tuple(image_size), dtype=np.uint8)
+        labels = rs.randint(0, num_classes, (num_samples,), dtype=np.int64)
+        super().__init__(images, labels)
+        self.num_classes = num_classes
+
+
+@DATASET.register_module()
+class CIFAR10(ArrayDataset):
+    """CIFAR-10 from the standard python pickle batches under ``root``
+    (``cifar-10-batches-py/``).  No download (zero-egress container)."""
+
+    num_classes = 10
+
+    def __init__(self, root: str, split: str = "train"):
+        base = root
+        for cand in (root, os.path.join(root, "cifar-10-batches-py")):
+            if os.path.exists(os.path.join(cand, "test_batch")):
+                base = cand
+                break
+        names = [f"data_batch_{i}" for i in range(1, 6)] if split == "train" else ["test_batch"]
+        images, labels = [], []
+        for n in names:
+            path = os.path.join(base, n)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"CIFAR-10 batch {path} not found; place the python-version "
+                    f"batches under {root} (no network download available)"
+                )
+            with open(path, "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            images.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+            labels.append(np.asarray(d[b"labels"], dtype=np.int64))
+        super().__init__(np.concatenate(images), np.concatenate(labels))
+
+
+@DATASET.register_module()
+class Npz(ArrayDataset):
+    """Pre-processed arrays: ``images`` (N, H, W, C), ``labels`` (N,)."""
+
+    def __init__(self, path: str, split: str = "train"):
+        with np.load(path) as d:
+            key_i = f"{split}_images" if f"{split}_images" in d else "images"
+            key_l = f"{split}_labels" if f"{split}_labels" in d else "labels"
+            super().__init__(d[key_i], d[key_l])
+
+
+def build_dataset(cfg, **kwargs) -> ArrayDataset:
+    return build_from_cfg(cfg, DATASET, **kwargs)

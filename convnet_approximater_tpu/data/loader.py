@@ -1,0 +1,119 @@
+"""Batch loader: normalize, resize, shard onto the device mesh.
+
+Replaces timm's ``create_loader`` surface.  Host-side work is pure numpy
+(uint8 -> normalized float32, optional nearest-neighbor resize); the batch is
+``jax.device_put`` with the batch axis sharded over the mesh's data axis so
+each device receives only its shard — the SPMD version of the reference's
+per-rank DistributedSampler (``hooks/finetune.py:176-186``).  A
+double-buffered background thread overlaps host prep with device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .datasets import ArrayDataset, IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD
+
+
+def _resize_nearest(images: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    H, W = images.shape[1:3]
+    th, tw = size
+    if (H, W) == (th, tw):
+        return images
+    ri = (np.arange(th) * H // th).astype(np.int64)
+    ci = (np.arange(tw) * W // tw).astype(np.int64)
+    return images[:, ri][:, :, ci]
+
+
+class Loader:
+    def __init__(
+        self,
+        dataset: ArrayDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        mean=IMAGENET_DEFAULT_MEAN,
+        std=IMAGENET_DEFAULT_STD,
+        image_size: Optional[Tuple[int, int]] = None,
+        seed: int = 0,
+        sharding=None,
+        prefetch: int = 2,
+        dtype=np.float32,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.mean = np.asarray(mean, np.float32) * 255.0
+        self.std = np.asarray(std, np.float32) * 255.0
+        self.image_size = image_size
+        self.seed = seed
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self.dtype = dtype
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Vary the shuffle order per epoch (analog of sampler.set_epoch)."""
+        self._epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _prep(self, idx: np.ndarray):
+        images = self.dataset.images[idx]
+        labels = self.dataset.labels[idx]
+        if self.image_size is not None:
+            images = _resize_nearest(images, self.image_size)
+        images = (images.astype(np.float32) - self.mean) / self.std
+        return images.astype(self.dtype), labels.astype(np.int32)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rs = np.random.RandomState(self.seed + self._epoch)
+            return rs.permutation(n)
+        return np.arange(n)
+
+    def __iter__(self) -> Iterator:
+        order = self._indices()
+        nb = len(self)
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size] for i in range(nb)]
+
+        if self.prefetch <= 0:
+            for idx in batches:
+                yield self._put(self._prep(idx))
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for idx in batches:
+                    q.put(self._prep(idx))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield self._put(item)
+        t.join()
+
+    def _put(self, batch):
+        images, labels = batch
+        if self.sharding is not None:
+            images = jax.device_put(images, self.sharding)
+            labels = jax.device_put(labels, self.sharding)
+        return images, labels

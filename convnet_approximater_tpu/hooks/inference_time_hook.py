@@ -1,0 +1,81 @@
+"""Forward-pass timing + device trace capture.
+
+Reference (``hooks/inference_time_hook.py:9-35``) wrapped one forward in
+``torch.profiler`` and printed the kernel table.  The XLA equivalents:
+
+* wall-clock timing with ``block_until_ready`` after warm-up (compilation
+  excluded), median over ``num_iters``;
+* an optional ``jax.profiler.trace`` capture to ``work_dir/traces`` —
+  open with TensorBoard/XProf for the per-kernel table, with
+  ``jax.named_scope`` regions (e.g. MSCAProfile's CONV0/SD_CONVS/CHANNEL_MIX)
+  attributing time to submodule stages;
+* the compiled program's XLA cost analysis as the machine-readable summary.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_approximater_tpu.utils.logger import get_logger
+
+from .hook import HOOK, Hook
+from .model_analysis import analyze_model
+
+
+def time_forward(model, variables, input_shape, num_iters=10, warmup=3, dtype=jnp.float32):
+    def fwd(params, state, x):
+        y, _, _ = model.apply(params, x, state=state, training=False)
+        return y
+
+    fn = jax.jit(fwd)
+    x = jnp.ones(input_shape, dtype)
+    params, state = variables["params"], variables.get("state", {})
+    for _ in range(warmup):
+        jax.block_until_ready(fn(params, state, x))
+    times = []
+    for _ in range(num_iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params, state, x))
+        times.append(time.perf_counter() - t0)
+    return fn, x, np.asarray(times)
+
+
+@HOOK.register_module()
+class InferenceTimeHook(Hook):
+    def __init__(self, runner, priority, infer_cfg=None):
+        super().__init__(runner, priority)
+        infer_cfg = dict(infer_cfg or {})
+        # reference configs use NCHW input_size tuples; accept both layouts
+        size = tuple(infer_cfg.pop("input_size", (64, 224, 224, 3)))
+        if len(size) == 4 and size[1] in (1, 3) and size[3] not in (1, 3):
+            size = (size[0], size[2], size[3], size[1])
+        self.input_size = size
+        self.num_iters = infer_cfg.pop("num_iters", 10)
+        self.warmup = infer_cfg.pop("warmup", 3)
+        self.capture_trace = infer_cfg.pop("capture_trace", False)
+        self.dtype = jnp.bfloat16 if infer_cfg.pop("bf16", False) else jnp.float32
+
+    def after_run(self):
+        logger = get_logger()
+        model, variables = self.runner.model, self.runner.variables
+        fn, x, times = time_forward(
+            model, variables, self.input_size, self.num_iters, self.warmup, self.dtype
+        )
+        if self.capture_trace:
+            trace_dir = os.path.join(self.runner.cfg.work_dir or ".", "traces")
+            with jax.profiler.trace(trace_dir):
+                jax.block_until_ready(fn(variables["params"], variables.get("state", {}), x))
+            logger.info(f"device trace captured to {trace_dir} (view with xprof/tensorboard)")
+        cost = analyze_model(model, variables, self.input_size)
+        med = float(np.median(times)) * 1e3
+        logger.info(
+            f"Forward time (batch {self.input_size[0]}): median {med:.3f} ms, "
+            f"min {times.min() * 1e3:.3f} ms over {self.num_iters} iters | "
+            f"XLA MACs {cost['macs'] / 1e6:.1f} M, HBM bytes {cost['bytes_accessed'] / 1e6:.1f} MB"
+        )
+        self.result = dict(median_ms=med, times=times, **cost)

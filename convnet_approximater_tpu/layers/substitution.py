@@ -46,7 +46,10 @@ class Substitution(Module):
             delattr(self, "new")
 
     def __call__(self, params, x, ctx: Ctx):
-        branch = "old" if self.use_old else "new"
+        if ctx.force_branch is not None:
+            branch = ctx.force_branch
+        else:
+            branch = "old" if self.use_old else "new"
         y = self.child(branch, params, x, ctx)
         if self.capture:
             ctx.tap(TAP_OUT, y)

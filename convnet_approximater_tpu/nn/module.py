@@ -50,12 +50,18 @@ def _stable_fold(key, name: str):
 class Ctx:
     """Per-forward-pass context: mode, rng, state I/O, tapped intermediates."""
 
-    def __init__(self, training: bool = False, rng=None, state: Optional[dict] = None):
+    def __init__(self, training: bool = False, rng=None, state: Optional[dict] = None,
+                 force_branch: Optional[str] = None):
         self.training = training
         self._rng = rng
         self.state_in = state or {}
         self.state_out: Dict[str, Any] = {}  # flat dotted-path -> new state dict
         self.taps: Dict[str, Any] = {}  # flat dotted-path -> tapped value
+        # When set ('old'/'new'), Substitution modules route to that branch
+        # regardless of their use_old flag — the jit-safe replacement for the
+        # reference's per-batch switch_old/switch_new double-pass trick
+        # (finetune.py:300-312): both passes live in ONE traced step.
+        self.force_branch = force_branch
         self._path = []
 
     # -- path scoping ---------------------------------------------------

@@ -76,7 +76,8 @@ def max_pool2d(x, kernel_size, stride=None, padding=0):
     pads = _pad_pairs(padding)
     if isinstance(pads, str):
         raise ValueError("string padding not supported for pooling")
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf init is required for JAX to use the reduce-window-max VJP
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg,

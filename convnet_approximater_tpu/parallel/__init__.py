@@ -1,0 +1,17 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    param_shardings,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from .distributed import (
+    initialize_distributed,
+    is_main_process,
+    local_device_count,
+    process_count,
+)

@@ -1,0 +1,86 @@
+"""Device mesh + sharding helpers: the SPMD replacement for the reference's
+torchrun/DDP/NCCL stack (SURVEY.md §2.8).
+
+The reference launched one process per GPU with NCCL all-reduce
+(``dist_main.sh``, ``scripts/main.py:46-67``).  Here a single program jits
+over a ``jax.sharding.Mesh`` with named axes:
+
+* ``data``  — batch (data parallelism; gradient psum is compiler-inserted)
+* ``model`` — channel/feature sharding for tensor parallelism of the wide
+  1x1 mixing convs and classifier heads
+
+so DP/TP compose by laying arrays out with ``NamedSharding``; XLA schedules
+the collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} mesh != {n} devices"
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a (possibly nested) batch with the leading axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def param_shardings(params: dict, mesh: Mesh, tp_rules: Sequence[tuple] = ()) -> dict:
+    """Shardings for a param tree: replicated by default, with optional
+    tensor-parallel rules ``(path_suffix, PartitionSpec)`` matched against the
+    '/'-joined flat path (e.g. ``("head/weight", P(None, MODEL_AXIS))`` to
+    column-shard the classifier)."""
+    from convnet_approximater_tpu.utils.serialize import flatten_tree, unflatten_tree
+
+    flat = flatten_tree(params)
+    out = {}
+    for key in flat:
+        spec = P()
+        for suffix, rule_spec in tp_rules:
+            if key.endswith(suffix):
+                spec = rule_spec
+                break
+        out[key] = NamedSharding(mesh, spec)
+    return unflatten_tree(out)
+
+
+def pad_to_multiple(batch_arr, multiple: int):
+    """Pad the leading axis up to a multiple (for even sharding); returns
+    (padded, valid_count)."""
+    n = batch_arr.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return batch_arr, n
+    pad = [(0, rem)] + [(0, 0)] * (batch_arr.ndim - 1)
+    return np.pad(np.asarray(batch_arr), pad), n

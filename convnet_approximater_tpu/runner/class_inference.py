@@ -1,0 +1,87 @@
+"""Deploy-mode comparator (reference ``runner/class_inference.py:19-89`` and
+``scripts/low_rank_exp_inference.py``): builds the original and approximated
+models side by side, then times, FLOP-counts, and evaluates both — including
+the post-``decomp()`` separable variant."""
+
+from __future__ import annotations
+
+import jax
+
+from convnet_approximater_tpu.core import build_app
+from convnet_approximater_tpu.classification import ValidateHelper
+from convnet_approximater_tpu.filters import build_filter
+from convnet_approximater_tpu.hooks.inference_time_hook import time_forward
+from convnet_approximater_tpu.hooks.model_analysis import analyze_model
+from convnet_approximater_tpu.layers import LowRankExpConvV1
+from convnet_approximater_tpu.models import build_model
+from convnet_approximater_tpu.utils import (
+    get_cfg,
+    get_logger,
+    load_model,
+    tree_get,
+    tree_set,
+)
+from convnet_approximater_tpu.nn.module import _stable_fold
+
+from .base import BaseRunner
+
+
+class ClassInference(BaseRunner):
+    def __init__(self, checkpoint: str, batch_size: int = 16, input_size=(224, 224, 3),
+                 do_decomp: bool = False, eval_cfg=None, rng=None):
+        cfg = get_cfg()
+        self.cfg = cfg
+        self.checkpoint = checkpoint
+        self.batch_size = batch_size
+        self.input_size = tuple(input_size)
+        self.do_decomp = do_decomp
+        self.eval_cfg = eval_cfg or {}
+        self.rng = rng if rng is not None else jax.random.key(cfg.seed or 0)
+
+        # approximated model in deploy mode
+        self.app = build_app(cfg.app, deploy=True)
+        self.filters = [build_filter(f) for f in cfg.filters] if cfg.filters else []
+        self.new_model = build_model(cfg.model)
+        # original model
+        self.ori_model = build_model(cfg.model)
+
+    def _report(self, tag, model, variables):
+        logger = get_logger()
+        shape = (self.batch_size,) + self.input_size
+        _, _, times = time_forward(model, variables, shape, num_iters=10, warmup=3)
+        info = analyze_model(model, variables, shape)
+        logger.info(
+            f"[{tag}] fwd median {float(times.mean()) * 1e3:.3f} ms | "
+            f"MACs {info['macs'] / 1e6:.2f} M | params {info['params'] / 1e6:.2f} M"
+        )
+        if self.eval_cfg:
+            res = ValidateHelper(model, self.eval_cfg, variables).validate()
+            logger.info(f"[{tag}] eval: {res}")
+
+    def run(self):
+        # original
+        ori_vars = {"params": self.ori_model.init(self.rng), "state": self.ori_model.init_state()}
+        ori_vars = self.ori_model.init_weights(ori_vars)
+        self._report("original", self.ori_model, ori_vars)
+
+        # approximated (deploy: initialize returns bare targets, then load ckpt)
+        model = self.new_model
+        model.register_switchable(self.app.src_type, self.filters)
+        new_vars = {"params": model.init(self.rng), "state": model.init_state()}
+        for idx in range(model.length_switchable):
+            name = model.switchable_names[idx]
+            src = model.get_switchable_module(idx)
+            tgt, tgt_params = self.app.initialize(
+                src, tree_get(new_vars["params"], name), _stable_fold(self.rng, name)
+            )
+            model.set_switchable_module(idx, tgt, new_vars, {"params": tgt_params})
+        new_vars = load_model(new_vars, self.checkpoint)
+        self._report("approximated", model, new_vars)
+
+        if self.do_decomp:
+            for idx in range(model.length_switchable):
+                name = model.switchable_names[idx]
+                mod = model.get_switchable_module(idx)
+                if isinstance(mod, LowRankExpConvV1):
+                    tree_set(new_vars["params"], name, mod.decomp(tree_get(new_vars["params"], name)))
+            self._report("decomposed", model, new_vars)
