@@ -14,21 +14,38 @@ CONV0/SD_CONVS/CHANNEL_MIX — the XLA analog of the reference's
 
 from __future__ import annotations
 
+import os
+
 import jax
 
-from convnet_approximater_tpu.nn import Conv2d, Ctx, Module
+from convnet_approximater_tpu.nn import Conv2d, Ctx, Identity, Module, Sequential
 
-from .depth_separable_conv import ParallelConv
+from .depth_separable_conv import CascadeConv, FixPaddingBias, ParallelConv
 from .substitution import LAYER
+
+# VMEM ceiling for the fused kernel's per-image tile (fp32 words); the kernel
+# keeps ~4 live (H+2p, W+2p, C) buffers, so stay well under 16 MB.
+_FUSE_MAX_TILE = 640 * 1024
+
+
+def _fuse_enabled() -> bool:
+    if os.environ.get("CAT_DISABLE_FUSED"):
+        return False
+    return jax.default_backend() in ("tpu", "axon")
 
 
 @LAYER.register_module()
 class MSCA(Module):
-    def __init__(self, num_channel: int, k1_size: int, k_sizes):
+    """fused='auto' dispatches inference forwards to the Pallas
+    :func:`~convnet_approximater_tpu.ops.pallas.msca_fused` kernel on TPU
+    (training and unsupported shapes fall back to the lax path)."""
+
+    def __init__(self, num_channel: int, k1_size: int, k_sizes, fused: str = "auto"):
         super().__init__()
         self.num_channel = num_channel
         self.k1_size = k1_size
         self.k_sizes = tuple(k_sizes)
+        self.fused = fused
         self.conv0 = Conv2d(
             num_channel, num_channel, k1_size, padding=k1_size // 2, groups=num_channel
         )
@@ -39,7 +56,75 @@ class MSCA(Module):
         )
         self.channel_mix = Conv2d(num_channel, num_channel, 1)
 
+    # -- fused dispatch --------------------------------------------------
+    def _fuse_parts(self):
+        """Returns (bank_module, fix_module_or_None) when the current
+        structure is expressible by the fused kernel, else None."""
+        sd = self.sd_convs
+        fix = None
+        if isinstance(sd, Sequential) and len(sd) == 2 and isinstance(sd[1], FixPaddingBias):
+            fix = sd[1]
+            sd = sd[0]
+        if isinstance(sd, (ParallelConv, CascadeConv)):
+            return sd, fix
+        return None
+
+    def _can_fuse(self, ctx: Ctx, x) -> bool:
+        mode = self.fused
+        if mode == "off" or ctx.training:
+            return False
+        if mode == "auto" and not _fuse_enabled():
+            return False
+        if self._fuse_parts() is None:
+            return False
+        H, W = x.shape[1], x.shape[2]
+        p = max(self.k_sizes) // 2
+        if (H + 2 * p) * (W + 2 * p) * max(self.num_channel, 128) > _FUSE_MAX_TILE:
+            return False
+        return True
+
+    def _fused_forward(self, params, x, interpret: bool = False):
+        from convnet_approximater_tpu.ops.pallas import msca_fused, pack_cascade_weights
+
+        bank, fix = self._fuse_parts()
+        sd_params = params["sd_convs"]
+        bank_params = sd_params["0"] if fix is not None else sd_params
+        if isinstance(bank, CascadeConv):
+            cascades = [(bank, bank_params)]
+            identity = False
+        else:
+            cascades = [
+                (m, bank_params["branches"][n])
+                for n, m in bank.branches.named_children()
+                if isinstance(m, CascadeConv)
+            ]
+            identity = any(isinstance(m, Identity) for m in bank.branches)
+        w1, b1, w2, b2 = pack_cascade_weights(
+            [p_["conv1"]["weight"][0, :, 0, :] for _, p_ in cascades],
+            [p_["conv1"].get("bias") for _, p_ in cascades],
+            [p_["conv2"]["weight"][:, 0, 0, :] for _, p_ in cascades],
+            [p_["conv2"].get("bias") for _, p_ in cascades],
+        )
+        res, fix_p = None, 0
+        if fix is not None:
+            res = jax.numpy.transpose(sd_params["1"]["res"], (0, 2, 1))  # (2, p, C)
+            fix_p = fix.p
+        return msca_fused(
+            x,
+            params["conv0"]["weight"][:, :, 0, :],
+            params["conv0"]["bias"],
+            w1, b1, w2, b2,
+            params["channel_mix"]["weight"][0, 0],
+            params["channel_mix"]["bias"],
+            res,
+            identity=identity,
+            fix_p=fix_p,
+            interpret=interpret,
+        )
+
     def __call__(self, params, x, ctx: Ctx):
+        if self._can_fuse(ctx, x):
+            return self._fused_forward(params, x)
         attn = self.child("conv0", params, x, ctx)
         attn = self.child("sd_convs", params, attn, ctx)
         attn = self.child("channel_mix", params, attn, ctx)

@@ -1,0 +1,196 @@
+"""Fused Pallas TPU kernels for the MSCA strip-conv attention path.
+
+Why these exist (BASELINE.md): the reference's decomposed models *lost*
+wall-clock despite ~36% fewer MACs because each tiny depthwise strip conv is
+a separate bandwidth-bound kernel — the intermediate feature map round-trips
+HBM between every (1,k) / (k,1) conv, and on GPU cuDNN's dense paths won.
+These kernels keep the whole per-image tile resident in VMEM and execute the
+entire chain in one pass:
+
+``parallel_cascade``  x -> sum_br vconv_br(hconv_br(x) + b1) + b2 [+ x]
+``msca_fused``        x -> x * channel_mix(bank(conv0(x)))
+
+Design notes
+------------
+* Grid is (B,): MSCAN feature maps are small (<=56x56x256 after the stem), so
+  a full (H, W, C) image tile fits VMEM comfortably (~1.6 MB fp32 worst
+  stage) — no halo exchange needed.
+* Strip convs are unrolled shifted multiply-adds on the VPU over a
+  zero-padded tile.  Branches of different kernel sizes (7/11/21) are
+  embedded into k_max taps with zero padding — exact for zero-padded
+  cross-correlation — so one unrolled loop serves every branch.
+* The conv1 bias is added *before* the vertical conv (matching torch's
+  cascade semantics at borders bit-for-bit, including the partial-sum border
+  effects the MscaRep algebra models).
+* ``channel_mix`` (1x1 conv == per-pixel C x C matmul) runs on the MXU from
+  the same VMEM tile: one HBM read of x, one HBM write of the gated output —
+  versus 6+ kernel round-trips in the unfused graph.
+
+Weights are pre-packed host-side by :func:`pack_cascade_weights` into dense
+(nb, k_max, C) tap arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_cascade_weights(w1_list, b1_list, w2_list, b2_list, k_max: Optional[int] = None):
+    """Stack per-branch strip kernels into (nb, k_max, C) tap arrays.
+
+    ``w1_list[i]``: horizontal taps (k_i, C); ``w2_list[i]``: vertical taps
+    (k_i, C); biases (C,) or None.  Shorter branches are zero-embedded at the
+    center of k_max taps (exact under zero padding).
+    """
+    ks = [w.shape[0] for w in w1_list]
+    k_max = k_max or max(ks)
+    nb = len(w1_list)
+    C = w1_list[0].shape[-1]
+    w1 = jnp.zeros((nb, k_max, C), jnp.float32)
+    w2 = jnp.zeros((nb, k_max, C), jnp.float32)
+    b1 = jnp.zeros((nb, C), jnp.float32)
+    b2 = jnp.zeros((nb, C), jnp.float32)
+    for i, (wa, wb) in enumerate(zip(w1_list, w2_list)):
+        off = (k_max - wa.shape[0]) // 2
+        w1 = w1.at[i, off:off + wa.shape[0]].set(wa.astype(jnp.float32))
+        off = (k_max - wb.shape[0]) // 2
+        w2 = w2.at[i, off:off + wb.shape[0]].set(wb.astype(jnp.float32))
+        if b1_list[i] is not None:
+            b1 = b1.at[i].set(b1_list[i].astype(jnp.float32))
+        if b2_list[i] is not None:
+            b2 = b2.at[i].set(b2_list[i].astype(jnp.float32))
+    return w1, b1, w2, b2
+
+
+def _bank(x, w1, b1, w2, b2, identity: bool, nb: int, k_max: int):
+    """The strip-conv bank on one (H, W, C) tile; all taps unrolled."""
+    H, W, C = x.shape
+    p = k_max // 2
+    acc = x if identity else jnp.zeros_like(x)
+    xw = jnp.pad(x, ((0, 0), (p, p), (0, 0)))
+    for br in range(nb):
+        tmp = jnp.zeros_like(x)
+        for j in range(k_max):
+            tmp = tmp + w1[br, j] * xw[:, j:j + W, :]
+        tmp = tmp + b1[br]
+        tmph = jnp.pad(tmp, ((p, p), (0, 0), (0, 0)))
+        out = jnp.zeros_like(x)
+        for i in range(k_max):
+            out = out + w2[br, i] * tmph[i:i + H, :, :]
+        acc = acc + out + b2[br]
+    return acc
+
+
+def _parallel_cascade_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                             *, identity: bool, nb: int, k_max: int):
+    x = x_ref[0].astype(jnp.float32)
+    acc = _bank(x, w1_ref[:], b1_ref[:][:, None, :], w2_ref[:], b2_ref[:][:, None, :],
+                identity, nb, k_max)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def parallel_cascade(x, w1, b1, w2, b2, *, identity: bool = False,
+                     interpret: bool = False):
+    """Fused multi-branch cascade bank.
+
+    x: (B, H, W, C); w1/w2: (nb, k_max, C) horizontal/vertical taps;
+    b1/b2: (nb, C).  Returns sum over branches of
+    ``vconv(hconv(x) + b1) + b2`` plus ``x`` when ``identity``.
+    """
+    B, H, W, C = x.shape
+    nb, k_max, _ = w1.shape
+    kernel = functools.partial(
+        _parallel_cascade_kernel, identity=identity, nb=nb, k_max=k_max
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, k_max, C), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, k_max, C), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2)
+
+
+def _msca_fused_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       res_ref, wm_ref, bm_ref, o_ref,
+                       *, identity: bool, nb: int, k_max: int, k0: int,
+                       fix_p: int):
+    x = x_ref[0].astype(jnp.float32)
+    H, W, C = x.shape
+    p0 = k0 // 2
+    # conv0: k0 x k0 depthwise, unrolled over the (small) k0^2 taps
+    xp = jnp.pad(x, ((p0, p0), (p0, p0), (0, 0)))
+    attn = jnp.zeros_like(x)
+    for i in range(k0):
+        for j in range(k0):
+            attn = attn + w0_ref[i, j] * xp[i:i + H, j:j + W, :]
+    attn = attn + b0_ref[:]
+    # strip bank
+    attn = _bank(attn, w1_ref[:], b1_ref[:][:, None, :], w2_ref[:], b2_ref[:][:, None, :],
+                 identity, nb, k_max)
+    if fix_p > 0:
+        # FixPaddingBias: learnable border residual strips (top/bottom rows)
+        p2 = min(H, fix_p)
+        res = res_ref[:]
+        attn = attn.at[:p2, :, :].add(res[0, :p2, None, :])
+        attn = attn.at[H - p2:, :, :].add(res[1, fix_p - p2:, None, :])
+    # channel mix: per-pixel C x C matmul on the MXU
+    mixed = jnp.dot(
+        attn.reshape(H * W, C), wm_ref[:], preferred_element_type=jnp.float32
+    ) + bm_ref[:]
+    o_ref[0] = (x * mixed.reshape(H, W, C)).astype(o_ref.dtype)
+
+
+def msca_fused(x, w0, b0, w1, b1, w2, b2, wm, bm, res=None, *,
+               identity: bool = True, fix_p: int = 0, interpret: bool = False):
+    """Fully-fused MSCA: ``x * channel_mix(fix(bank(conv0(x))))``.
+
+    x: (B, H, W, C); w0: (k0, k0, C) depthwise taps; wm: (C, C) 1x1 mixing
+    matrix (input-dim first); biases (C,); res: optional (2, fix_p, C)
+    border-correction strips (FixPaddingBias).
+    """
+    B, H, W, C = x.shape
+    nb, k_max, _ = w1.shape
+    k0 = w0.shape[0]
+    if res is None:
+        res = jnp.zeros((2, max(fix_p, 1), C), jnp.float32)
+    kernel = functools.partial(
+        _msca_fused_kernel, identity=identity, nb=nb, k_max=k_max, k0=k0, fix_p=fix_p
+    )
+    flops = 2 * B * H * W * C * (k0 * k0 + 2 * k_max * nb + C)
+    rp = res.shape[1]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k0, k0, C), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, k_max, C), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, k_max, C), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, rp, C), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * x.size * x.dtype.itemsize, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x, w0, b0, w1, b1, w2, b2, res, wm, bm)
