@@ -8,14 +8,25 @@ so checkpoints map 1:1 (grouped-conv output channel ``c*M + m`` applies basis
 
 from __future__ import annotations
 
+import os
 from typing import Union
 
+import jax
 import jax.numpy as jnp
 
 from convnet_approximater_tpu.nn import Conv2d, Ctx, Module
 from convnet_approximater_tpu.utils.general import to_2tuple
 
 from .substitution import LAYER
+
+# VMEM word budget for the fused scheme-1 kernel's per-image buffers
+_FUSE_MAX_WORDS = 2 * 1024 * 1024
+
+
+def _fuse_enabled() -> bool:
+    if os.environ.get("CAT_DISABLE_FUSED"):
+        return False
+    return jax.default_backend() in ("tpu", "axon")
 
 
 class SeparableConv(Module):
@@ -97,8 +108,36 @@ class LowRankExpConvV1(Module):
         self.d_conv = Conv2d(in_channels * num_base, out_channels, 1)
 
     def __call__(self, params, x, ctx: Ctx):
+        if self._can_fuse(ctx, x):
+            return self._fused_forward(params, x)
         x = self.child("s_conv", params, x, ctx)
         return self.child("d_conv", params, x, ctx)
+
+    # -- fused dispatch --------------------------------------------------
+    def _can_fuse(self, ctx: Ctx, x) -> bool:
+        if ctx.training or not _fuse_enabled():
+            return False
+        H, W = x.shape[1], x.shape[2]
+        kh, kw = self.kernel_size
+        sh, sw = self.stride
+        Ho = (H + 2 * self.padding[0] - kh) // sh + 1
+        Wo = (W + 2 * self.padding[1] - kw) // sw + 1
+        C, M, N = self.in_channels, self.num_base, self.out_channels
+        words = H * W * C + 2 * Ho * Wo * M * C + M * C * N + Ho * Wo * N
+        return words < _FUSE_MAX_WORDS
+
+    def _fused_forward(self, params, x, interpret: bool = False):
+        from convnet_approximater_tpu.ops.pallas import (
+            lowrank_conv,
+            lowrank_params_from_module,
+        )
+
+        kw = lowrank_params_from_module(params, self)
+        return lowrank_conv(
+            x, kw.pop("A_mc"), kw.pop("b"),
+            kernel_size=self.kernel_size, stride=self.stride,
+            padding=self.padding, interpret=interpret, **kw,
+        )
 
     def decomp(self, params: dict) -> dict:
         """Spatially factorize ``s_conv`` into rank-1 vertical/horizontal pairs.

@@ -99,7 +99,7 @@ class MSCA(Module):
                 if isinstance(m, CascadeConv)
             ]
             identity = any(isinstance(m, Identity) for m in bank.branches)
-        w1, b1, w2, b2 = pack_cascade_weights(
+        w1, b1, w2, b2, ks = pack_cascade_weights(
             [p_["conv1"]["weight"][0, :, 0, :] for _, p_ in cascades],
             [p_["conv1"].get("bias") for _, p_ in cascades],
             [p_["conv2"]["weight"][:, 0, 0, :] for _, p_ in cascades],
@@ -117,6 +117,7 @@ class MSCA(Module):
             params["channel_mix"]["weight"][0, 0],
             params["channel_mix"]["bias"],
             res,
+            ks=ks,
             identity=identity,
             fix_p=fix_p,
             interpret=interpret,

@@ -40,8 +40,8 @@ def test_parallel_cascade_matches_lax():
     params = pc.init(jax.random.key(0))
     x = jax.random.normal(jax.random.key(1), (2, 12, 10, C))
     y_ref, _, _ = pc.apply(params, x)
-    w1, b1, w2, b2 = _bank_params_from_module(pc, params)
-    y = parallel_cascade(x, w1, b1, w2, b2, identity=True, interpret=INTERPRET)
+    w1, b1, w2, b2, ks = _bank_params_from_module(pc, params)
+    y = parallel_cascade(x, w1, b1, w2, b2, ks=ks, identity=True, interpret=INTERPRET)
     assert _rel(y_ref, y) < 1e-5
 
 
@@ -51,8 +51,8 @@ def test_parallel_cascade_no_identity_no_bias():
     params = pc.init(jax.random.key(2))
     x = jax.random.normal(jax.random.key(3), (1, 9, 9, C))
     y_ref, _, _ = pc.apply(params, x)
-    w1, b1, w2, b2 = _bank_params_from_module(pc, params)
-    y = parallel_cascade(x, w1, b1, w2, b2, identity=False, interpret=INTERPRET)
+    w1, b1, w2, b2, ks = _bank_params_from_module(pc, params)
+    y = parallel_cascade(x, w1, b1, w2, b2, ks=ks, identity=False, interpret=INTERPRET)
     assert _rel(y_ref, y) < 1e-5
 
 
@@ -62,12 +62,12 @@ def test_msca_fused_matches_module():
     params = msca.init(jax.random.key(4))
     x = jax.random.normal(jax.random.key(5), (2, 14, 14, C))
     y_ref, _, _ = msca.apply(params, x)
-    w1, b1, w2, b2 = _bank_params_from_module(msca.sd_convs, params["sd_convs"])
+    w1, b1, w2, b2, ks = _bank_params_from_module(msca.sd_convs, params["sd_convs"])
     w0 = params["conv0"]["weight"][:, :, 0, :]  # (k0, k0, C) depthwise taps
     b0 = params["conv0"]["bias"]
     wm = params["channel_mix"]["weight"][0, 0]  # (C, C): in, out
     bm = params["channel_mix"]["bias"]
-    y = msca_fused(x, w0, b0, w1, b1, w2, b2, wm, bm, identity=True,
+    y = msca_fused(x, w0, b0, w1, b1, w2, b2, wm, bm, ks=ks, identity=True,
                    interpret=INTERPRET)
     assert _rel(y_ref, y) < 1e-5
 
@@ -88,7 +88,7 @@ def test_msca_fused_decomposed_form():
     x = jax.random.normal(jax.random.key(8), (1, 12, 12, C))
     y_ref, _, _ = tgt.apply(tp, x)
     # single-cascade bank
-    w1, b1, w2, b2 = pack_cascade_weights(
+    w1, b1, w2, b2, ks = pack_cascade_weights(
         [tp["sd_convs"]["conv1"]["weight"][0, :, 0, :]],
         [tp["sd_convs"]["conv1"].get("bias")],
         [tp["sd_convs"]["conv2"]["weight"][:, 0, 0, :]],
@@ -97,5 +97,5 @@ def test_msca_fused_decomposed_form():
     w0 = tp["conv0"]["weight"][:, :, 0, :]
     y = msca_fused(x, w0, tp["conv0"]["bias"], w1, b1, w2, b2,
                    tp["channel_mix"]["weight"][0, 0], tp["channel_mix"]["bias"],
-                   identity=False, interpret=INTERPRET)
+                   ks=ks, identity=False, interpret=INTERPRET)
     assert _rel(y_ref, y) < 1e-5
