@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Headline — the reference's own published benchmark (BASELINE.md): wall-clock
+ratio of the scheme-1-decomposed AlexNet (layers 2-5, bases 8/8/6/4, spatial
+decomp) vs the dense original, batch 64 @ 224x224, single chip.  The
+reference measured 0.54x on CUDA (decomposition made it SLOWER); anything
+above that converts more of the 36% MAC savings into real speed.
+``vs_baseline`` = our ratio / 0.5398.
+
+Also measured (logged to stderr, not the JSON line): MSCAN-t original vs
+msca-rep d1 (fused Pallas path), fp32.
+
+Timing method: the axon TPU relay acks ``block_until_ready`` without waiting
+for execution, so each measurement dispatches n iterations and forces one
+scalar readback; the (measured) readback roundtrip is subtracted.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cat_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from convnet_approximater_tpu.core import LowRankExpV1, MscaRep
+from convnet_approximater_tpu.filters import IndicesFilter, SimpleConvFilter
+from convnet_approximater_tpu.layers import MSCA
+from convnet_approximater_tpu.models import AlexNet, MSCAN_Classifier
+from convnet_approximater_tpu.nn import Conv2d
+from convnet_approximater_tpu.nn.module import _stable_fold
+from convnet_approximater_tpu.utils import tree_get
+
+B = 64
+KEY = jax.random.key(0)
+REFERENCE_CUDA_RATIO = 6.605 / 12.235  # reference: dense 6.605ms -> decomposed 12.235ms
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _readback_overhead():
+    g = jax.jit(lambda a: a + 1)
+    float(jnp.sum(g(jnp.ones(8))))
+    t0 = time.time()
+    float(jnp.sum(g(jnp.ones(8))))
+    return time.time() - t0
+
+
+def time_apply(model, variables, x, n=32):
+    """Seconds per forward (dispatch-loop + readback, overhead-subtracted)."""
+    params = variables["params"]
+    state = variables.get("state", {})
+
+    def fwd(params, state, x):
+        y, _, _ = model.apply(params, x, state=state, training=False)
+        return y
+
+    f = jax.jit(fwd)
+    t0 = time.time()
+    float(jnp.sum(f(params, state, x)))
+    log(f"  compile+first run: {time.time() - t0:.1f}s")
+    ov = _readback_overhead()
+    t0 = time.time()
+    for _ in range(n):
+        r = f(params, state, x)
+    float(jnp.sum(r))
+    return max((time.time() - t0 - ov) / n, 1e-9)
+
+
+def run_pipeline(model, variables, app, filters):
+    model.register_switchable(app.src_type, filters)
+    for idx in range(model.length_switchable):
+        name = model.switchable_names[idx]
+        src = model.get_switchable_module(idx)
+        sub, sp = app.initialize(src, tree_get(variables["params"], name), _stable_fold(KEY, name))
+        model.set_switchable_module(idx, sub, variables, {"params": sp})
+        app.optimize(sub, sp)
+        mod, np_ = app.postprocess(sub, sp)
+        model.set_switchable_module(idx, mod, variables, {"params": np_})
+    return model, variables
+
+
+def bench_alexnet():
+    x = jax.random.normal(KEY, (B, 224, 224, 3))
+    model = AlexNet(num_classes=10)
+    variables = {"params": model.init(KEY)}
+    log("AlexNet dense original:")
+    t_orig = time_apply(model, variables, x)
+    log(f"  {t_orig * 1e3:.3f} ms/fwd ({B / t_orig:.0f} img/s)")
+
+    m2 = AlexNet(num_classes=10)
+    v2 = {"params": m2.init(KEY)}
+    app = LowRankExpV1(
+        num_bases=(8, 8, 6, 4), max_iter=0, lmda_length=1, min_lmda=0,
+        max_lmda=0, init_method="svd", do_decomp=True,
+    )
+    m2, v2 = run_pipeline(m2, v2, app, [SimpleConvFilter(), IndicesFilter((2, 3, 4, 5))])
+    log("AlexNet scheme-1 decomposed (fused kernels):")
+    t_dec = time_apply(m2, v2, x)
+    log(f"  {t_dec * 1e3:.3f} ms/fwd ({B / t_dec:.0f} img/s)")
+    return t_orig / t_dec
+
+
+def bench_mscan():
+    x = jax.random.normal(KEY, (B, 224, 224, 3))
+    model = MSCAN_Classifier(num_classes=1000)
+    variables = {"params": model.init(KEY), "state": model.init_state()}
+    log("MSCAN-t original:")
+    t_orig = time_apply(model, variables, x)
+    log(f"  {t_orig * 1e3:.3f} ms/fwd ({B / t_orig:.0f} img/s)")
+
+    m2 = MSCAN_Classifier(num_classes=1000)
+    v2 = {"params": m2.init(KEY), "state": m2.init_state()}
+    app = MscaRep(decomp=1, fix=True)
+    m2, v2 = run_pipeline(m2, v2, app, [])
+    log("MSCAN-t msca-rep d1+fix (fused kernels):")
+    t_rep = time_apply(m2, v2, x)
+    log(f"  {t_rep * 1e3:.3f} ms/fwd ({B / t_rep:.0f} img/s)")
+    return t_orig / t_rep
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    ratio_alex = bench_alexnet()
+    log(f"AlexNet decomposed/dense speedup: {ratio_alex:.3f}x "
+        f"(reference CUDA: {REFERENCE_CUDA_RATIO:.3f}x)")
+    try:
+        ratio_mscan = bench_mscan()
+        log(f"MSCAN-t d1-rep speedup: {ratio_mscan:.3f}x")
+    except Exception as e:  # MSCAN bench is informational; never break the line
+        log(f"MSCAN bench failed: {e}")
+    print(json.dumps({
+        "metric": "alexnet_scheme1_decomposed_speedup_vs_dense_b64",
+        "value": round(ratio_alex, 4),
+        "unit": "x",
+        "vs_baseline": round(ratio_alex / REFERENCE_CUDA_RATIO, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

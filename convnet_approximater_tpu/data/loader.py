@@ -68,12 +68,21 @@ class Loader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _prep(self, idx: np.ndarray):
-        images = self.dataset.images[idx]
-        labels = self.dataset.labels[idx]
+        labels = self.dataset.labels[idx].astype(np.int32)
+        pool = self.dataset.images
+        # native (C++ thread-pool) gather+resize+normalize; numpy fallback
+        if pool.dtype == np.uint8 and self.dtype == np.float32:
+            from .native import prep_batch
+
+            target = self.image_size or pool.shape[1:3]
+            out = prep_batch(pool, np.asarray(idx), target, self.mean, self.std)
+            if out is not None:
+                return out, labels
+        images = pool[idx]
         if self.image_size is not None:
             images = _resize_nearest(images, self.image_size)
         images = (images.astype(np.float32) - self.mean) / self.std
-        return images.astype(self.dtype), labels.astype(np.int32)
+        return images.astype(self.dtype), labels
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

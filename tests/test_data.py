@@ -1,0 +1,87 @@
+"""Data pipeline: datasets, loader batching/normalization/sharding, and the
+native C++ batch-prep parity with the numpy path."""
+
+import numpy as np
+import pytest
+
+from convnet_approximater_tpu.data import Loader, Npz, Synthetic, build_dataset
+from convnet_approximater_tpu.data.loader import _resize_nearest
+
+
+def test_synthetic_deterministic():
+    a = Synthetic(16, (8, 8, 3), 4, seed=1)
+    b = Synthetic(16, (8, 8, 3), 4, seed=1)
+    np.testing.assert_array_equal(a.images, b.images)
+    assert a.images.shape == (16, 8, 8, 3) and a.images.dtype == np.uint8
+
+
+def test_npz_roundtrip(tmp_path):
+    p = str(tmp_path / "d.npz")
+    np.savez(p, images=np.zeros((4, 8, 8, 3), np.uint8), labels=np.arange(4))
+    ds = Npz(p)
+    assert len(ds) == 4
+
+
+def test_build_dataset_registry():
+    ds = build_dataset(dict(type="Synthetic", num_samples=8, image_size=(4, 4, 3)))
+    assert len(ds) == 8
+
+
+def test_loader_batches_and_epoch_shuffle():
+    ds = Synthetic(32, (8, 8, 3), 4, seed=0)
+    loader = Loader(ds, 8, shuffle=True, prefetch=0, mean=(0, 0, 0), std=(1, 1, 1))
+    batches = list(loader)
+    assert len(batches) == 4
+    images, labels = batches[0]
+    assert images.shape == (8, 8, 8, 3) and labels.shape == (8,)
+    loader.set_epoch(1)
+    batches2 = list(loader)
+    assert not np.allclose(np.asarray(batches[0][0]), np.asarray(batches2[0][0]))
+
+
+def test_loader_prefetch_matches_sync():
+    ds = Synthetic(24, (8, 8, 3), 4, seed=0)
+    kw = dict(shuffle=False, mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25))
+    sync = [np.asarray(b[0]) for b in Loader(ds, 8, prefetch=0, **kw)]
+    pre = [np.asarray(b[0]) for b in Loader(ds, 8, prefetch=2, **kw)]
+    for a, b in zip(sync, pre):
+        np.testing.assert_allclose(a, b)
+
+
+def test_native_prep_matches_numpy():
+    from convnet_approximater_tpu.data.native import get_lib, prep_batch
+
+    if get_lib() is None:
+        pytest.skip("native batch-prep unavailable (no g++?)")
+    pool = np.random.RandomState(0).randint(0, 256, (10, 12, 14, 3), dtype=np.uint8)
+    idx = np.array([3, 1, 7], np.int64)
+    mean = np.array([0.5, 0.4, 0.3], np.float32) * 255
+    std = np.array([0.2, 0.3, 0.25], np.float32) * 255
+    out = prep_batch(pool, idx, (6, 7), mean, std)
+    assert out is not None and out.shape == (3, 6, 7, 3)
+    ref = (_resize_nearest(pool[idx], (6, 7)).astype(np.float32) - mean) / std
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_native_prep_no_resize():
+    from convnet_approximater_tpu.data.native import get_lib, prep_batch
+
+    if get_lib() is None:
+        pytest.skip("native batch-prep unavailable")
+    pool = np.random.RandomState(1).randint(0, 256, (6, 8, 8, 3), dtype=np.uint8)
+    idx = np.arange(6, dtype=np.int64)
+    mean = np.zeros(3, np.float32)
+    std = np.ones(3, np.float32)
+    out = prep_batch(pool, idx, (8, 8), mean, std)
+    np.testing.assert_allclose(out, pool.astype(np.float32))
+
+
+def test_loader_sharded_device_put():
+    import jax
+    from convnet_approximater_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh()
+    ds = Synthetic(16, (8, 8, 3), 4, seed=0)
+    loader = Loader(ds, 8, sharding=batch_sharding(mesh), prefetch=0)
+    images, labels = next(iter(loader))
+    assert len(images.sharding.device_set) == len(jax.devices())
