@@ -1,1 +1,2 @@
 from .validate import AverageMeter, ValidateHelper, accuracy_sums
+from .train import TrainHelper

@@ -1,0 +1,187 @@
+"""From-scratch classification training helper.
+
+The reference shipped a ``TrainHelper`` that was dead code (never exported,
+methods missing ``self`` — SURVEY.md §1).  This is a working replacement used
+to produce the pretrained baselines the pipeline consumes (e.g.
+``alexnet_cifar10.ckpt.npz``): standard CE training with optional
+augmentation-free loaders, cosine/step schedules, label smoothing, SPMD over
+the device mesh, per-epoch validation and best-k checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from convnet_approximater_tpu.data import Loader, Synthetic, build_dataset
+from convnet_approximater_tpu.hooks.finetune import CheckpointSaver, make_optimizer, update_summary
+from convnet_approximater_tpu.nn.module import Ctx, _merge_state
+from convnet_approximater_tpu.parallel import batch_sharding, is_main_process, make_mesh, replicate
+from convnet_approximater_tpu.utils import get_logger
+from convnet_approximater_tpu.utils.config import Config
+
+from .validate import AverageMeter, accuracy_sums
+
+_default_train_cfg = dict(
+    batch_size=128,
+    image_size=(32, 32),
+    mean=(0.4914, 0.4822, 0.4465),
+    std=(0.2470, 0.2435, 0.2616),
+    dataset=None,  # DATASET registry cfg
+    num_classes=10,
+    epochs=10,
+    opt="adamw",
+    lr=1e-3,
+    weight_decay=0.05,
+    momentum=0.9,
+    eps=1e-8,
+    sched="cosine",
+    min_lr=1e-6,
+    warmup_epochs=0,
+    decay_rate=0.1,
+    label_smoothing=0.0,
+    log_interval=50,
+    eval_metric="top1",
+    checkpoint_hist=3,
+    use_mesh=True,
+    max_steps_per_epoch=None,
+    max_eval_batches=None,
+    work_dir="work_dirs/train",
+    seed=0,
+)
+
+
+class TrainHelper:
+    def __init__(self, model, variables, train_cfg=None):
+        self.model = model
+        self.variables = variables
+        self.cfg = Config()
+        self.cfg.update(_default_train_cfg)
+        self.cfg.update(train_cfg or {})
+
+    def train(self) -> dict:
+        logger = get_logger()
+        cfg = self.cfg
+        model = self.model
+        rng = jax.random.key(cfg.seed)
+
+        data_sh = None
+        if cfg.use_mesh and len(jax.devices()) > 1:
+            mesh = make_mesh()
+            data_sh = batch_sharding(mesh)
+            self.variables = replicate(self.variables, mesh)
+
+        size = tuple(cfg.image_size)
+        if cfg.dataset:
+            ds_train = build_dataset(dict(cfg.dataset), split="train")
+            ds_eval = build_dataset(dict(cfg.dataset), split="validation")
+            num_classes = getattr(ds_train, "num_classes", cfg.num_classes)
+        else:
+            ds_train = Synthetic(512, size + (3,), cfg.num_classes, split="train")
+            ds_eval = Synthetic(128, size + (3,), cfg.num_classes, split="validation")
+            num_classes = cfg.num_classes
+        mk = lambda ds, sh: Loader(ds, cfg.batch_size, shuffle=sh, drop_last=True,
+                                   mean=cfg.mean, std=cfg.std, image_size=size,
+                                   sharding=data_sh)
+        loader_train, loader_eval = mk(ds_train, True), mk(ds_eval, False)
+        steps = len(loader_train)
+        if cfg.max_steps_per_epoch:
+            steps = min(steps, cfg.max_steps_per_epoch)
+
+        optim_args = Config(dict(opt=cfg.opt, lr=cfg.lr, momentum=cfg.momentum,
+                                 weight_decay=cfg.weight_decay, eps=cfg.eps))
+        sche_args = Config(dict(epochs=cfg.epochs, sched=cfg.sched, min_lr=cfg.min_lr,
+                                warmup_epochs=cfg.warmup_epochs, decay_rate=cfg.decay_rate))
+        tx, lr_sched = make_optimizer(optim_args, sche_args, steps)
+        opt_state = tx.init(self.variables["params"])
+        smoothing = cfg.label_smoothing
+
+        @jax.jit
+        def train_step(params, state, opt_state, images, labels, rng):
+            def loss_fn(params):
+                ctx = Ctx(training=True, rng=rng, state=state)
+                logits = model(params, images, ctx)
+                new_state = _merge_state(state, ctx.state_out)
+                one_hot = jax.nn.one_hot(labels, num_classes)
+                if smoothing > 0:
+                    one_hot = one_hot * (1 - smoothing) + smoothing / num_classes
+                loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, axis=-1))
+                return loss, new_state
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_state, opt_state, loss
+
+        @jax.jit
+        def eval_step(params, state, images, labels):
+            ctx = Ctx(training=False, state=state)
+            logits = model(params, images, ctx)
+            one_hot = jax.nn.one_hot(labels, num_classes)
+            loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, axis=-1))
+            c1, c5 = accuracy_sums(logits, labels)
+            return loss, c1, c5
+
+        out_dir = cfg.work_dir
+        saver = None
+        if is_main_process():
+            os.makedirs(out_dir, exist_ok=True)
+            saver = CheckpointSaver(out_dir, decreasing=(cfg.eval_metric == "loss"),
+                                    max_history=cfg.checkpoint_hist)
+        best_metric = best_epoch = None
+        step_count = 0
+        for epoch in range(cfg.epochs):
+            loader_train.set_epoch(epoch)
+            loss_m, time_m = AverageMeter(), AverageMeter()
+            end = time.time()
+            for i, (images, labels) in enumerate(loader_train):
+                if i >= steps:
+                    break
+                step_rng = jax.random.fold_in(rng, step_count)
+                params, state, opt_state, loss = train_step(
+                    self.variables["params"], self.variables["state"], opt_state,
+                    images, labels, step_rng,
+                )
+                self.variables["params"] = params
+                self.variables["state"] = state
+                step_count += 1
+                if i % cfg.log_interval == 0 or i == steps - 1:
+                    jax.block_until_ready(loss)
+                    loss_m.update(float(loss), images.shape[0])
+                    time_m.update(time.time() - end)
+                    lr = lr_sched(step_count) if callable(lr_sched) else lr_sched
+                    logger.info(
+                        f"Train: {epoch} [{i:>4d}/{steps}]  Loss: {loss_m.val:#.4g} "
+                        f"({loss_m.avg:#.3g})  LR: {float(lr):.3e}  "
+                        f"Time: {time_m.val:.3f}s"
+                    )
+                end = time.time()
+            # validate
+            lm, t1, t5 = AverageMeter(), AverageMeter(), AverageMeter()
+            for j, (images, labels) in enumerate(loader_eval):
+                if cfg.max_eval_batches and j >= cfg.max_eval_batches:
+                    break
+                loss, c1, c5 = eval_step(
+                    self.variables["params"], self.variables["state"], images, labels
+                )
+                bs = images.shape[0]
+                lm.update(float(loss), bs)
+                t1.update(float(c1) / bs * 100, bs)
+                t5.update(float(c5) / bs * 100, bs)
+            eval_metrics = dict(loss=lm.avg, top1=t1.avg, top5=t5.avg)
+            logger.info(f"Eval {epoch}: {eval_metrics}")
+            if is_main_process():
+                update_summary(epoch, dict(loss=loss_m.avg), eval_metrics,
+                               os.path.join(out_dir, "summary.csv"),
+                               write_header=(epoch == 0))
+            if saver is not None:
+                best_metric, best_epoch = saver.save_checkpoint(
+                    self.variables, epoch, eval_metrics[cfg.eval_metric]
+                )
+        logger.info(f"*** Best {cfg.eval_metric}: {best_metric} (epoch {best_epoch})")
+        return dict(best_metric=best_metric, best_epoch=best_epoch,
+                    variables=self.variables)

@@ -139,11 +139,13 @@ class LowRankExpV2(Approximater):
         super().__init__(deploy=deploy)
         self.num_bases = num_bases
         self.curr = 0
+        self._opt_curr = 0
         self.data_driven_iters = data_driven_iters
         self._xcov = {}  # switchable index -> (C*kh, C*kh) second moment
 
     def rewind(self):
         self.curr = 0
+        self._opt_curr = 0
 
     def set_calibration(self, index: int, xcov):
         self._xcov[index] = xcov
@@ -163,8 +165,10 @@ class LowRankExpV2(Approximater):
     def _fix_substitution(self, sub: Substitution, params: dict):
         params["new"]["h_conv"]["bias"] = params["old"]["bias"]
 
-    def optimize(self, sub: Substitution, params: dict, index: int = 0):
+    def optimize(self, sub: Substitution, params: dict):
         logger = get_logger()
+        index = self._opt_curr
+        self._opt_curr += 1
         tgt: LowRankExpConvV2 = sub.new_module
         W4 = hwio_to_oihw(params["old"]["weight"]).astype(jnp.float32)  # (N, C, kh, kw)
         N, C, kh, kw = W4.shape

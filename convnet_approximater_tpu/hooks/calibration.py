@@ -1,0 +1,100 @@
+"""Calibration hook: collects per-switchable input statistics for the
+data-driven scheme-2 solve.
+
+The reference never built a data-driven reconstruction (SURVEY.md §2.2 names
+it as the gap scheme-2 left open); this hook closes the loop: after the
+substitutions are initialized (and before ``optimize``), it streams a few
+calibration batches through the *original* branches, taps each substitution's
+input, and accumulates the second moment of vertical input strips
+``Sigma[(c, u), (c', u')]`` that :func:`scheme2_data_driven` uses as the
+error metric.  Runs as one jitted pass per batch on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from convnet_approximater_tpu.data import Loader, Synthetic, build_dataset
+from convnet_approximater_tpu.nn.module import Ctx
+from convnet_approximater_tpu.utils.logger import get_logger
+
+from .hook import HOOK, Hook
+
+
+def strip_second_moment(x, kh: int):
+    """Second moment of vertical strips: x (B, H, W, C) ->
+    Sigma (C*kh, C*kh) over all (image, row-window, column) samples."""
+    B, H, W, C = x.shape
+    Ho = H - kh + 1
+    # patches: (B, Ho, W, kh, C)
+    wins = jnp.stack([x[:, i:i + Ho, :, :] for i in range(kh)], axis=3)
+    # order (c, u): index c*kh + u
+    v = jnp.transpose(wins, (0, 1, 2, 4, 3)).reshape(B * Ho * W, C * kh)
+    return (v.T @ v) / v.shape[0]
+
+
+@HOOK.register_module()
+class CalibrationHook(Hook):
+    """Attach calibration second moments to a data-driven approximater."""
+
+    def __init__(self, runner, priority, num_batches: int = 2, batch_size: int = 8,
+                 image_size=(64, 64), dataset=None):
+        super().__init__(runner, priority)
+        self.num_batches = num_batches
+        self.batch_size = batch_size
+        self.image_size = tuple(image_size)
+        self.dataset_cfg = dataset
+
+    def after_initialize(self):
+        runner = self.runner
+        app = runner.app
+        if not hasattr(app, "set_calibration"):
+            get_logger().info("CalibrationHook: app has no set_calibration; skipped")
+            return
+        model = runner.model
+        names = model.switchable_names
+        subs = list(model.switchable_modules())
+        for sub in subs:
+            sub.capture = True
+        if self.dataset_cfg:
+            ds = build_dataset(dict(self.dataset_cfg), split="train")
+        else:
+            ds = Synthetic(self.batch_size * self.num_batches,
+                           self.image_size + (3,), 10)
+        loader = Loader(ds, self.batch_size, shuffle=False,
+                        image_size=self.image_size)
+
+        # One jitted pass capturing every substitution INPUT.  The input of a
+        # substitution equals the output of the previous layer; rather than
+        # tapping inputs we run the 'old' branch and tap just before each
+        # switchable by re-using the tap of the producing module: simplest
+        # robust approach — tap outputs, then derive per-layer inputs by a
+        # second capture pass on the src convs themselves.
+        def fwd(params, state, x):
+            ctx = Ctx(training=False, state=state, force_branch="old")
+            ctx.capture_inputs = True
+            model(params, x, ctx)
+            return ctx.taps
+
+        fwd_j = jax.jit(fwd)
+        moments = {}
+        count = 0
+        for i, (images, _) in enumerate(loader):
+            if i >= self.num_batches:
+                break
+            taps = fwd_j(runner.variables["params"], runner.variables["state"], images)
+            for idx, name in enumerate(names):
+                key = f"{name}.in"
+                if key not in taps:
+                    continue
+                src = subs[idx].old_module
+                kh = src.kernel_size[0] if hasattr(src, "kernel_size") else 1
+                sm = strip_second_moment(taps[key], kh)
+                moments[idx] = moments.get(idx, 0) + sm
+            count += 1
+        for idx, sm in moments.items():
+            app.set_calibration(idx, sm / max(count, 1))
+        for sub in subs:
+            sub.capture = False
+        get_logger().info(f"CalibrationHook: collected moments for {sorted(moments)}")

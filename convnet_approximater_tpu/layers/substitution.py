@@ -17,6 +17,7 @@ from convnet_approximater_tpu.nn.module import Ctx, Module
 from convnet_approximater_tpu.utils.registry import Registry, build_from_cfg
 
 TAP_OUT = "out"
+TAP_IN = "in"
 
 
 class Substitution(Module):
@@ -50,6 +51,8 @@ class Substitution(Module):
             branch = ctx.force_branch
         else:
             branch = "old" if self.use_old else "new"
+        if self.capture and getattr(ctx, "capture_inputs", False):
+            ctx.tap(TAP_IN, x)
         y = self.child(branch, params, x, ctx)
         if self.capture:
             ctx.tap(TAP_OUT, y)

@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Standalone deploy-mode comparator (reference
+``scripts/low_rank_exp_inference.py:37-117``): profile + FLOP-count + evaluate
+the original, approximated, and post-decomp models side by side."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--decomp", action="store_true", help="also measure after decomp()")
+    ap.add_argument("--eval-dataset", default=None, help="DATASET registry type, e.g. CIFAR10")
+    ap.add_argument("--eval-root", default=None)
+    args = ap.parse_args()
+
+    from convnet_approximater_tpu.runner import ClassInference
+    from convnet_approximater_tpu.utils import build_logger, init_cfg, update_cfg
+
+    build_logger()
+    init_cfg(args.config)
+    update_cfg(checkpoint=args.checkpoint)
+    eval_cfg = None
+    if args.eval_dataset:
+        eval_cfg = dict(
+            dataset=dict(type=args.eval_dataset, root=args.eval_root),
+            batch_size=args.batch,
+            input_size=(224, 224, 3),
+        )
+    ClassInference(
+        checkpoint=args.checkpoint,
+        batch_size=args.batch,
+        do_decomp=args.decomp,
+        eval_cfg=eval_cfg,
+    ).run()
+
+
+if __name__ == "__main__":
+    main()
