@@ -215,10 +215,12 @@ def _msca_fused_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         res = res_ref[:]
         attn = attn.at[:p2, :, :].add(res[0, :p2, None, :])
         attn = attn.at[H - p2:, :, :].add(res[1, fix_p - p2:, None, :])
-    # channel mix: per-pixel C x C matmul on the MXU.  With lane packing the
-    # G image groups share the same (C, C) matrix: fold G into the row dim.
+    # channel mix: per-pixel matmul on the MXU.  Under lane packing the mix
+    # matrix arrives block-diagonal over the G image groups (Mosaic cannot
+    # split the lane dim in a reshape, and the extra zero-block FLOPs are
+    # negligible at the packed — small-C — stages).
     mixed = jnp.dot(
-        attn.reshape(H * W * G, C), wm_ref[:], preferred_element_type=jnp.float32
+        attn.reshape(H * W, GC), wm_ref[:], preferred_element_type=jnp.float32
     ) + bm_ref[:]
     o_ref[0] = (x * mixed.reshape(H, W, GC)).astype(o_ref.dtype)
 
@@ -243,9 +245,11 @@ def msca_fused(x, w0, b0, w1, b1, w2, b2, wm, bm, res=None, *,
     xg = _pack_batch(x, G)
     Bg, _, _, GC = xg.shape
     w0g = _tile_lanes(w0, G)
-    b0g, b1g, b2g = (_tile_lanes(a, G) for a in (b0, b1, b2))
+    b0g, b1g, b2g, bmg = (_tile_lanes(a, G) for a in (b0, b1, b2, bm))
     w1g, w2g = _tile_lanes(w1, G), _tile_lanes(w2, G)
     resg = _tile_lanes(res, G)
+    if G > 1:
+        wm = jax.scipy.linalg.block_diag(*([wm] * G))  # (GC, GC)
     kernel = functools.partial(
         _msca_fused_kernel, identity=identity, ks=ks, k_max=k_max, k0=k0,
         fix_p=fix_p, G=G,
@@ -265,13 +269,13 @@ def msca_fused(x, w0, b0, w1, b1, w2, b2, wm, bm, res=None, *,
             pl.BlockSpec((nb, k_max, GC), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, GC), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, rp, GC), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GC, GC), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GC,), lambda b: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, H, W, GC), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=2 * x.size * x.dtype.itemsize, transcendentals=0
         ),
         interpret=interpret,
-    )(xg, w0g, b0g, w1g, b1g, w2g, b2g, resg, wm, bm)
+    )(xg, w0g, b0g, w1g, b1g, w2g, b2g, resg, wm, bmg)
     return _unpack_batch(yg, G)
