@@ -24,7 +24,11 @@ _FUSE_MAX_WORDS = 2 * 1024 * 1024
 
 
 def _fuse_enabled() -> bool:
+    # Opt-in (see doc/perf-notes.md): XLA's lowering currently beats the
+    # Pallas kernel at the benchmarked shapes.
     if os.environ.get("CAT_DISABLE_FUSED"):
+        return False
+    if not os.environ.get("CAT_ENABLE_FUSED"):
         return False
     return jax.default_backend() in ("tpu", "axon")
 

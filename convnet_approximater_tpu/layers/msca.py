@@ -29,7 +29,13 @@ _FUSE_MAX_TILE = 640 * 1024
 
 
 def _fuse_enabled() -> bool:
+    # Measured on the current XLA/Mosaic toolchain (doc/perf-notes.md): XLA's
+    # own lowering of the strip-conv chain still beats the hand-written
+    # Pallas kernels, so 'auto' does NOT dispatch to them; set
+    # CAT_ENABLE_FUSED=1 (or fused='on') to force the Pallas path.
     if os.environ.get("CAT_DISABLE_FUSED"):
+        return False
+    if not os.environ.get("CAT_ENABLE_FUSED"):
         return False
     return jax.default_backend() in ("tpu", "axon")
 
@@ -73,7 +79,7 @@ class MSCA(Module):
         mode = self.fused
         if mode == "off" or ctx.training:
             return False
-        if mode == "auto" and not _fuse_enabled():
+        if mode != "on" and not _fuse_enabled():
             return False
         if self._fuse_parts() is None:
             return False
