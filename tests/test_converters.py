@@ -1,0 +1,77 @@
+"""Checkpoint converter scripts: substitution wrap/unwrap round-trip and
+torch -> TPU layout conversion."""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    path = os.path.join(ROOT, "scripts", "ckpt_converter", name)
+    spec = importlib.util.spec_from_file_location(name[:-3], path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_add_remove_substitution_roundtrip():
+    add = _load("add_substitution.py")
+    rem = _load("remove_substitution.py")
+    tree = {
+        "params": {
+            "features": {
+                "3": {"weight": np.ones((3, 3, 4, 8)), "bias": np.zeros(8)},
+                "0": {"weight": np.ones((3, 3, 3, 4))},
+            }
+        }
+    }
+    wrapped = add.add_substitution(tree, ["features.3"], branch="new")
+    assert "new" in wrapped["params"]["features"]["3"]
+    assert "weight" in wrapped["params"]["features"]["0"]  # untouched
+    flat = rem.remove_substitution(wrapped, keep_branch="new")
+    np.testing.assert_array_equal(
+        flat["params"]["features"]["3"]["weight"], tree["params"]["features"]["3"]["weight"]
+    )
+
+
+def test_torch_layout_conversion():
+    t2t = _load("torch_to_tpu.py")
+    w = np.arange(2 * 3 * 5 * 7).reshape(2, 3, 5, 7).astype(np.float32)  # OIHW
+    hwio = t2t.convert_conv(w)
+    assert hwio.shape == (5, 7, 3, 2)
+    np.testing.assert_array_equal(hwio[1, 2, 0, 1], w[1, 0, 1, 2])
+    lw = np.arange(6).reshape(2, 3).astype(np.float32)
+    assert t2t.convert_linear(lw).shape == (3, 2)
+
+
+def test_torch_state_dict_conversion_with_bn():
+    t2t = _load("torch_to_tpu.py")
+    sd = {
+        "features.0.weight": np.zeros((8, 3, 3, 3), np.float32),
+        "features.0.bias": np.zeros(8, np.float32),
+        "features.1.weight": np.ones(8, np.float32),  # BN scale
+        "features.1.bias": np.zeros(8, np.float32),
+        "features.1.running_mean": np.zeros(8, np.float32),
+        "features.1.running_var": np.ones(8, np.float32),
+        "features.1.num_batches_tracked": np.array(10),
+        "classifier.weight": np.zeros((10, 8), np.float32),
+        "classifier.bias": np.zeros(10, np.float32),
+    }
+    tree = t2t.convert_state_dict(sd, "generic")
+    assert tree["params"]["features"]["0"]["weight"].shape == (3, 3, 3, 8)
+    assert tree["params"]["features"]["1"]["scale"].shape == (8,)
+    assert tree["state"]["features"]["1"]["mean"].shape == (8,)
+    assert tree["params"]["classifier"]["weight"].shape == (8, 10)
+
+
+def test_mscan_rename():
+    t2t = _load("torch_to_tpu.py")
+    key = "block1.0.attn.spatial_gating_unit.conv0_1.weight"
+    out = t2t._mscan_rename(key)
+    assert out == "backbone.layers.0.1.0.attn.spatial_gating_unit.sd_convs.branches.0.conv1.weight"
+    assert t2t._mscan_rename("head.weight") == "head.weight"
