@@ -134,6 +134,22 @@ class TrainHelper:
                                     max_history=cfg.checkpoint_hist)
         best_metric = best_epoch = None
         step_count = 0
+        try:
+            self._loop(cfg, loader_train, loader_eval, steps, train_step,
+                       eval_step, lr_sched, rng, saver, out_dir, opt_state)
+        except KeyboardInterrupt:
+            # partial runs still report the best metric (reference behavior)
+            pass
+        best_metric, best_epoch = self._best
+        logger.info(f"*** Best {cfg.eval_metric}: {best_metric} (epoch {best_epoch})")
+        return dict(best_metric=best_metric, best_epoch=best_epoch,
+                    variables=self.variables)
+
+    def _loop(self, cfg, loader_train, loader_eval, steps, train_step,
+              eval_step, lr_sched, rng, saver, out_dir, opt_state):
+        logger = get_logger()
+        self._best = (None, None)
+        step_count = 0
         for epoch in range(cfg.epochs):
             loader_train.set_epoch(epoch)
             loss_m, time_m = AverageMeter(), AverageMeter()
@@ -179,9 +195,6 @@ class TrainHelper:
                                os.path.join(out_dir, "summary.csv"),
                                write_header=(epoch == 0))
             if saver is not None:
-                best_metric, best_epoch = saver.save_checkpoint(
+                self._best = saver.save_checkpoint(
                     self.variables, epoch, eval_metrics[cfg.eval_metric]
                 )
-        logger.info(f"*** Best {cfg.eval_metric}: {best_metric} (epoch {best_epoch})")
-        return dict(best_metric=best_metric, best_epoch=best_epoch,
-                    variables=self.variables)
