@@ -106,7 +106,17 @@ class DownSample(Module):
 
 
 class MSCAN(Module):
-    """The backbone: returns per-stage feature maps."""
+    """The backbone: returns per-stage feature maps.
+
+    ``scan_blocks='auto'``: at inference, each stage's repeated blocks run as
+    ONE ``lax.scan`` body over stacked per-block params/state instead of an
+    unrolled chain — ~5x smaller HLO, which cuts the (minutes-long on the
+    remote-compile tunnel) XLA compile of the full model accordingly.  The
+    scan engages only when every block in the stage is structurally identical
+    (heterogeneous per-layer substitutions fall back to the unrolled path)
+    and never during training (BN state writes and taps must escape the
+    step, which a scan body cannot do).
+    """
 
     def __init__(
         self,
@@ -116,11 +126,13 @@ class MSCAN(Module):
         exp_ratios=(8, 8, 4, 4),
         drop_rate: float = 0.0,
         drop_path_rate: float = 0.0,
+        scan_blocks: str = "auto",
     ):
         super().__init__()
         assert len(num_channels) == len(num_blocks) == len(exp_ratios)
         self.num_channels = tuple(num_channels)
         self.num_blocks = tuple(num_blocks)
+        self.scan_blocks = scan_blocks
         total = sum(num_blocks)
         dpr = [drop_path_rate * i / max(total - 1, 1) for i in range(total)]
         self.layers = nn.ModuleList()
@@ -139,6 +151,52 @@ class MSCAN(Module):
             self.layers.append(nn.ModuleList([down, stage, norm]))
             cur += nb
 
+    # -- scan-over-blocks inference path ----------------------------------
+    def _stage_scannable(self, stage, stage_params, ctx: Ctx) -> bool:
+        if self.scan_blocks == "off" or ctx.training or ctx.force_branch is not None:
+            return False
+        blocks = list(stage.named_children())
+        if len(blocks) < 2:
+            return False
+        # capture-enabled Substitutions need their taps to escape; no scan
+        for _, block in blocks:
+            for _, mod in block.named_modules():
+                if getattr(mod, "capture", False):
+                    return False
+        # all per-block param subtrees must be structurally identical
+        import jax
+
+        trees = [stage_params.get(n, {}) for n, _ in blocks]
+        ref = jax.tree_util.tree_structure(trees[0])
+        if any(jax.tree_util.tree_structure(t) != ref for t in trees[1:]):
+            return False
+        shapes = [tuple(jnp.shape(l) for l in jax.tree_util.tree_leaves(t)) for t in trees]
+        return all(s == shapes[0] for s in shapes[1:])
+
+    def _scan_stage(self, stage, stage_params, x, ctx: Ctx):
+        import jax
+        from jax import lax
+
+        blocks = list(stage.named_children())
+        template = blocks[0][1]
+        p_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[stage_params.get(n, {}) for n, _ in blocks]
+        )
+        stage_state = ctx.get_state()
+        states = [stage_state.get(n, {}) for n, _ in blocks]
+        have_state = any(states)
+        s_stack = (
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states) if have_state else None
+        )
+
+        def body(x, ps):
+            p, s = ps
+            bctx = Ctx(training=False, state=s or {})
+            return template(p, x, bctx), None
+
+        y, _ = lax.scan(body, x, (p_stack, s_stack))
+        return y
+
     def __call__(self, params, x, ctx: Ctx):
         features = []
         layers_params = params.get("layers", {})
@@ -147,8 +205,14 @@ class MSCAN(Module):
                 lp = layers_params.get(name, {})
                 with ctx.scope(name):
                     # layer is ModuleList([downsample, stage, norm])
-                    for sub_name, _ in layer.named_children():
-                        x = layer.child(sub_name, lp, x, ctx)
+                    x = layer.child("0", lp, x, ctx)
+                    stage = layer[1]
+                    with ctx.scope("1"):
+                        if self._stage_scannable(stage, lp.get("1", {}), ctx):
+                            x = self._scan_stage(stage, lp.get("1", {}), x, ctx)
+                        else:
+                            x = stage(lp.get("1", {}), x, ctx)
+                    x = layer.child("2", lp, x, ctx)
                 features.append(x)
         return features
 
@@ -165,6 +229,7 @@ class MSCAN_Classifier(SwitchableModel):
         drop_path_rate: float = 0.0,
         num_classes: int = 1000,
         init_cfg=None,
+        scan_blocks: str = "auto",
     ):
         super().__init__(init_cfg=init_cfg)
         self.num_classes = num_classes
@@ -175,6 +240,7 @@ class MSCAN_Classifier(SwitchableModel):
             exp_ratios=exp_ratios,
             drop_rate=drop_rate,
             drop_path_rate=drop_path_rate,
+            scan_blocks=scan_blocks,
         )
         self.head = nn.Linear(num_channels[-1], num_classes, bias=True)
 

@@ -82,3 +82,37 @@ def test_msca_profile_pipeline(tmp_path):
         runner.variables["params"], x, state=runner.variables["state"]
     )
     assert y.shape == (1, 5)
+
+
+def test_scan_blocks_matches_unrolled():
+    """The lax.scan stage path must be numerically identical to unrolled."""
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+
+    kw = dict(num_channels=(8, 16), num_blocks=(3, 2), exp_ratios=(2, 2),
+              num_classes=5, drop_path_rate=0.1)
+    m_scan = MSCAN_Classifier(scan_blocks="auto", **kw)
+    m_flat = MSCAN_Classifier(scan_blocks="off", **kw)
+    params = m_scan.init(jax.random.key(0))
+    state = m_scan.init_state()
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    y_scan, _, _ = m_scan.apply(params, x, state=state)
+    y_flat, _, _ = m_flat.apply(params, x, state=state)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_flat), rtol=2e-5, atol=1e-5)
+    # training path must NOT scan (BN state updates must escape)
+    y_tr, new_state, _ = m_scan.apply(params, x, state=state, training=True,
+                                      rng=jax.random.key(2))
+    assert not np.allclose(
+        np.asarray(new_state["backbone"]["layers"]["0"]["1"]["0"]["norm1"]["mean"]), 0.0
+    )
+
+
+def test_scan_blocks_after_rep(tmp_path):
+    """Post-rep (homogeneous substitution) models still scan; outputs match."""
+    runner = _run(tmp_path, "app = dict(type='MscaRep', decomp=1, fix=True)\n")
+    model = runner.model
+    x = jax.random.normal(jax.random.key(3), (1, 64, 64, 3))
+    y_auto, _, _ = model.apply(runner.variables["params"], x, state=runner.variables["state"])
+    model.backbone.scan_blocks = "off"
+    y_flat, _, _ = model.apply(runner.variables["params"], x, state=runner.variables["state"])
+    model.backbone.scan_blocks = "auto"
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_flat), rtol=2e-5, atol=1e-5)
