@@ -95,10 +95,14 @@ class FixPaddingBias(Module):
 
     def __call__(self, params, x, ctx: Ctx):
         res = params["res"]
-        p2 = min(x.shape[1], self.p)
-        # res[0][:, :p2] -> (C, p2) -> broadcast (1, p2, 1, C) over NHWC rows
-        top = jnp.transpose(res[0, :, :p2])[None, :, None, :]
-        bot = jnp.transpose(res[1, :, self.p - p2:])[None, :, None, :]
-        x = x.at[:, :p2, :, :].add(top)
-        x = x.at[:, x.shape[1] - p2:, :, :].add(bot)
-        return x
+        H = x.shape[1]
+        p2 = min(H, self.p)
+        # Build a full-height (H, C) strip once (tiny; scatter on it is
+        # compile-time cheap) and apply ONE broadcast add: unlike updating x
+        # row-slices in place (a scatter XLA cannot fuse — measured 0.7 ms of
+        # pure HBM copies per call at MSCAN stage-1 shapes), the elementwise
+        # add fuses into the neighbouring convs for free.
+        strip = jnp.zeros((H, self.num_channels), x.dtype)
+        strip = strip.at[:p2, :].add(jnp.transpose(res[0, :, :p2]))
+        strip = strip.at[H - p2:, :].add(jnp.transpose(res[1, :, self.p - p2:]))
+        return x + strip[None, :, None, :]
