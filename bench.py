@@ -46,16 +46,10 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _readback_overhead():
-    g = jax.jit(lambda a: a + 1)
-    float(jnp.sum(g(jnp.ones(8))))
-    t0 = time.time()
-    float(jnp.sum(g(jnp.ones(8))))
-    return time.time() - t0
-
-
-def time_apply(model, variables, x, n=32):
-    """Seconds per forward (dispatch-loop + readback, overhead-subtracted)."""
+def time_apply(model, variables, x, n1=16, n2=64):
+    """Seconds per forward via two-point slope timing: the difference between
+    an n2- and an n1-iteration dispatch loop cancels the (large, noisy)
+    readback-roundtrip overhead of the axon relay."""
     params = variables["params"]
     state = variables.get("state", {})
 
@@ -67,12 +61,18 @@ def time_apply(model, variables, x, n=32):
     t0 = time.time()
     float(jnp.sum(f(params, state, x)))
     log(f"  compile+first run: {time.time() - t0:.1f}s")
-    ov = _readback_overhead()
-    t0 = time.time()
-    for _ in range(n):
-        r = f(params, state, x)
-    float(jnp.sum(r))
-    return max((time.time() - t0 - ov) / n, 1e-9)
+
+    def run(n):
+        t0 = time.time()
+        for _ in range(n):
+            r = f(params, state, x)
+        float(jnp.sum(r))
+        return time.time() - t0
+
+    run(4)  # warm
+    t1 = min(run(n1) for _ in range(2))
+    t2 = min(run(n2) for _ in range(2))
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def run_pipeline(model, variables, app, filters):
