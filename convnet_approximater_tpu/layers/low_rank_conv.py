@@ -33,6 +33,58 @@ def _fuse_enabled() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _toeplitz_bank(taps, out_len: int, in_len: int, stride: int):
+    """Banded Toeplitz matrices from strip taps.
+
+    ``taps``: (M, k).  Returns T (M, out_len, in_len) with
+    ``T[m, o, o*stride + j] = taps[m, j]`` — so ``T[m] @ xpad`` performs the
+    m-th strided strip conv.  Built with one vectorized scatter (tiny array;
+    constant-folded around the weights by XLA).
+    """
+    M, k = taps.shape
+    T = jnp.zeros((M, out_len, in_len), taps.dtype)
+    o = jnp.arange(out_len)
+    for j in range(k):
+        T = T.at[:, o, o * stride + j].set(taps[:, j][:, None])
+    return T
+
+
+def lowrank_matmul_forward(x, v_taps, h_taps, A_cm, bias, *, stride, padding):
+    """Scheme-1 separable forward as MXU einsums.
+
+    The grouped strip convs of the decomposed layer are depthwise ops XLA
+    executes on the VPU (measured: the decomposed layer runs ~3.7x slower
+    than the dense conv it replaces).  Because scheme-1's bases are SHARED
+    across channels, each strip conv is also ``T_m @ x`` with a per-basis
+    banded Toeplitz matrix — a batched dense contraction the MXU executes at
+    ~50x VPU throughput, worth far more than the ~6x zero-band FLOP overhead.
+
+    x: (B, H, W, C); v_taps/h_taps: (M, kh)/(M, kw); A_cm: (C*M, N) mixing
+    rows ordered c*M + m; bias: (N,) or None.
+    """
+    B, H, W, C = x.shape
+    M, kh = v_taps.shape
+    kw = h_taps.shape[1]
+    sh, sw = stride
+    ph, pw = padding
+    Wp = W + 2 * pw
+    Wo = (Wp - kw) // sw + 1
+    Hp = H + 2 * ph
+    Ho = (Hp - kh) // sh + 1
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pw, pw), (0, 0)))
+    Th = _toeplitz_bank(h_taps, Wo, Wp, sw)  # (M, Wo, Wp)
+    tmp = jnp.einsum("mow,bhwc->bmhoc", Th, xp)  # horizontal pass (MXU)
+    tmp = jnp.pad(tmp, ((0, 0), (0, 0), (ph, ph), (0, 0), (0, 0)))
+    Tv = _toeplitz_bank(v_taps, Ho, Hp, sh)  # (M, Ho, Hp)
+    z = jnp.einsum("moh,bmhwc->bmowc", Tv, tmp)  # vertical pass (MXU)
+    # mix: contraction over (m, c) on the MXU; A rows are c*M + m
+    A = A_cm.reshape(C, M, -1)
+    y = jnp.einsum("bmhwc,cmn->bhwn", z, A)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 class SeparableConv(Module):
     """Separable version of the grouped basis conv (C -> M*C, groups=C).
 
@@ -112,10 +164,34 @@ class LowRankExpConvV1(Module):
         self.d_conv = Conv2d(in_channels * num_base, out_channels, 1)
 
     def __call__(self, params, x, ctx: Ctx):
+        if self._use_matmul_mode(ctx):
+            return self._matmul_forward(params, x)
         if self._can_fuse(ctx, x):
             return self._fused_forward(params, x)
         x = self.child("s_conv", params, x, ctx)
         return self.child("d_conv", params, x, ctx)
+
+    # -- MXU matmul mode (decomposed form only) --------------------------
+    def _use_matmul_mode(self, ctx: Ctx) -> bool:
+        # Opt-in: measured (doc/perf-notes.md) the Toeplitz-einsum form loses
+        # to XLA's conv lowering at AlexNet shapes (the (B, M, H, W, C)
+        # intermediates round-trip HBM).  Kept as a tested alternative for
+        # shapes where the VPU is the binding constraint.
+        if ctx.training or not os.environ.get("CAT_ENABLE_MATMUL_MODE"):
+            return False
+        if not isinstance(self.s_conv, SeparableConv):
+            return False
+        return jax.default_backend() in ("tpu", "axon")
+
+    def _matmul_forward(self, params, x):
+        sp = params["s_conv"]
+        M = self.num_base
+        v_taps = jnp.transpose(sp["v_conv"]["weight"][:, 0, 0, :M])  # (M, kh)
+        h_taps = jnp.transpose(sp["h_conv"]["weight"][0, :, 0, :M])  # (M, kw)
+        return lowrank_matmul_forward(
+            x, v_taps, h_taps, params["d_conv"]["weight"][0, 0],
+            params["d_conv"].get("bias"), stride=self.stride, padding=self.padding,
+        )
 
     # -- fused dispatch --------------------------------------------------
     def _can_fuse(self, ctx: Ctx, x) -> bool:

@@ -39,3 +39,26 @@ def test_fused_lowrank_rect_padding():
     y_lax, _, _ = mod.apply(params, x)
     y_fused = mod._fused_forward(params, x, interpret=True)
     assert _rel(y_lax, y_fused) < 1e-5
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_matmul_mode_matches_lax(stride):
+    """The banded-Toeplitz MXU forward must match the conv path exactly."""
+    mod, params = _build(True, stride=stride)  # decomposed form
+    x = jax.random.normal(jax.random.key(4), (2, 13, 13, 6))
+    from convnet_approximater_tpu.nn.module import Ctx
+
+    y_lax = mod.apply(params, x)[0] if False else None
+    # explicit lax path (training ctx disables all fast modes)
+    y_lax, _, _ = mod.apply(params, x, training=True)
+    y_mm = mod._matmul_forward(params, x)
+    assert y_mm.shape == y_lax.shape
+    assert _rel(y_lax, y_mm) < 1e-5
+
+
+def test_matmul_mode_rect_kernel():
+    mod, params = _build(True, d=3, padding=1, C=4, N=6, M=2)
+    x = jax.random.normal(jax.random.key(5), (1, 9, 11, 4))
+    y_lax, _, _ = mod.apply(params, x, training=True)
+    y_mm = mod._matmul_forward(params, x)
+    assert _rel(y_lax, y_mm) < 1e-5
