@@ -128,11 +128,17 @@ class MscaRep(Approximater):
     _src_type = "MSCA"
     _tgt_type = "MSCA"
 
-    def __init__(self, decomp: int, fix: bool, deploy: bool = False):
+    def __init__(self, decomp: int, fix: bool, decomp_conv0: bool = False,
+                 deploy: bool = False):
         super().__init__(deploy=deploy)
         assert 0 <= decomp <= 4
         self.decomp = decomp
         self.fix = fix
+        # Extension beyond the reference: also SVD-split conv0's k1 x k1
+        # depthwise kernel into a rank-1 (1,k1)/(k1,1) cascade — it carries
+        # k1^2 (=25) of the post-rep block's ~67 taps.  Lossy (logs the
+        # retained PC energy); off by default for reference parity.
+        self.decomp_conv0 = decomp_conv0
 
     def _get_tgt_args(self, src: MSCA) -> Dict:
         return dict(num_channel=src.num_channel, k1_size=src.k1_size, k_sizes=src.k_sizes)
@@ -159,6 +165,10 @@ class MscaRep(Approximater):
         else:
             tgt.sd_convs = sd_conv
         params["new"]["sd_convs"] = tgt.sd_convs.init(jax.random.key(0))
+        if self.decomp_conv0:
+            k1 = src.k1_size
+            tgt.conv0 = CascadeConv(C, k1, k1 // 2, bias=True, first_bias=False)
+            params["new"]["conv0"] = tgt.conv0.init(jax.random.key(1))
 
     def optimize(self, sub: Substitution, params: dict):
         src: MSCA = sub.old_module
@@ -189,6 +199,16 @@ class MscaRep(Approximater):
             get_logger().info(f"PC energy retained: {float(m_pce)}")
         if self.fix:
             sd_params["1"]["res"] = res
+        if self.decomp_conv0:
+            w0 = _dw_to_c1hw(params["old"]["conv0"]["weight"])  # (C, 1, k1, k1)
+            u, s, vh = jnp.linalg.svd(w0, full_matrices=False)
+            c0 = params["new"]["conv0"]
+            c0["conv1"]["weight"] = _c1hw_to_dw(vh[..., 0, :][..., None, :])
+            c0["conv2"]["weight"] = _c1hw_to_dw((u[..., 0] * s[..., 0][..., None])[..., None])
+            c0["conv2"]["bias"] = params["old"]["conv0"]["bias"]
+            lbd = s**2
+            pce = jnp.mean(lbd[..., 0] / jnp.sum(lbd, axis=-1))
+            get_logger().info(f"conv0 rank-1 PC energy: {float(pce)}")
 
     def _postprocess(self, sub: Substitution, params: dict):
         pass

@@ -83,6 +83,8 @@ class MSCA(Module):
             return False
         if self._fuse_parts() is None:
             return False
+        if not isinstance(self.conv0, Conv2d):
+            return False  # decomp_conv0 swaps conv0 for a cascade
         H, W = x.shape[1], x.shape[2]
         p = max(self.k_sizes) // 2
         if (H + 2 * p) * (W + 2 * p) * max(self.num_channel, 128) > _FUSE_MAX_TILE:

@@ -149,3 +149,30 @@ def test_msca_profile_swap_identity():
     y_old, _, _ = sub.old_module.apply(sparams["old"], x)
     y_new, _, _ = sub.new_module.apply(sparams["new"], x)
     np.testing.assert_allclose(np.asarray(y_old), np.asarray(y_new), rtol=1e-5, atol=1e-6)
+
+
+def test_msca_rep_decomp_conv0():
+    """Extension: rank-1 conv0 decomposition — exact when conv0 is rank-1."""
+    from convnet_approximater_tpu.layers.depth_separable_conv import CascadeConv
+
+    C, k_sizes = 4, (3, 5)
+    msca, mparams = _msca(C=C, k_sizes=k_sizes, key=20)
+    # force conv0 to a rank-1 kernel so the decomposition is exact
+    v = jax.random.normal(jax.random.key(21), (C, 5))
+    h = jax.random.normal(jax.random.key(22), (C, 5))
+    w0 = jnp.einsum("ci,cj->ijc", v, h)[:, :, None, :]  # HWIO (5,5,1,C) rank-1
+    mparams["conv0"]["weight"] = w0
+    app = MscaRep(decomp=4, fix=True, decomp_conv0=True)
+    sub, sparams = app.initialize(msca, mparams, jax.random.key(23))
+    assert isinstance(sub.new_module.conv0, CascadeConv)
+    app.optimize(sub, sparams)
+    x = jax.random.normal(jax.random.key(24), (1, 16, 16, C))
+    y_old, _, _ = sub.old_module.apply(sparams["old"], x)
+    y_new, _, _ = sub.new_module.apply(sparams["new"], x)
+    p = max(k_sizes) // 2 + 2  # bank border + conv0 border
+    sl = slice(p, -p)
+    interior_rel = float(
+        jnp.linalg.norm(y_old[:, sl, sl, :] - y_new[:, sl, sl, :])
+        / jnp.linalg.norm(y_old[:, sl, sl, :])
+    )
+    assert interior_rel < 1e-3, interior_rel
