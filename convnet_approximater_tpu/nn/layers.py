@@ -141,8 +141,9 @@ class BatchNorm2d(Module):
     def __call__(self, params, x, ctx: Ctx):
         state = ctx.get_state()
         if ctx.training:
-            mean = jnp.mean(x, axis=(0, 1, 2))
-            var = jnp.var(x, axis=(0, 1, 2))
+            xf = x.astype(jnp.float32)  # batch stats always in f32
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.var(xf, axis=(0, 1, 2))
             n = x.shape[0] * x.shape[1] * x.shape[2]
             # torch tracks unbiased var in running stats
             unbiased = var * (n / max(n - 1, 1))
@@ -156,7 +157,10 @@ class BatchNorm2d(Module):
         else:
             mean, var = state["mean"], state["var"]
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv * params["scale"] + params["bias"]
+        # normalize in f32 (stats/params are f32) but keep the activation
+        # dtype flowing — bf16 inference stays bf16 end-to-end
+        y = (x - mean) * inv * params["scale"] + params["bias"]
+        return y.astype(x.dtype)
 
 
 class LayerNorm(Module):
@@ -174,9 +178,11 @@ class LayerNorm(Module):
         }
 
     def __call__(self, params, x, ctx: Ctx):
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * params["scale"] + params["bias"]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * params["scale"] + params["bias"]
+        return y.astype(x.dtype)
 
 
 class ReLU(Module):

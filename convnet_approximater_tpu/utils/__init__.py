@@ -1,3 +1,4 @@
+from .dtype import cast_floating
 from .config import Config, get_cfg, init_cfg, print_cfg, save_cfg, update_cfg
 from .general import check_file, is_method_overridden, parse_path, to_2tuple
 from .logger import build_logger, get_logger

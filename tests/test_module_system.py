@@ -108,3 +108,21 @@ def test_jit_purity():
     loss, new_state = step(params, state, x)
     assert jnp.isfinite(loss)
     assert new_state["1"]["mean"].shape == (8,)
+
+
+def test_bf16_inference_end_to_end():
+    """bf16 params + input flow through convs/BN/LN without dtype clashes."""
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+    from convnet_approximater_tpu.utils import cast_floating
+
+    m = MSCAN_Classifier(num_channels=(8, 16), num_blocks=(1, 1),
+                         exp_ratios=(2, 2), num_classes=3)
+    v = {"params": m.init(jax.random.key(0)), "state": m.init_state()}
+    pb = cast_floating(v["params"])
+    xb = jax.random.normal(jax.random.key(1), (2, 64, 64, 3), jnp.bfloat16)
+    y, _, _ = m.apply(pb, xb, state=v["state"])
+    assert y.dtype == jnp.bfloat16 and y.shape == (2, 3)
+    # f32 reference within bf16 tolerance
+    y32, _, _ = m.apply(v["params"], xb.astype(jnp.float32), state=v["state"])
+    rel = float(jnp.linalg.norm(y.astype(jnp.float32) - y32) / jnp.linalg.norm(y32))
+    assert rel < 0.1, rel
