@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Optional, Tuple
-
 import numpy as np
 
 from convnet_approximater_tpu.utils.registry import Registry, build_from_cfg

@@ -11,12 +11,11 @@ of toggling ``requires_grad``.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Optional
+from typing import Iterable, List, Optional
 
 import jax
 
-from convnet_approximater_tpu.layers import Substitution
-from convnet_approximater_tpu.nn import Module, Sequential
+from convnet_approximater_tpu.nn import Module
 from convnet_approximater_tpu.utils.registry import Registry, build_from_cfg
 from convnet_approximater_tpu.utils.serialize import load_model, tree_get, tree_set
 

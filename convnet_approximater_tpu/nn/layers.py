@@ -11,8 +11,6 @@ comparable to the reference's.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -36,7 +36,6 @@ from collections import OrderedDict
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
-import numpy as np
 
 
 def _stable_fold(key, name: str):

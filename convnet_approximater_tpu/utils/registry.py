@@ -10,7 +10,7 @@ built objects (the reference wrapped them in ``nn.Sequential``).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 
 class Registry:

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import io
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 
