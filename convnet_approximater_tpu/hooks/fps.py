@@ -1,13 +1,14 @@
 """Loader-driven throughput benchmark (reference ``hooks/fps.py:12-90``):
 200 iterations with 5 warm-up, imgs/sec, repeated ``repeat_times`` runs with
-mean/variance.  Timing brackets use ``block_until_ready`` (the
-``cuda.synchronize`` analog)."""
+mean/variance.  The timed span ends with a scalar readback (robust where
+``block_until_ready`` acks early, e.g. the axon relay)."""
 
 from __future__ import annotations
 
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from convnet_approximater_tpu.data import Loader, Synthetic, build_dataset
@@ -57,22 +58,30 @@ class Fps(Hook):
         for run in range(self.repeat_times):
             loader = self._make_loader()
             it = iter(_cycle(loader))
-            pure_time = 0.0
-            num_imgs = 0
-            for i in range(self.total_iters):
+            # Warm-up iterations (compile + cache), then time the remaining
+            # iterations as one span ended by a scalar readback: robust on
+            # transports where block_until_ready acks early (axon relay),
+            # and the single readback amortizes across the whole span.
+            last = None
+            for i in range(self.num_warmup):
                 images, _ = next(it)
-                jax.block_until_ready(images)
-                t0 = time.perf_counter()
-                jax.block_until_ready(fn(params, state, images))
-                elapsed = time.perf_counter() - t0
-                if i >= self.num_warmup:
-                    pure_time += elapsed
-                    num_imgs += images.shape[0]
-                    if (i + 1) % self.log_interval == 0:
-                        logger.info(
-                            f"[run {run + 1}] iter [{i + 1}/{self.total_iters}] "
-                            f"fps: {num_imgs / pure_time:.2f} img/s"
-                        )
+                last = fn(params, state, images)
+            if last is not None:
+                float(jnp.sum(last))
+            num_imgs = 0
+            t0 = time.perf_counter()
+            for i in range(self.num_warmup, self.total_iters):
+                images, _ = next(it)
+                last = fn(params, state, images)
+                num_imgs += images.shape[0]
+                if (i + 1) % self.log_interval == 0:
+                    float(jnp.sum(last))
+                    logger.info(
+                        f"[run {run + 1}] iter [{i + 1}/{self.total_iters}] "
+                        f"fps: {num_imgs / (time.perf_counter() - t0):.2f} img/s"
+                    )
+            float(jnp.sum(last))
+            pure_time = time.perf_counter() - t0
             fps = num_imgs / pure_time
             logger.info(f"[run {run + 1}] overall fps: {fps:.2f} img/s")
             fps_list.append(fps)

@@ -28,6 +28,14 @@ from .model_analysis import analyze_model
 
 
 def time_forward(model, variables, input_shape, num_iters=10, warmup=3, dtype=jnp.float32):
+    """Per-forward seconds via two-point slope timing.
+
+    Timing brackets force a scalar readback rather than relying on
+    ``block_until_ready`` (some transports — e.g. the axon TPU relay — ack
+    readiness before execution finishes); the slope between an ``n`` and a
+    ``4n`` dispatch loop cancels the readback roundtrip.
+    """
+
     def fwd(params, state, x):
         y, _, _ = model.apply(params, x, state=state, training=False)
         return y
@@ -35,14 +43,21 @@ def time_forward(model, variables, input_shape, num_iters=10, warmup=3, dtype=jn
     fn = jax.jit(fwd)
     x = jnp.ones(input_shape, dtype)
     params, state = variables["params"], variables.get("state", {})
-    for _ in range(warmup):
-        jax.block_until_ready(fn(params, state, x))
-    times = []
-    for _ in range(num_iters):
+
+    def run(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(params, state, x))
-        times.append(time.perf_counter() - t0)
-    return fn, x, np.asarray(times)
+        for _ in range(n):
+            r = fn(params, state, x)
+        float(jnp.sum(r))
+        return time.perf_counter() - t0
+
+    for _ in range(max(warmup, 1)):
+        run(1)
+    n1, n2 = num_iters, num_iters * 4
+    t1 = min(run(n1) for _ in range(2))
+    t2 = min(run(n2) for _ in range(2))
+    per = max((t2 - t1) / (n2 - n1), 1e-9)
+    return fn, x, np.asarray([per])
 
 
 @HOOK.register_module()

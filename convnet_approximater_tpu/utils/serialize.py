@@ -65,14 +65,24 @@ def load_ckpt(path: str) -> Dict[str, Any]:
     return unflatten_tree(flat)
 
 
-def load_into(variables: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, Any]:
-    """Non-strict graft of ``loaded`` into ``variables`` (same semantics as the
-    reference's ``load_model`` with ``strict=False``): warns on missing and
-    unexpected keys, returns the updated tree (new dict; leaves shared)."""
+def load_into(variables: Dict[str, Any], loaded: Dict[str, Any],
+              strict: bool = False) -> Dict[str, Any]:
+    """Graft ``loaded`` into ``variables``.
+
+    Non-strict (reference semantics, ``strict=False``): warns on missing /
+    unexpected keys and keeps the current values there.  ``strict=True``
+    raises instead — use at deploy time to avoid silently evaluating with
+    randomly-initialised weights when the config does not match the
+    checkpoint's structure."""
     cur = flatten_tree(variables)
     new = flatten_tree(loaded)
     missing = sorted(set(cur) - set(new))
     unexpected = sorted(set(new) - set(cur))
+    if strict and (missing or unexpected):
+        raise ValueError(
+            f"checkpoint does not match model: missing={missing[:8]}... "
+            f"unexpected={unexpected[:8]}... (strict load)"
+        )
     logger = get_logger()
     if missing:
         logger.warning(f"missing keys in checkpoint: {missing}")
@@ -89,10 +99,10 @@ def load_into(variables: Dict[str, Any], loaded: Dict[str, Any]) -> Dict[str, An
     return unflatten_tree(merged)
 
 
-def load_model(variables: Dict[str, Any], path: str) -> Dict[str, Any]:
-    """Load checkpoint at ``path`` into ``variables`` non-strictly."""
+def load_model(variables: Dict[str, Any], path: str, strict: bool = False) -> Dict[str, Any]:
+    """Load checkpoint at ``path`` into ``variables``."""
     get_logger().info(f"loading checkpoint from {path}")
-    return load_into(variables, load_ckpt(path))
+    return load_into(variables, load_ckpt(path), strict=strict)
 
 
 def tree_get(tree: Dict[str, Any], path: str):

@@ -107,3 +107,12 @@ def test_tree_get_set():
     tree_set(t, "x.z", 5)
     assert t["x"]["z"] == 5
     assert tree_get(t, "") is t
+
+
+def test_load_into_strict_raises():
+    cur = {"params": {"a": np.zeros(2)}}
+    ckpt = {"params": {"b": np.ones(2)}}
+    with pytest.raises(ValueError):
+        load_into(cur, ckpt, strict=True)
+    merged = load_into(cur, {"params": {"a": np.ones(2)}}, strict=True)
+    np.testing.assert_array_equal(merged["params"]["a"], np.ones(2))
