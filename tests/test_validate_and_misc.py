@@ -1,0 +1,88 @@
+"""ValidateHelper (incl. mesh path), trace capture, spr helpers, VGG pipeline."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import tests.test_finetune  # registers TinyNet
+from convnet_approximater_tpu.classification import ValidateHelper
+from convnet_approximater_tpu.models import build_model
+from convnet_approximater_tpu.runner import Runner
+from convnet_approximater_tpu.utils import init_cfg, update_cfg
+
+
+def _tiny_model():
+    model = build_model(dict(type="TinyNet", num_classes=4))
+    variables = {"params": model.init(jax.random.key(0)), "state": model.init_state()}
+    return model, variables
+
+
+def test_validate_helper_direct():
+    model, variables = _tiny_model()
+    res = ValidateHelper(model, dict(batch_size=8, input_size=(16, 16, 3),
+                                     num_classes=4, num_batches=2), variables).validate()
+    assert set(res) >= {"loss", "top1", "top5", "param_count"}
+    assert res["top5"] >= res["top1"]
+
+
+def test_validate_helper_over_mesh():
+    assert len(jax.devices()) == 8
+    model, variables = _tiny_model()
+    res = ValidateHelper(model, dict(batch_size=16, input_size=(16, 16, 3),
+                                     num_classes=4, num_batches=2, use_mesh=True),
+                         variables).validate()
+    assert np.isfinite(res["loss"])
+
+
+def test_inference_time_trace_capture(tmp_path):
+    cfg = tmp_path / "t.py"
+    cfg.write_text("""
+model = dict(type="TinyNet", num_classes=4)
+app = dict(type="Dummy")
+filters = []
+hooks = [dict(type="InferenceTimeHook", priority=50,
+              infer_cfg=dict(input_size=(2, 16, 16, 3), num_iters=2, warmup=1,
+                             capture_trace=True))]
+""")
+    init_cfg(str(cfg))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="t", seed=0)
+    runner = Runner()
+    runner.run()
+    trace_dir = tmp_path / "work" / "traces"
+    assert trace_dir.exists() and any(trace_dir.rglob("*"))
+
+
+def test_spr_script_time_fn():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spr", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "scripts", "low_rank_exp_spr.py"))
+    spr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(spr)
+    import jax.numpy as jnp
+
+    t = spr.time_fn(lambda a: a * 2, jnp.ones((8, 8)), iters=3)
+    assert t > 0
+
+
+def test_vgg_scheme1_pipeline(tmp_path):
+    cfg = tmp_path / "v.py"
+    cfg.write_text("""
+model = dict(type="VGG", depth=11, num_classes=4)
+app = dict(type="LowRankExpV1", max_iter=0, min_lmda=0, max_lmda=0,
+           init_method="svd", lmda_length=1, num_bases=(4, 4), do_decomp=True)
+filters = [dict(type="SimpleConvFilter"), dict(type="IndicesFilter", indices=(2, 3))]
+hooks = []
+""")
+    init_cfg(str(cfg))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="v", seed=0)
+    runner = Runner()
+    runner.run()
+    assert runner.model.length_switchable == 2
+    import jax.numpy as jnp
+
+    y, _, _ = runner.model.apply(runner.variables["params"], jnp.ones((1, 64, 64, 3)))
+    assert y.shape == (1, 4)
