@@ -190,7 +190,8 @@ class ReLU(Module):
 
 class GELU(Module):
     def __call__(self, params, x, ctx: Ctx):
-        return jax.nn.gelu(x)
+        # exact erf form (torch's default) for checkpoint-accuracy parity
+        return jax.nn.gelu(x, approximate=False)
 
 
 class MaxPool2d(Module):

@@ -1,0 +1,110 @@
+"""Numerical parity of the NHWC ops against torch's reference implementations
+(torch CPU is available in the image).  This anchors every layer's semantics
+to exactly what the reference's models computed."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+import convnet_approximater_tpu.nn as nn
+from convnet_approximater_tpu.ops import conv as ops
+
+
+def _nhwc(x_nchw):
+    return jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+
+
+def _hwio(w_oihw):
+    return jnp.asarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+
+
+@pytest.mark.parametrize("stride,padding,groups", [(1, 2, 1), (2, 1, 1), (1, 1, 4), (1, 2, 8)])
+def test_conv2d_matches_torch(stride, padding, groups):
+    rs = np.random.RandomState(0)
+    C, N, k = 8, 16, 5 if padding == 2 else 3
+    x = rs.randn(2, C, 13, 13).astype(np.float32)
+    w = rs.randn(N, C // groups, k, k).astype(np.float32)
+    b = rs.randn(N).astype(np.float32)
+    y_t = torch.nn.functional.conv2d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=stride, padding=padding, groups=groups,
+    ).numpy()
+    y_j = ops.conv2d(_nhwc(x), _hwio(w), jnp.asarray(b), stride=stride,
+                     padding=padding, groups=groups)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)), y_t,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_maxpool_matches_torch():
+    rs = np.random.RandomState(1)
+    x = rs.randn(2, 4, 15, 15).astype(np.float32)
+    y_t = torch.nn.functional.max_pool2d(torch.from_numpy(x), 3, 2).numpy()
+    y_j = ops.max_pool2d(_nhwc(x), 3, 2)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)), y_t, rtol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((13, 13), (6, 6)), ((14, 10), (7, 7)), ((5, 5), (7, 7))])
+def test_adaptive_avg_pool_matches_torch(in_hw, out_hw):
+    rs = np.random.RandomState(2)
+    x = rs.randn(2, 3, *in_hw).astype(np.float32)
+    y_t = torch.nn.functional.adaptive_avg_pool2d(torch.from_numpy(x), out_hw).numpy()
+    y_j = ops.adaptive_avg_pool2d(_nhwc(x), out_hw)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)), y_t,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batchnorm_matches_torch_train_and_eval():
+    rs = np.random.RandomState(3)
+    C = 6
+    x = rs.randn(4, C, 5, 5).astype(np.float32)
+    bn_t = torch.nn.BatchNorm2d(C, eps=1e-5, momentum=0.1)
+    bn_t.weight.data = torch.from_numpy(rs.randn(C).astype(np.float32))
+    bn_t.bias.data = torch.from_numpy(rs.randn(C).astype(np.float32))
+
+    bn_j = nn.BatchNorm2d(C)
+    params = {"scale": jnp.asarray(bn_t.weight.detach().numpy()),
+              "bias": jnp.asarray(bn_t.bias.detach().numpy())}
+    state = bn_j.init_own_state()
+
+    # training step: normalized output + running-stat update
+    bn_t.train()
+    y_t = bn_t(torch.from_numpy(x)).detach().numpy()
+    y_j, new_state, _ = nn.Sequential(bn_j).apply({"0": params}, _nhwc(x),
+                                                  state={"0": state}, training=True)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)), y_t,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_state["0"]["mean"]),
+                               bn_t.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["0"]["var"]),
+                               bn_t.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+    # eval step uses running stats
+    bn_t.eval()
+    y_t2 = bn_t(torch.from_numpy(x)).detach().numpy()
+    y_j2, _, _ = nn.Sequential(bn_j).apply({"0": params}, _nhwc(x),
+                                           state={"0": new_state["0"]}, training=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j2), (0, 3, 1, 2)), y_t2,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_layernorm_and_gelu_match_torch():
+    rs = np.random.RandomState(4)
+    C = 10
+    x = rs.randn(3, 7, C).astype(np.float32)
+    ln_t = torch.nn.LayerNorm(C)
+    ln_t.weight.data = torch.from_numpy(rs.randn(C).astype(np.float32))
+    ln_t.bias.data = torch.from_numpy(rs.randn(C).astype(np.float32))
+    y_t = ln_t(torch.from_numpy(x)).detach().numpy()
+    ln_j = nn.LayerNorm(C)
+    params = {"scale": jnp.asarray(ln_t.weight.detach().numpy()),
+              "bias": jnp.asarray(ln_t.bias.detach().numpy())}
+    y_j = ln_j(params, jnp.asarray(x), nn.Ctx())
+    np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-4, atol=1e-4)
+
+    g_t = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
+    g_j = nn.GELU()({}, jnp.asarray(x), nn.Ctx())
+    np.testing.assert_allclose(np.asarray(g_j), g_t, rtol=1e-5, atol=1e-6)
