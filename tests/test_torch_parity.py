@@ -2,6 +2,8 @@
 (torch CPU is available in the image).  This anchors every layer's semantics
 to exactly what the reference's models computed."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -108,3 +110,41 @@ def test_layernorm_and_gelu_match_torch():
     g_t = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
     g_j = nn.GELU()({}, jnp.asarray(x), nn.Ctx())
     np.testing.assert_allclose(np.asarray(g_j), g_t, rtol=1e-5, atol=1e-6)
+
+
+def test_torch_checkpoint_conversion_end_to_end():
+    """A real torch model's state_dict, converted by torch_to_tpu, must make
+    the equivalent JAX model produce identical outputs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "t2t", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "scripts", "ckpt_converter", "torch_to_tpu.py"))
+    t2t = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(t2t)
+
+    tm = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 8, 3, padding=1),
+        torch.nn.BatchNorm2d(8),
+        torch.nn.ReLU(),
+        torch.nn.Conv2d(8, 4, 3, stride=2, padding=1, groups=4),
+    )
+    tm.eval()
+    with torch.no_grad():
+        tm[1].running_mean.uniform_(-1, 1)
+        tm[1].running_var.uniform_(0.5, 2.0)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree = t2t.convert_state_dict(sd, "generic")
+
+    jm = nn.Sequential(
+        nn.Conv2d(3, 8, 3, padding=1),
+        nn.BatchNorm2d(8),
+        nn.ReLU(),
+        nn.Conv2d(8, 4, 3, stride=2, padding=1, groups=4),
+    )
+    x = np.random.RandomState(7).randn(2, 3, 12, 12).astype(np.float32)
+    with torch.no_grad():
+        y_t = tm(torch.from_numpy(x)).numpy()
+    y_j, _, _ = jm.apply(tree["params"], _nhwc(x), state=tree["state"], training=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)), y_t,
+                               rtol=1e-4, atol=1e-4)
