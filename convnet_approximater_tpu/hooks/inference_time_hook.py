@@ -84,8 +84,13 @@ class InferenceTimeHook(Hook):
         if self.capture_trace:
             trace_dir = os.path.join(self.runner.cfg.work_dir or ".", "traces")
             with jax.profiler.trace(trace_dir):
-                jax.block_until_ready(fn(variables["params"], variables.get("state", {}), x))
+                r = fn(variables["params"], variables.get("state", {}), x)
+                float(jnp.sum(r))
             logger.info(f"device trace captured to {trace_dir} (view with xprof/tensorboard)")
+            from convnet_approximater_tpu.utils.trace import summarize_trace
+
+            # the per-op table — the torch.profiler key_averages analog
+            logger.info("Profile result:\n" + summarize_trace(trace_dir))
         cost = analyze_model(model, variables, self.input_size)
         med = float(np.median(times)) * 1e3
         logger.info(

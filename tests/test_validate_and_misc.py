@@ -86,3 +86,17 @@ hooks = []
 
     y, _, _ = runner.model.apply(runner.variables["params"], jnp.ones((1, 64, 64, 3)))
     assert y.shape == (1, 4)
+
+
+def test_trace_summary_table(tmp_path):
+    """summarize_trace produces a per-op table from a real capture."""
+    import jax.numpy as jnp
+    from convnet_approximater_tpu.utils.trace import summarize_trace
+
+    f = jax.jit(lambda a: jnp.sin(a) @ a.T)
+    x = jax.numpy.ones((256, 256))
+    f(x)
+    with jax.profiler.trace(str(tmp_path / "tr")):
+        float(jnp.sum(f(x)))
+    table = summarize_trace(str(tmp_path / "tr"))
+    assert "total ms" in table and "TOTAL" in table
