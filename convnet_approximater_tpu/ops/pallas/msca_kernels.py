@@ -210,11 +210,19 @@ def _msca_fused_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     attn = _bank(attn, w1_ref[:], b1_ref[:][:, None, :], w2_ref[:], b2_ref[:][:, None, :],
                  identity, ks, k_max)
     if fix_p > 0:
-        # FixPaddingBias: learnable border residual strips (top/bottom rows)
+        # FixPaddingBias: learnable border residual strips.  Build a
+        # full-height (H, 1, C) strip with concatenate (Mosaic-friendly; no
+        # gathers/scatters) and add once.
         p2 = min(H, fix_p)
         res = res_ref[:]
-        attn = attn.at[:p2, :, :].add(res[0, :p2, None, :])
-        attn = attn.at[H - p2:, :, :].add(res[1, fix_p - p2:, None, :])
+        top = res[0, :p2, :].reshape(p2, 1, res.shape[-1])
+        bot = res[1, fix_p - p2:, :].reshape(p2, 1, res.shape[-1])
+        if H > 2 * p2:
+            mid = jnp.zeros((H - 2 * p2, 1, res.shape[-1]), attn.dtype)
+            strip = jnp.concatenate([top, mid, bot], axis=0)
+        else:
+            strip = jnp.concatenate([top, bot], axis=0)[:H]
+        attn = attn + strip
     # channel mix: per-pixel matmul on the MXU.  Under lane packing the mix
     # matrix arrives block-diagonal over the G image groups (Mosaic cannot
     # split the lane dim in a reshape, and the extra zero-block FLOPs are
