@@ -108,8 +108,11 @@ def test_layernorm_and_gelu_match_torch():
     np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-4, atol=1e-4)
 
     g_t = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
-    g_j = nn.GELU()({}, jnp.asarray(x), nn.Ctx())
-    np.testing.assert_allclose(np.asarray(g_j), g_t, rtol=1e-5, atol=1e-6)
+    # exact mode matches torch bit-tightly; the default tanh form is close
+    g_exact = nn.GELU(approximate=False)({}, jnp.asarray(x), nn.Ctx())
+    np.testing.assert_allclose(np.asarray(g_exact), g_t, rtol=1e-5, atol=1e-6)
+    g_fast = nn.GELU()({}, jnp.asarray(x), nn.Ctx())
+    np.testing.assert_allclose(np.asarray(g_fast), g_t, rtol=1e-2, atol=2e-3)
 
 
 def test_torch_checkpoint_conversion_end_to_end():
