@@ -96,7 +96,12 @@ def load_into(variables: Dict[str, Any], loaded: Dict[str, Any],
             )
             continue
         merged[k] = new[k]
-    return unflatten_tree(merged)
+    out = unflatten_tree(merged)
+    # empty subtrees (e.g. a state-less model's 'state' collection) have no
+    # flat keys and would vanish in the round-trip; preserve them
+    for k, v in variables.items():
+        out.setdefault(k, v)
+    return out
 
 
 def load_model(variables: Dict[str, Any], path: str, strict: bool = False) -> Dict[str, Any]:

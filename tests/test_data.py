@@ -85,3 +85,10 @@ def test_loader_sharded_device_put():
     loader = Loader(ds, 8, sharding=batch_sharding(mesh), prefetch=0)
     images, labels = next(iter(loader))
     assert len(images.sharding.device_set) == len(jax.devices())
+
+
+def test_cifar10_missing_gives_actionable_error(tmp_path):
+    from convnet_approximater_tpu.data import CIFAR10
+
+    with pytest.raises(FileNotFoundError, match="no network download"):
+        CIFAR10(str(tmp_path), split="train")

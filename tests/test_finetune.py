@@ -152,3 +152,30 @@ hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
     norm_idx = header.index("train_norm")
     norms = [float(r.split(",")[norm_idx]) for r in csv[1:]]
     assert norms[-1] < norms[0]
+
+
+def test_finetune_resume_from_checkpoint(tmp_path):
+    """The resume path loads weights and continues training."""
+    runner = _run(tmp_path, "asym=True, l2_weight=1.0, cls_weight=0.0,")
+    ckpt = str(tmp_path / "work" / "last.ckpt.npz")
+    assert os.path.exists(ckpt)
+    cfg_text = TINY_MODEL + f"""
+hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
+    cls_weight=0.0,
+    dataset_args=dict(batch_size=16),
+    data_config=dict(image_size=(16, 16)),
+    optim_args=dict(opt="adamw", lr=1e-4, weight_decay=0.01),
+    sche_args=dict(epochs=2),
+    other_args=dict(num_classes=4, max_steps_per_epoch=2, max_eval_batches=1,
+                    log_interval=100, use_mesh=False, start_epoch=1,
+                    resume=r"{ckpt}"),
+)]
+"""
+    p = tmp_path / "ftr.py"
+    p.write_text(cfg_text)
+    init_cfg(str(p))
+    update_cfg(work_dir=str(tmp_path / "work_r"), config_name="ftr", seed=0)
+    runner2 = Runner(skip_post=True)
+    runner2.run()
+    hook = [h for h in runner2.hooks if h.name == "L2Reconstruct"][0]
+    assert hook.result["best_metric"] is not None
