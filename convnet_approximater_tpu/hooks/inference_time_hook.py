@@ -89,8 +89,13 @@ class InferenceTimeHook(Hook):
             logger.info(f"device trace captured to {trace_dir} (view with xprof/tensorboard)")
             from convnet_approximater_tpu.utils.trace import summarize_trace
 
-            # the per-op table — the torch.profiler key_averages analog
-            logger.info("Profile result:\n" + summarize_trace(trace_dir))
+            # the per-op tables — the torch.profiler key_averages analog,
+            # plus source-line attribution (device time -> module code)
+            logger.info("Profile by op:\n" + summarize_trace(trace_dir, group_by="op"))
+            logger.info("Profile by source line:\n"
+                        + summarize_trace(trace_dir, group_by="source"))
+            logger.info("Profile by HLO category:\n"
+                        + summarize_trace(trace_dir, group_by="category"))
         cost = analyze_model(model, variables, self.input_size)
         med = float(np.median(times)) * 1e3
         logger.info(

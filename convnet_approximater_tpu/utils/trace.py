@@ -24,9 +24,16 @@ def find_latest_trace(trace_dir: str) -> Optional[str]:
 
 
 def summarize_trace(trace_dir: str, top_k: int = 15,
-                    exclude_substrings: Tuple[str, ...] = ()) -> str:
+                    exclude_substrings: Tuple[str, ...] = (),
+                    group_by: str = "op") -> str:
     """Aggregate device-lane op durations from the latest capture under
-    ``trace_dir``; returns a formatted table string."""
+    ``trace_dir``; returns a formatted table string.
+
+    ``group_by``: 'op' (fusion names), 'source' (framework source line that
+    emitted the op — XLA keeps our file:line in the op metadata, so this
+    attributes device time straight back to module code), or 'category'
+    (hlo_category: convolution fusion / loop fusion / ...).
+    """
     path = find_latest_trace(trace_dir)
     if path is None:
         return f"(no trace.json.gz found under {trace_dir})"
@@ -49,8 +56,19 @@ def summarize_trace(trace_dir: str, top_k: int = 15,
             continue
         if device_pids and ev.get("pid") not in device_pids:
             continue
-        name = ev.get("name", "?")
+        args = ev.get("args", {}) or {}
+        if group_by == "source":
+            name = str(args.get("source", "")) or ev.get("name", "?")
+            name = name.replace("/root/repo/convnet_approximater_tpu/", "")
+        elif group_by == "category":
+            name = str(args.get("hlo_category", "")) or "(uncategorized)"
+        else:
+            name = ev.get("name", "?")
         if any(s in name for s in exclude_substrings):
+            continue
+        # only count leaf device ops when grouping by metadata (envelope
+        # events like the jit module wrapper have no per-op args)
+        if group_by in ("source", "category") and "hlo_category" not in args:
             continue
         dur = float(ev["dur"])  # microseconds
         totals[name] += dur
