@@ -126,15 +126,18 @@ def bench_mscan():
     log(f"  {t_rep * 1e3:.3f} ms/fwd ({B / t_rep:.0f} img/s)")
 
     # extras (stderr only): the framework's best serving config —
-    # decomp_conv0 extension + bf16
+    # decomp_conv0 + the FfnRep fc1/dconv merge on stages 1-2 + bf16
     try:
+        from convnet_approximater_tpu.core import FfnRep
         from convnet_approximater_tpu.utils import cast_floating
 
         m3 = MSCAN_Classifier(num_classes=1000)
         v3 = {"params": m3.init(KEY), "state": m3.init_state()}
         m3, v3 = run_pipeline(m3, v3, MscaRep(decomp=1, fix=True, decomp_conv0=True), [])
+        m3, v3 = run_pipeline(m3, v3, FfnRep(fix=True),
+                              [IndicesFilter((1, 2, 3, 4, 5, 6))])
         v3b = {"params": cast_floating(v3["params"]), "state": v3["state"]}
-        log("MSCAN-t d1+fix+dconv0 bf16 (best serving config):")
+        log("MSCAN-t d1+fix+dconv0+ffnrep(1,2) bf16 (best serving config):")
         t_best = time_apply(m3, v3b, x.astype(jnp.bfloat16))
         log(f"  {t_best * 1e3:.3f} ms/fwd ({B / t_best:.0f} img/s) "
             f"[{t_orig / t_best:.3f}x vs f32 original]")

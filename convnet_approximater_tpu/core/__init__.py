@@ -1,5 +1,6 @@
 from .approximater import APP, Approximater, build_app
 from .low_rank_exp import LowRankExpV1, LowRankExpV2
+from .ffn_rep import FfnRep
 from .msca_rep import MscaProfile, MscaRep, MscaRepProfile
 from .dummy import Dummy
 from . import low_rank_solvers

@@ -106,3 +106,63 @@ class FixPaddingBias(Module):
         strip = strip.at[:p2, :].add(jnp.transpose(res[0, :, :p2]))
         strip = strip.at[H - p2:, :].add(jnp.transpose(res[1, :, self.p - p2:]))
         return x + strip[None, :, None, :]
+
+
+class FixPaddingBias2d(Module):
+    """Learnable border-frame correction for a *2-D* merged kernel.
+
+    2-D generalization of :class:`FixPaddingBias` (which only corrects
+    top/bottom rows — enough for the MSCA cascade whose horizontal conv is
+    bias-free).  Merging a biased 1x1 conv into a following zero-padded
+    ``k x k`` depthwise conv (see :class:`~convnet_approximater_tpu.core.ffn_rep.FfnRep`)
+    is exact except where kernel taps fall outside the map, i.e. a frame of
+    width ``p = k // 2``.  By inclusion-exclusion over out-of-bounds
+    rows/columns the correction decomposes into
+
+    * ``res_v`` (2, C, p): top / bottom row strips (broadcast across W),
+    * ``res_h`` (2, C, p): left / right column strips (broadcast across H),
+    * ``res_c`` (2, 2, C, p, p): the four p x p corner patches that undo the
+      double-counted row∩column taps.
+
+    The (H, W, C) correction map is built batch-free (scatter on it is
+    compile-time cheap) and applied as ONE broadcast add, which XLA fuses
+    into the neighbouring convs — same lesson as :class:`FixPaddingBias`.
+    """
+
+    def __init__(self, num_channels: int, padding: int):
+        super().__init__()
+        self.num_channels = num_channels
+        self.p = padding
+
+    def init_params(self, rng):
+        import jax
+
+        k1, k2, k3 = jax.random.split(rng, 3)
+        C, p = self.num_channels, self.p
+        return {
+            "res_v": jax.random.normal(k1, (2, C, p)),
+            "res_h": jax.random.normal(k2, (2, C, p)),
+            "res_c": jax.random.normal(k3, (2, 2, C, p, p)),
+        }
+
+    def __call__(self, params, x, ctx: Ctx):
+        H, W = x.shape[1], x.shape[2]
+        C, p = self.num_channels, self.p
+        pv, ph = min(H, p), min(W, p)
+        rv, rh, rc = params["res_v"], params["res_h"], params["res_c"]
+        sv = jnp.zeros((H, C), x.dtype)
+        sv = sv.at[:pv].add(jnp.transpose(rv[0, :, :pv]))
+        sv = sv.at[H - pv:].add(jnp.transpose(rv[1, :, p - pv:]))
+        sh = jnp.zeros((W, C), x.dtype)
+        sh = sh.at[:ph].add(jnp.transpose(rh[0, :, :ph]))
+        sh = sh.at[W - ph:].add(jnp.transpose(rh[1, :, p - ph:]))
+        m = sv[:, None, :] + sh[None, :, :]  # (H, W, C)
+        tl = jnp.transpose(rc[0, 0, :, :pv, :ph], (1, 2, 0))
+        tr = jnp.transpose(rc[0, 1, :, :pv, p - ph:], (1, 2, 0))
+        bl = jnp.transpose(rc[1, 0, :, p - pv:, :ph], (1, 2, 0))
+        br = jnp.transpose(rc[1, 1, :, p - pv:, p - ph:], (1, 2, 0))
+        m = m.at[:pv, :ph].add(tl)
+        m = m.at[:pv, W - ph:].add(tr)
+        m = m.at[H - pv:, :ph].add(bl)
+        m = m.at[H - pv:, W - ph:].add(br)
+        return x + m[None]

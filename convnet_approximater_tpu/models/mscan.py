@@ -40,6 +40,9 @@ class FFN(Module):
 
     def __init__(self, num_channel: int, hidden_channel: int, drop: float):
         super().__init__()
+        self.num_channel = num_channel
+        self.hidden_channel = hidden_channel
+        self.drop_rate = drop
         self.fc1 = nn.Conv2d(num_channel, hidden_channel, 1)
         self.dconv = nn.Conv2d(hidden_channel, hidden_channel, 3, padding=1, groups=hidden_channel)
         self.fc2 = nn.Conv2d(hidden_channel, num_channel, 1)
