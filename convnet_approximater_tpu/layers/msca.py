@@ -46,12 +46,14 @@ class MSCA(Module):
     :func:`~convnet_approximater_tpu.ops.pallas.msca_fused` kernel on TPU
     (training and unsupported shapes fall back to the lax path)."""
 
-    def __init__(self, num_channel: int, k1_size: int, k_sizes, fused: str = "auto"):
+    def __init__(self, num_channel: int, k1_size: int, k_sizes, fused: str = "auto",
+                 mix_merge: str = "off"):
         super().__init__()
         self.num_channel = num_channel
         self.k1_size = k1_size
         self.k_sizes = tuple(k_sizes)
         self.fused = fused
+        self.mix_merge = mix_merge
         self.conv0 = Conv2d(
             num_channel, num_channel, k1_size, padding=k1_size // 2, groups=num_channel
         )
@@ -131,9 +133,72 @@ class MSCA(Module):
             interpret=interpret,
         )
 
+    # -- mix-merge dispatch ------------------------------------------------
+    # Execution-strategy optimization (same params, same math, different
+    # lowering — like ``scan_blocks``): after a decomp>=1 rep, sd_convs ends
+    # with a vertical (k, 1) depthwise conv feeding the 1x1 channel_mix, two
+    # adjacent linear ops.  Lowering them as ONE dense (k, 1) conv moves the
+    # strip conv off the VPU and widens channel_mix's reduction dim C -> k*C
+    # (fills the MXU).  Measured (C=32, 56², b=64 f32): 0.706 -> 0.546 ms
+    # for a STANDALONE cascade+mix tail; the original multi-branch bank does
+    # NOT benefit (1.03 -> 1.07 ms: 3 dense convs' extra MACs lose).  But in
+    # the whole scanned model XLA already fuses conv2+mix+fix+gate into one
+    # convolution fusion, and breaking that pattern loses: MSCAN-t d1fix
+    # 7.79 -> 8.21 ms (A/B same process).  Hence OPT-IN ('off' by default),
+    # same policy as the Pallas kernels — kept because the standalone win is
+    # real for unscanned/eager layer use.
+    def _mix_merge_parts(self):
+        sd = self.sd_convs
+        fix = None
+        if isinstance(sd, Sequential) and len(sd) == 2 and isinstance(sd[1], FixPaddingBias):
+            fix = sd[1]
+            sd = sd[0]
+        if isinstance(sd, CascadeConv) and isinstance(self.channel_mix, Conv2d) \
+                and self.channel_mix.kernel_size == (1, 1):
+            return sd, fix
+        return None
+
+    def _can_mix_merge(self, ctx: Ctx) -> bool:
+        mode = self.mix_merge
+        if mode == "off" or ctx.training or os.environ.get("CAT_DISABLE_MIX_MERGE"):
+            return False
+        if mode != "on" and jax.default_backend() not in ("tpu", "axon"):
+            return False
+        return self._mix_merge_parts() is not None
+
+    def _mix_merged_forward(self, params, x, ctx: Ctx):
+        from convnet_approximater_tpu.ops.conv import conv2d, depthwise_conv2d
+
+        jnp = jax.numpy
+        cascade, fix = self._mix_merge_parts()
+        sd_params = params["sd_convs"]
+        cp = sd_params["0"] if fix is not None else sd_params
+        attn = self.child("conv0", params, x, ctx)
+        k = cascade.kernel_size
+        p = k // 2
+        attn = depthwise_conv2d(attn, cp["conv1"]["weight"], cp["conv1"].get("bias"),
+                                padding=(0, p))
+        wm = params["channel_mix"]["weight"][0, 0]          # (C, C)
+        bm = params["channel_mix"].get("bias", 0.0)
+        wv = cp["conv2"]["weight"]                          # (k, 1, 1, C)
+        wmv = wv[:, :, 0, :, None] * wm[None, None]          # (k, 1, C, C)
+        bias = bm + (cp["conv2"]["bias"] @ wm if "bias" in cp["conv2"] else 0.0)
+        attn = conv2d(attn, wmv, bias, padding=(p, 0))
+        if fix is not None:
+            res = sd_params["1"]["res"]                     # (2, C, pf)
+            H, pf = x.shape[1], fix.p
+            p2 = min(H, pf)
+            strip = jnp.zeros((H, self.num_channel), x.dtype)
+            strip = strip.at[:p2].add(jnp.transpose(res[0, :, :p2]))
+            strip = strip.at[H - p2:].add(jnp.transpose(res[1, :, pf - p2:]))
+            attn = attn + (strip @ wm)[None, :, None, :]
+        return x * attn
+
     def __call__(self, params, x, ctx: Ctx):
         if self._can_fuse(ctx, x):
             return self._fused_forward(params, x)
+        if self._can_mix_merge(ctx):
+            return self._mix_merged_forward(params, x, ctx)
         attn = self.child("conv0", params, x, ctx)
         attn = self.child("sd_convs", params, attn, ctx)
         attn = self.child("channel_mix", params, attn, ctx)

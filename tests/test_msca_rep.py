@@ -176,3 +176,44 @@ def test_msca_rep_decomp_conv0():
         / jnp.linalg.norm(y_old[:, sl, sl, :])
     )
     assert interior_rel < 1e-3, interior_rel
+
+
+def test_mix_merge_matches_standard_path():
+    """The mix-merge execution strategy (vertical conv folded into
+    channel_mix as one dense conv) must reproduce the standard lax path on
+    the post-rep d1+fix structure, borders and bias included."""
+    from convnet_approximater_tpu.core import MscaRep
+
+    C = 8
+    msca, params = _msca(C=C, k1=5, k_sizes=(3, 5, 7), key=2)
+    app = MscaRep(decomp=1, fix=True)
+    sub, sp = app.initialize(msca, params)
+    app.optimize(sub, sp)
+    tgt, tp = app.postprocess(sub, sp)
+    x = jax.random.normal(jax.random.key(9), (2, 12, 10, C))
+    tgt.mix_merge = "off"
+    y_ref, _, _ = tgt.apply(tp, x, training=False)
+    tgt.mix_merge = "on"
+    y_mrg, _, _ = tgt.apply(tp, x, training=False)
+    np.testing.assert_allclose(np.asarray(y_mrg), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mix_merge_not_used_in_training_or_on_bank():
+    """Gating: training mode and the original ParallelConv bank must take
+    the standard path (merge only dispatches on CascadeConv at inference)."""
+    from convnet_approximater_tpu.nn import Ctx
+
+    msca, params = _msca(C=4, k1=5, k_sizes=(3, 5), key=3)
+    msca.mix_merge = "on"
+    assert msca._mix_merge_parts() is None  # bank: no merge possible
+    from convnet_approximater_tpu.core import MscaRep
+
+    app = MscaRep(decomp=1, fix=True)
+    sub, sp = app.initialize(msca, params)
+    app.optimize(sub, sp)
+    tgt, tp = app.postprocess(sub, sp)
+    tgt.mix_merge = "on"
+    assert tgt._mix_merge_parts() is not None
+    ctx_train = Ctx(training=True)
+    assert not tgt._can_mix_merge(ctx_train)
