@@ -41,13 +41,25 @@ class ArrayDataset:
 
 @DATASET.register_module()
 class Synthetic(ArrayDataset):
-    """Deterministic random dataset (for smoke tests / throughput benches)."""
+    """Deterministic random dataset (for smoke tests / throughput benches).
+
+    ``signal`` > 0 mixes a fixed per-class pattern into each image (same
+    patterns across splits), making the task *learnable* — used by
+    ``scripts/demo_experiment.py`` to demonstrate accuracy drop/recovery
+    through the approximation pipeline without external data.
+    """
 
     def __init__(self, num_samples: int = 512, image_size=(224, 224, 3),
-                 num_classes: int = 10, seed: int = 0, split: str = "train"):
+                 num_classes: int = 10, seed: int = 0, split: str = "train",
+                 signal: float = 0.0):
         rs = np.random.RandomState(seed + (0 if split == "train" else 1))
         images = rs.randint(0, 256, (num_samples,) + tuple(image_size), dtype=np.uint8)
         labels = rs.randint(0, num_classes, (num_samples,), dtype=np.int64)
+        if signal > 0:
+            pat_rs = np.random.RandomState(seed + 12345)  # split-independent
+            patterns = pat_rs.randint(0, 256, (num_classes,) + tuple(image_size))
+            mixed = (1 - signal) * images + signal * patterns[labels]
+            images = np.clip(mixed, 0, 255).astype(np.uint8)
         super().__init__(images, labels)
         self.num_classes = num_classes
 

@@ -28,8 +28,8 @@ def main():
     ap.add_argument("--image-size", type=int, nargs=2, default=(64, 64))
     ap.add_argument("--num-bases", type=int, nargs="+", default=[8, 8, 6, 4])
     ap.add_argument("--indices", type=int, nargs="+", default=[2, 3, 4, 5])
-    ap.add_argument("--train-epochs", type=int, default=6)
-    ap.add_argument("--ft-epochs", type=int, default=4)
+    ap.add_argument("--train-epochs", type=int, default=30)
+    ap.add_argument("--ft-epochs", type=int, default=5)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--dataset", default=None)
@@ -57,13 +57,18 @@ def main():
     size = tuple(args.image_size)
     ds_cfg = (dict(type=args.dataset, root=args.data_root) if args.dataset
               else dict(type="Synthetic", num_samples=args.samples,
-                        image_size=size + (3,), num_classes=args.num_classes))
+                        image_size=size + (3,), num_classes=args.num_classes,
+                        signal=0.8))
+
+    # The synthetic dataset carries a per-class signal shared across splits,
+    # so held-out evaluation is meaningful even without external data.
+    eval_split = "validation"
 
     def evaluate(model, variables, tag):
         res = ValidateHelper(model, dict(batch_size=args.batch_size,
                                          input_size=size + (3,),
                                          num_classes=args.num_classes,
-                                         dataset=ds_cfg, split="validation",
+                                         dataset=ds_cfg, split=eval_split,
                                          log_freq=10**9), variables).validate()
         info = analyze_model(model, variables, (1,) + size + (3,))
         return dict(tag=tag, top1=res["top1"], macs=info["macs"] / 1e6,
