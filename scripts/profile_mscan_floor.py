@@ -25,10 +25,10 @@ B = 64
 KEY = jax.random.PRNGKey(0)
 
 
-def run_pipeline(model, variables, app):
+def run_pipeline(model, variables, app, filters=()):
     from bench import run_pipeline as rp
 
-    return rp(model, variables, app, [])
+    return rp(model, variables, app, list(filters))
 
 
 def main():
@@ -46,6 +46,12 @@ def main():
             model, variables,
             MscaRep(decomp=1, fix=True, decomp_conv0=(args.config == "best")))
     if args.config == "best":
+        from convnet_approximater_tpu.core import FfnRep
+        from convnet_approximater_tpu.filters import IndicesFilter
+
+        model, variables = run_pipeline(
+            model, variables, FfnRep(fix=True),
+            filters=[IndicesFilter((1, 2, 3, 4, 5, 6))])
         from convnet_approximater_tpu.utils import cast_floating
 
         variables = {"params": cast_floating(variables["params"]),
