@@ -7,7 +7,11 @@ Covers the roles of the reference's ``scripts/ckpt_converter/`` suite:
 * ``mscan_converter.py`` — official SegNeXt MSCAN ckpts -> our MSCAN naming
   (``patch_embed``->``layers.i.0``, ``block``->``layers.i.1.j``, strip-conv
   pairs -> ``sd_convs.branches.b.convS``);
-* generic AlexNet/VGG torchvision-style ckpts.
+* ``mscan-rep_converter.py`` — fine-tuned re-parameterized ckpts
+  (``rep_conv`` -> ``sd_convs``), ``--arch mscan-rep`` (or plain ``mscan`` —
+  both key styles are recognized);
+* generic AlexNet/VGG torchvision-style ckpts (``--arch alexnet|vgg`` or
+  ``--first-fc-shape`` apply the first-FC CHW->HWC flatten permutation).
 
 Weight-layout mapping: conv OIHW -> HWIO transpose; linear (out, in) ->
 (in, out) transpose; the first linear after flatten additionally permutes its
@@ -54,30 +58,69 @@ def convert_linear(w, first_after_flatten=None):
 # -- MSCAN (SegNeXt) name map ----------------------------------------------
 
 def _mscan_rename(key: str) -> str:
-    """Map official SegNeXt MSCAN param names to our dotted module paths."""
-    k = key
-    k = k.replace("backbone.", "")
+    """Map official SegNeXt MSCAN param names to our dotted module paths.
+
+    Prefix-anchored like the reference's converters (ref
+    ``scripts/ckpt_converter/mscan_converter.py:59-98`` splits on '.' and
+    dispatches on the FIRST segment) — a bare ``str.replace`` would corrupt
+    block-internal norms, e.g. ``block1.0.norm1.weight`` must keep its inner
+    ``norm1`` while the stage-level ``norm1.weight`` becomes ``layers.0.2``.
+
+    Also covers the reference's ``mscan-rep_converter.py:76-84``: fine-tuned
+    re-parameterized checkpoints name the substituted module ``rep_conv``;
+    the deployed model names it ``sd_convs`` (child names ``conv1``/``conv2``
+    / ``branches.{i}`` are identical between the two frameworks).
+    """
+    parts = key.split(".")
+    if parts and parts[0] == "backbone":
+        parts = parts[1:]
+    head = parts[0]
     for i in range(4):
-        k = k.replace(f"patch_embed{i + 1}.", f"layers.{i}.0.")
-        k = k.replace(f"block{i + 1}.", f"layers.{i}.1.")
-        k = k.replace(f"norm{i + 1}.", f"layers.{i}.2.")
-    # MSCA inner convs: official names conv0_1/conv0_2 (k=7), conv1_1/conv1_2
-    # (k=11), conv2_1/conv2_2 (k=21), conv3 = channel_mix
-    k = k.replace("spatial_gating_unit.conv0_1", "spatial_gating_unit.sd_convs.branches.0.conv1")
-    k = k.replace("spatial_gating_unit.conv0_2", "spatial_gating_unit.sd_convs.branches.0.conv2")
-    k = k.replace("spatial_gating_unit.conv1_1", "spatial_gating_unit.sd_convs.branches.1.conv1")
-    k = k.replace("spatial_gating_unit.conv1_2", "spatial_gating_unit.sd_convs.branches.1.conv2")
-    k = k.replace("spatial_gating_unit.conv2_1", "spatial_gating_unit.sd_convs.branches.2.conv1")
-    k = k.replace("spatial_gating_unit.conv2_2", "spatial_gating_unit.sd_convs.branches.2.conv2")
-    k = k.replace("spatial_gating_unit.conv3", "spatial_gating_unit.channel_mix")
-    k = k.replace("spatial_gating_unit.conv0.", "spatial_gating_unit.conv0.")
-    k = k.replace("mlp.fc1", "mlp.fc1").replace("mlp.dwconv.dwconv", "mlp.dconv")
-    k = k.replace("head.", "head.")
-    return "backbone." + k if not k.startswith("head") else k
+        if head == f"patch_embed{i + 1}":
+            parts = ["layers", str(i), "0"] + parts[1:]
+            break
+        if head == f"block{i + 1}":
+            parts = ["layers", str(i), "1"] + parts[1:]
+            break
+        if head == f"norm{i + 1}":
+            parts = ["layers", str(i), "2"] + parts[1:]
+            break
+    else:
+        if head == "head":
+            return key
+    # MSCA inner convs (only directly under spatial_gating_unit): official
+    # names conv{b}_{s} (branch b of k=7/11/21, stage s in {1,2}), conv3 =
+    # channel_mix, rep_conv = fine-tuned substituted bank -> sd_convs.
+    out = []
+    j = 0
+    while j < len(parts):
+        seg = parts[j]
+        prev = out[-1] if out else None
+        if prev == "spatial_gating_unit":
+            if seg == "conv3":
+                out.append("channel_mix")
+            elif seg == "rep_conv":
+                out.append("sd_convs")
+            elif len(seg) == 7 and seg.startswith("conv") and seg[5] == "_":
+                out += ["sd_convs", "branches", seg[4], f"conv{seg[6]}"]
+            else:
+                out.append(seg)
+        elif seg == "dwconv" and j + 1 < len(parts) and parts[j + 1] == "dwconv":
+            out.append("dconv")
+            j += 1  # collapse mlp.dwconv.dwconv -> mlp.dconv
+        else:
+            out.append(seg)
+        j += 1
+    return "backbone." + ".".join(out)
 
 
-def convert_state_dict(sd, arch: str):
-    """Returns the nested {'params': ..., 'state': ...} tree."""
+def convert_state_dict(sd, arch: str, first_fc_shape=None):
+    """Returns the nested {'params': ..., 'state': ...} tree.
+
+    ``first_fc_shape=(C, H, W)``: pre-flatten feature shape; the FIRST linear
+    weight encountered gets its input dim permuted from torch's CHW-major
+    flatten order to our NHWC flatten order (see :func:`convert_linear`).
+    """
     flat_params = {}
     flat_state = {}
     for key, v in sd.items():
@@ -88,7 +131,11 @@ def convert_state_dict(sd, arch: str):
         if leaf == "weight" and v.ndim == 4:
             flat_params[f"{path}/weight"] = convert_conv(v)
         elif leaf == "weight" and v.ndim == 2:
-            flat_params[f"{path}/weight"] = convert_linear(v)
+            if first_fc_shape is not None and v.shape[1] == int(np.prod(first_fc_shape)):
+                flat_params[f"{path}/weight"] = convert_linear(v, first_fc_shape)
+                first_fc_shape = None  # only the first FC sits after the flatten
+            else:
+                flat_params[f"{path}/weight"] = convert_linear(v)
         elif leaf == "weight" and v.ndim == 1:  # norm scale
             flat_params[f"{path}/scale"] = v
         elif leaf == "bias":
@@ -106,14 +153,31 @@ def convert_state_dict(sd, arch: str):
     return {"params": unflatten_tree(flat_params), "state": unflatten_tree(flat_state)}
 
 
+# pre-flatten feature-map shapes (C, H, W) per arch — the first classifier
+# Linear after Flatten needs its input dim permuted CHW -> HWC.
+_FIRST_FC_SHAPES = {"alexnet": (256, 6, 6), "vgg": (512, 7, 7)}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("src", help="torch checkpoint (.pth)")
     p.add_argument("dst", help="output .ckpt.npz")
-    p.add_argument("--arch", choices=("generic", "mscan"), default="generic")
+    p.add_argument("--arch", choices=("generic", "alexnet", "vgg", "mscan", "mscan-rep"),
+                   default="generic",
+                   help="mscan covers both original and fine-tuned re-parameterized "
+                        "(rep_conv) checkpoints; mscan-rep is an alias. alexnet/vgg "
+                        "apply the CHW->HWC first-FC permutation automatically.")
+    p.add_argument("--first-fc-shape", type=int, nargs=3, metavar=("C", "H", "W"),
+                   default=None,
+                   help="pre-flatten feature shape for generic archs whose first "
+                        "Linear follows a Flatten (overrides the arch preset)")
     args = p.parse_args()
+    arch = "mscan" if args.arch == "mscan-rep" else args.arch
+    first_fc = tuple(args.first_fc_shape) if args.first_fc_shape else \
+        _FIRST_FC_SHAPES.get(arch)
     sd = load_torch_state_dict(args.src)
-    tree = convert_state_dict(sd, args.arch)
+    tree = convert_state_dict(sd, "mscan" if arch == "mscan" else "generic",
+                              first_fc_shape=first_fc)
     save_model(tree, args.dst)
     print(f"wrote {args.dst}")
 

@@ -75,3 +75,47 @@ def test_mscan_rename():
     out = t2t._mscan_rename(key)
     assert out == "backbone.layers.0.1.0.attn.spatial_gating_unit.sd_convs.branches.0.conv1.weight"
     assert t2t._mscan_rename("head.weight") == "head.weight"
+
+
+def test_mscan_rename_block_internal_norms():
+    """Stage-level normN maps to layers.N.2, but block-INTERNAL norm1/norm2
+    (BatchNorms inside every block) must keep their names (ADVICE r1 high)."""
+    t2t = _load("torch_to_tpu.py")
+    assert t2t._mscan_rename("norm1.weight") == "backbone.layers.0.2.weight"
+    assert t2t._mscan_rename("norm4.bias") == "backbone.layers.3.2.bias"
+    assert (t2t._mscan_rename("block1.0.norm1.weight")
+            == "backbone.layers.0.1.0.norm1.weight")
+    assert (t2t._mscan_rename("block3.4.norm2.running_mean")
+            == "backbone.layers.2.1.4.norm2.running_mean")
+    assert (t2t._mscan_rename("block2.1.mlp.dwconv.dwconv.weight")
+            == "backbone.layers.1.1.1.mlp.dconv.weight")
+    assert (t2t._mscan_rename("backbone.block1.0.attn.spatial_gating_unit.conv3.weight")
+            == "backbone.layers.0.1.0.attn.spatial_gating_unit.channel_mix.weight")
+
+
+def test_mscan_rep_rename():
+    """Fine-tuned re-parameterized checkpoints: rep_conv -> sd_convs
+    (ref scripts/ckpt_converter/mscan-rep_converter.py:76-84)."""
+    t2t = _load("torch_to_tpu.py")
+    assert (t2t._mscan_rename("block1.0.attn.spatial_gating_unit.rep_conv.conv1.weight")
+            == "backbone.layers.0.1.0.attn.spatial_gating_unit.sd_convs.conv1.weight")
+    assert (t2t._mscan_rename("block4.1.attn.spatial_gating_unit.rep_conv.branches.1.conv2.bias")
+            == "backbone.layers.3.1.1.attn.spatial_gating_unit.sd_convs.branches.1.conv2.bias")
+
+
+def test_first_fc_flatten_permutation():
+    """convert_state_dict(first_fc_shape=...) permutes the first Linear's
+    input dim from CHW-major to HWC-major flatten order (ADVICE r1 medium)."""
+    t2t = _load("torch_to_tpu.py")
+    C, H, W, out = 3, 2, 2, 5
+    w = np.arange(out * C * H * W, dtype=np.float32).reshape(out, C * H * W)
+    sd = {"classifier.1.weight": w, "classifier.1.bias": np.zeros(out, np.float32),
+          "classifier.4.weight": np.zeros((4, out), np.float32)}
+    tree = t2t.convert_state_dict(sd, "generic", first_fc_shape=(C, H, W))
+    got = tree["params"]["classifier"]["1"]["weight"]  # (in, out)
+    x = np.random.RandomState(0).randn(C, H, W).astype(np.float32)
+    y_torch_order = w.dot(x.reshape(-1))  # torch flatten: CHW-major
+    y_ours = x.transpose(1, 2, 0).reshape(-1).dot(got)  # our flatten: HWC-major
+    np.testing.assert_allclose(y_ours, y_torch_order, rtol=1e-6)
+    # later linears untouched (shape transposed only)
+    assert tree["params"]["classifier"]["4"]["weight"].shape == (out, 4)

@@ -151,3 +151,52 @@ def test_torch_checkpoint_conversion_end_to_end():
     y_j, _, _ = jm.apply(tree["params"], _nhwc(x), state=tree["state"], training=False)
     np.testing.assert_allclose(np.transpose(np.asarray(y_j), (0, 3, 1, 2)), y_t,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_torch_conv_flatten_linear_conversion_end_to_end():
+    """Converted classifiers that flatten a feature map must produce the same
+    logits despite torch flattening CHW-major and us NHWC-major — requires
+    convert_state_dict's first_fc_shape permutation (ADVICE r1 medium)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "t2t", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "scripts", "ckpt_converter", "torch_to_tpu.py"))
+    t2t = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(t2t)
+
+    torch.manual_seed(0)
+
+    class TM(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = torch.nn.Sequential(torch.nn.Conv2d(3, 6, 3, padding=1),
+                                                torch.nn.ReLU())
+            self.classifier = torch.nn.Sequential(torch.nn.Linear(6 * 4 * 4, 10),
+                                                  torch.nn.ReLU(),
+                                                  torch.nn.Linear(10, 7))
+
+        def forward(self, x):
+            return self.classifier(torch.flatten(self.features(x), 1))
+
+    tm = TM().eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree = t2t.convert_state_dict(sd, "generic", first_fc_shape=(6, 4, 4))
+
+    class JM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(nn.Conv2d(3, 6, 3, padding=1), nn.ReLU())
+            self.classifier = nn.Sequential(nn.Linear(6 * 4 * 4, 10), nn.ReLU(),
+                                            nn.Linear(10, 7))
+
+        def __call__(self, params, x, ctx):
+            x = self.child("features", params, x, ctx)
+            x = x.reshape(x.shape[0], -1)  # NHWC flatten
+            return self.child("classifier", params, x, ctx)
+
+    x = np.random.RandomState(11).randn(2, 3, 4, 4).astype(np.float32)
+    with torch.no_grad():
+        y_t = tm(torch.from_numpy(x)).numpy()
+    y_j, _, _ = JM().apply(tree["params"], _nhwc(x), training=False)
+    np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-4, atol=1e-5)
