@@ -93,16 +93,28 @@ class LowRankExpV1(Approximater):
             A, B = solvers.random_init(jax.random.key(0), W, M)
 
         logger.info(f"lambda list: {self.lmda_list}")
+        # The solve runs in fixed-size jitted chunks (static shapes for XLA)
+        # with a host-side epsilon check between chunks, so convergence stops
+        # the DEVICE work, not just the logging — the reference broke out of
+        # its cvxpy loop the same way (``low_rank_exp.py:160-176``).  At most
+        # two program shapes compile (full chunk + final remainder).
+        chunk = min(self.max_iter, 10) if self.max_iter > 0 else 0
         for lmda in self.lmda_list:
-            if self.max_iter > 0:
+            it_done, prev_obj, converged = 0, None, False
+            while it_done < self.max_iter and not converged:
+                n = chunk if self.max_iter - it_done >= chunk else self.max_iter - it_done
                 A, B, objs = solvers.als_l21_nuclear(
-                    W, A, B, jnp.float32(lmda), d, self.max_iter
+                    W, A, B, jnp.float32(lmda), d, n
                 )
-                objs = np.asarray(objs)
-                for it, obj in enumerate(objs, 1):
+                for j, obj in enumerate(np.asarray(objs)):
+                    it = it_done + j + 1
                     logger.info(f"[lmda: {lmda}]({it}/{self.max_iter}) total error: {obj}")
-                    if it > 1 and abs(objs[it - 2] - obj) < self.epsilon:
+                    if prev_obj is not None and abs(prev_obj - obj) < self.epsilon:
+                        logger.info(f"[lmda: {lmda}] converged after {it} iters")
+                        converged = True
                         break
+                    prev_obj = obj
+                it_done += n
             logger.info(f"PC Energy = {float(solvers.pc_energy(B, d))}")
 
         # write back: s_conv gets the M bases replicated over the C groups

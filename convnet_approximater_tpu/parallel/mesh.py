@@ -60,18 +60,30 @@ def param_shardings(params: dict, mesh: Mesh, tp_rules: Sequence[tuple] = ()) ->
     """Shardings for a param tree: replicated by default, with optional
     tensor-parallel rules ``(path_suffix, PartitionSpec)`` matched against the
     '/'-joined flat path (e.g. ``("head/weight", P(None, MODEL_AXIS))`` to
-    column-shard the classifier)."""
+    column-shard the classifier).
+
+    A rule that matches no param is almost always a typo'd path (the model
+    would silently train fully replicated); it is reported with a warning so
+    misconfigured TP layouts are visible."""
+    from convnet_approximater_tpu.utils.logger import get_logger
     from convnet_approximater_tpu.utils.serialize import flatten_tree, unflatten_tree
 
     flat = flatten_tree(params)
     out = {}
+    used = [False] * len(tp_rules)
     for key in flat:
         spec = P()
-        for suffix, rule_spec in tp_rules:
+        for i, (suffix, rule_spec) in enumerate(tp_rules):
             if key.endswith(suffix):
                 spec = rule_spec
+                used[i] = True
                 break
         out[key] = NamedSharding(mesh, spec)
+    unmatched = [tp_rules[i][0] for i, u in enumerate(used) if not u]
+    if unmatched:
+        get_logger().warning(
+            f"param_shardings: tp rules matched no params (typo?): {unmatched}"
+        )
     return unflatten_tree(out)
 
 

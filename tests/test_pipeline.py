@@ -143,3 +143,41 @@ def test_config_tree_loads():
     assert cfg2.app.decomp == 1
     cfg3 = Config(os.path.join(root, "msca-rep", "profiler", "msca-rep-profile_d2_fix_mscan-t.py"))
     assert cfg3.app.type == "MscaRepProfile" and "deploy" not in cfg3.app
+
+
+def test_every_shipped_config_parses():
+    """Every config in the tree (including the reference-mirror additions)
+    must at least parse through the _base_ resolution machinery."""
+    import glob
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+    paths = [p for p in glob.glob(os.path.join(root, "**", "*.py"), recursive=True)
+             if ".pytest_cache" not in p]
+    assert len(paths) > 50
+    for p in paths:
+        cfg = Config(p)
+        assert isinstance(cfg, dict) and len(cfg) > 0, p
+
+
+def test_reference_mirror_configs():
+    """The round-2 additions reproduce the reference's experiment matrix."""
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+    lre = os.path.join(root, "low-rank-exp")
+    cfg = Config(os.path.join(lre, "low-rank-exp-v1_l2_alexnet.py"))
+    assert cfg.app.max_iter == 10 and cfg.app.lmda_length == 10
+    assert cfg.filters[1]["indices"] == (2,)
+    cfg = Config(os.path.join(lre, "low-rank-exp-v1_l2_svd_dodecomp_alexnet.py"))
+    assert cfg.app.max_iter == 0 and cfg.app.do_decomp is True
+    assert cfg.app.num_bases == (8,)
+    for name, asym, cls_w in (
+        ("low-rank-exp-v1_l2345_svd_dodecomp_ce_alexnet.py", True, 1.0),
+        ("low-rank-exp-v1_l2345_svd_dodecomp_l2-aysm_alexnet.py", True, 0.0),
+        ("low-rank-exp-v1_l2345_svd_dodecomp_l2-sym_alexnet.py", False, 0.0),
+    ):
+        cfg = Config(os.path.join(lre, name))
+        hook = cfg.hooks[0]
+        assert hook["type"] == "L2Reconstruct"
+        assert hook["asym"] is asym and hook["cls_weight"] == cls_w
+        assert cfg.app.do_decomp is True  # inherited from the dodecomp base
+    cfg = Config(os.path.join(root, "msca-rep", "msca-rep_d1_mscan-t.py"))
+    assert cfg.app.fix is False and cfg.app.decomp == 1
