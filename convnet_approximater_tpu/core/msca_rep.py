@@ -156,7 +156,8 @@ class MscaRep(Approximater):
         if self.decomp == 0:
             sd_conv = Conv2d(C, C, max_k, padding=padding, groups=C)
         elif self.decomp == 1:
-            sd_conv = CascadeConv(C, max_k, padding, bias=True, first_bias=False)
+            sd_conv = CascadeConv(C, max_k, padding, bias=True, first_bias=False,
+                                  strip_matmul=True)
         else:
             sd_conv = ParallelConv(C, max_k, padding, self.decomp, all_bias=False, identity=False)
         if self.fix:

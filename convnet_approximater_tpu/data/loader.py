@@ -103,22 +103,45 @@ class Loader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()  # set when the consumer abandons iteration
 
         def worker():
             try:
                 for idx in batches:
-                    q.put(self._prep(idx))
+                    if cancel.is_set():
+                        return
+                    item = self._prep(idx)
+                    # bounded put that re-checks cancellation, so a consumer
+                    # breaking out of the loop (max_steps_per_epoch /
+                    # max_eval_batches) can't strand us on a full queue
+                    while not cancel.is_set():
+                        try:
+                            q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
             finally:
-                q.put(stop)
+                try:
+                    q.put_nowait(stop)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield self._put(item)
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield self._put(item)
+        finally:
+            cancel.set()
+            try:  # drain so an in-flight put can finish
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
 
     def _put(self, batch):
         images, labels = batch

@@ -17,14 +17,23 @@ class CascadeConv(Module):
     """Depthwise (1, k) then (k, 1) cascade (reference ``:5-16``).
 
     ``bias`` is the second conv's bias flag, ``first_bias`` the first's.
+    ``strip_matmul=True`` (the deploy-form cascades built by MscaRep) lowers
+    the k>=7 strips as banded-Toeplitz MXU contractions — a measured
+    whole-model win for the STANDALONE cascade; the multi-branch original
+    bank loses with it (XLA fuses the bank's strips with mix/gate), so
+    ParallelConv branches keep the default lax path (doc/perf-notes.md).
     """
 
-    def __init__(self, dim: int, kernel_size: int, padding: int, bias: bool, first_bias: bool):
+    def __init__(self, dim: int, kernel_size: int, padding: int, bias: bool,
+                 first_bias: bool, strip_matmul: bool = False):
         super().__init__()
         self.dim = dim
         self.kernel_size = kernel_size
-        self.conv1 = Conv2d(dim, dim, (1, kernel_size), padding=(0, padding), groups=dim, bias=first_bias)
-        self.conv2 = Conv2d(dim, dim, (kernel_size, 1), padding=(padding, 0), groups=dim, bias=bias)
+        sm = strip_matmul and kernel_size >= 7
+        self.conv1 = Conv2d(dim, dim, (1, kernel_size), padding=(0, padding),
+                            groups=dim, bias=first_bias, strip_matmul=sm)
+        self.conv2 = Conv2d(dim, dim, (kernel_size, 1), padding=(padding, 0),
+                            groups=dim, bias=bias, strip_matmul=sm)
 
     def __call__(self, params, x, ctx: Ctx):
         x = self.child("conv1", params, x, ctx)

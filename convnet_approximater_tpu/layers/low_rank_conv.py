@@ -164,7 +164,7 @@ class LowRankExpConvV1(Module):
         self.d_conv = Conv2d(in_channels * num_base, out_channels, 1)
 
     def __call__(self, params, x, ctx: Ctx):
-        if self._use_matmul_mode(ctx):
+        if self._use_matmul_mode(ctx) and self._taps_channel_shared(params):
             return self._matmul_forward(params, x)
         if self._can_fuse(ctx, x):
             return self._fused_forward(params, x)
@@ -182,6 +182,35 @@ class LowRankExpConvV1(Module):
         if not isinstance(self.s_conv, SeparableConv):
             return False
         return jax.default_backend() in ("tpu", "axon")
+
+    def _taps_channel_shared(self, params) -> bool:
+        """The Toeplitz einsum assumes the strip taps are IDENTICAL across
+        the C input-channel groups (true right after LowRankExpV1's solve,
+        which broadcasts the M shared bases — but fine-tuning trains s_conv
+        per-channel).  When the weights are concrete (outside jit) verify it;
+        tracers can't be inspected, so the assumption is documented here and
+        surfaced via this check on every eager call."""
+        import numpy as np
+
+        sp = params["s_conv"]
+        vw, hw = sp["v_conv"]["weight"], sp["h_conv"]["weight"]
+        if isinstance(vw, jax.core.Tracer) or isinstance(hw, jax.core.Tracer):
+            return True  # traced: cannot check; caller opted in via env var
+        M = self.num_base
+        for w, k_axis in ((vw, 0), (hw, 1)):
+            taps = np.asarray(w).reshape(w.shape[k_axis], -1)[:, : self.in_channels * M]
+            per_c = taps.reshape(w.shape[k_axis], self.in_channels, M)
+            if not np.allclose(per_c, per_c[:, :1], rtol=1e-5, atol=1e-6):
+                if not getattr(self, "_warned_per_channel", False):
+                    from convnet_approximater_tpu.utils.logger import get_logger
+
+                    get_logger().warning(
+                        "CAT_ENABLE_MATMUL_MODE: strip taps are per-channel "
+                        "(fine-tuned?); falling back to the conv path."
+                    )
+                    self._warned_per_channel = True
+                return False
+        return True
 
     def _matmul_forward(self, params, x):
         sp = params["s_conv"]

@@ -84,7 +84,10 @@ class MultiScaleConvAttnModule(Module):
         self.attn = SpatialAttention(num_channel)
         self.norm2 = nn.BatchNorm2d(num_channel)
         self.mlp = FFN(num_channel, hidden_channel, drop)
-        self.drop_path = DropPath(drop_path) if drop_path > 0.0 else nn.Identity()
+        # always a DropPath module (rate 0.0 is the identity) so blocks of a
+        # stage stay structurally identical under any drop-path schedule —
+        # the per-block rates thread through the scan body as data
+        self.drop_path = DropPath(drop_path)
 
     def init_params(self, rng):
         scale = self.LAYER_SCALE_INIT * jnp.ones((self.num_channel,))
@@ -111,14 +114,17 @@ class DownSample(Module):
 class MSCAN(Module):
     """The backbone: returns per-stage feature maps.
 
-    ``scan_blocks='auto'``: at inference, each stage's repeated blocks run as
-    ONE ``lax.scan`` body over stacked per-block params/state instead of an
+    ``scan_blocks='auto'``: each stage's repeated blocks run as ONE
+    ``lax.scan`` body over stacked per-block params/state instead of an
     unrolled chain — ~5x smaller HLO, which cuts the (minutes-long on the
     remote-compile tunnel) XLA compile of the full model accordingly.  The
     scan engages only when every block in the stage is structurally identical
-    (heterogeneous per-layer substitutions fall back to the unrolled path)
-    and never during training (BN state writes and taps must escape the
-    step, which a scan body cannot do).
+    (heterogeneous per-layer substitutions fall back to the unrolled path).
+    Training scans too: per-block BN state rides the scan inputs/outputs and
+    is grafted back into ``ctx.state_out``, and per-block drop-path rates +
+    rng keys thread through as data; only tap captures (the L2-reconstruct
+    teachers/students) and ``force_branch`` double-passes fall back to the
+    unrolled path, since their intermediates must escape the scan body.
     """
 
     def __init__(
@@ -154,9 +160,9 @@ class MSCAN(Module):
             self.layers.append(nn.ModuleList([down, stage, norm]))
             cur += nb
 
-    # -- scan-over-blocks inference path ----------------------------------
+    # -- scan-over-blocks path (inference AND training) --------------------
     def _stage_scannable(self, stage, stage_params, ctx: Ctx) -> bool:
-        if self.scan_blocks == "off" or ctx.training or ctx.force_branch is not None:
+        if self.scan_blocks == "off" or ctx.force_branch is not None:
             return False
         blocks = list(stage.named_children())
         if len(blocks) < 2:
@@ -177,6 +183,14 @@ class MSCAN(Module):
         return all(s == shapes[0] for s in shapes[1:])
 
     def _scan_stage(self, stage, stage_params, x, ctx: Ctx):
+        """Run a stage's blocks as one ``lax.scan``.
+
+        Training support: per-block BatchNorm state rides the scan ``xs``
+        (each block reads/writes only its own stats) and the updated stacks
+        are grafted back into ``ctx.state_out`` per block; per-block
+        drop-path rates and a per-block-folded rng thread through as data so
+        heterogeneous stochastic-depth schedules don't break the single-trace
+        requirement."""
         import jax
         from jax import lax
 
@@ -191,13 +205,33 @@ class MSCAN(Module):
         s_stack = (
             jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states) if have_state else None
         )
+        training = ctx.training
+        rates = jnp.asarray(
+            [float(getattr(getattr(b, "drop_path", None), "drop_prob", 0.0))
+             for _, b in blocks],
+            jnp.float32,
+        )
+        idx = jnp.arange(len(blocks))
+        base_rng = ctx.rng() if (training and ctx._rng is not None) else None
 
-        def body(x, ps):
-            p, s = ps
-            bctx = Ctx(training=False, state=s or {})
-            return template(p, x, bctx), None
+        def body(x, inp):
+            p, s, rate, i = inp
+            brng = jax.random.fold_in(base_rng, i) if base_rng is not None else None
+            bctx = Ctx(training=training, rng=brng, state=s or {})
+            if training:
+                bctx.drop_path_rate = rate
+            y = template(p, x, bctx)
+            return y, bctx.state_out
 
-        y, _ = lax.scan(body, x, (p_stack, s_stack))
+        y, s_out = lax.scan(body, x, (p_stack, s_stack, rates, idx))
+        # graft the stacked per-block state updates back under dotted paths
+        prefix = ctx.path
+        for rel, stacked in s_out.items():
+            for n_i, (n, _) in enumerate(blocks):
+                full = f"{prefix}.{n}.{rel}" if prefix else f"{n}.{rel}"
+                ctx.state_out[full] = jax.tree_util.tree_map(
+                    lambda v, n_i=n_i: v[n_i], stacked
+                )
         return y
 
     def __call__(self, params, x, ctx: Ctx):

@@ -51,6 +51,7 @@ class Conv2d(Module):
         dilation=1,
         groups: int = 1,
         bias: bool = True,
+        strip_matmul: bool = False,
     ):
         super().__init__()
         self.in_channels = in_channels
@@ -61,6 +62,10 @@ class Conv2d(Module):
         self.dilation = to_2tuple(dilation)
         self.groups = groups
         self.use_bias = bias
+        # opt this conv into the banded-Toeplitz MXU lowering when it is a
+        # depthwise strip (set by CascadeConv for its k>=7 strips — measured
+        # whole-model win on TPU; see ops/conv.py docstring)
+        self.strip_matmul = strip_matmul
         assert in_channels % groups == 0 and out_channels % groups == 0
 
     def init_params(self, rng):
@@ -74,6 +79,8 @@ class Conv2d(Module):
         return params
 
     def __call__(self, params, x, ctx: Ctx):
+        sm = self.strip_matmul and not ctx.training \
+            and jax.default_backend() in ("tpu", "axon")
         return ops.conv2d(
             x,
             params["weight"],
@@ -82,6 +89,7 @@ class Conv2d(Module):
             padding=self.padding,
             groups=self.groups,
             dilation=self.dilation,
+            strip_matmul=sm,
         )
 
 

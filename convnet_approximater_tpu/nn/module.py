@@ -61,6 +61,10 @@ class Ctx:
         # reference's per-batch switch_old/switch_new double-pass trick
         # (finetune.py:300-312): both passes live in ONE traced step.
         self.force_branch = force_branch
+        # scan-over-blocks support: a traced per-block drop-path rate set by
+        # MSCAN._scan_stage for the duration of one scan-body trace (None
+        # everywhere else; DropPath falls back to its static rate)
+        self.drop_path_rate = None
         self._path = []
 
     # -- path scoping ---------------------------------------------------

@@ -10,10 +10,20 @@ against these).  Layout is TPU-native channels-last:
 Torch-style integer padding maps to explicit ``((ph, ph), (pw, pw))`` pairs so
 numerics match the reference's ``nn.Conv2d`` exactly (both are
 cross-correlations).
+
+Strip-conv MXU lowering (``CAT_STRIP_MATMUL``): depthwise ``(k, 1)`` /
+``(1, k)`` convs are the MSCA workload's VPU hotspot (XLA lowers them to
+shift/multiply chains — measured 0.19 ms for one (21, 1) conv on a
+(64, 56, 56, 32) map, >100x off the FLOP roofline).  The same contraction is
+a per-channel banded-Toeplitz matmul over the strip axis,
+``y[b,o,w,c] = sum_h T[o,h,c] x[b,h,w,c]``, which the MXU executes as a
+C-batched small GEMM.  Zero padding folds into the band (no pad copy).
 """
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
 from typing import Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
@@ -22,6 +32,89 @@ from jax import lax
 PadT = Union[int, Tuple[int, int], Sequence[Tuple[int, int]], str]
 
 DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+@lru_cache(maxsize=1)
+def _strip_matmul_env():
+    """CAT_STRIP_MATMUL: ('force-off'|'force-on', min_k) or (None, 0) unset.
+
+    Unset: per-layer dispatch decides (CascadeConv opts its k>=7 strips in —
+    measured whole-model win on the deploy cascades; the original multi-branch
+    bank LOSES, doc/perf-notes.md, so it stays on the lax path).
+    '0'/'off' force-disables everywhere; '1'/'on' (or an integer threshold)
+    force-enables for every strip with k >= min_k."""
+    v = os.environ.get("CAT_STRIP_MATMUL", "").strip().lower()
+    if not v:
+        return None, 0
+    if v in ("0", "off", "false"):
+        return "force-off", 0
+    if v in ("1", "on", "true", "yes"):
+        return "force-on", 7
+    try:
+        return "force-on", max(int(v), 2)
+    except ValueError:
+        return "force-on", 7
+
+
+def _strip_band(w_kc: jnp.ndarray, out_len: int, in_len: int, pad: int):
+    """Banded Toeplitz (out_len, in_len, C) from per-channel taps (k, C)."""
+    k = w_kc.shape[0]
+    o = jnp.arange(out_len)[:, None]
+    h = jnp.arange(in_len)[None, :]
+    d = h - o + pad  # tap index hit by (out, in)
+    valid = (d >= 0) & (d < k)
+    T = jnp.where(valid[..., None], w_kc[jnp.clip(d, 0, k - 1)], 0)
+    return T.astype(w_kc.dtype)
+
+
+def strip_conv_matmul(x: jnp.ndarray, w: jnp.ndarray,
+                      b: Optional[jnp.ndarray], pad: int) -> jnp.ndarray:
+    """Depthwise strip conv as a per-channel Toeplitz contraction on the MXU.
+
+    ``w``: HWIO ``(k, 1, 1, C)`` (vertical) or ``(1, k, 1, C)`` (horizontal);
+    stride 1, symmetric zero padding ``pad`` on the strip axis.  Exact (up to
+    f32-accumulation rounding) vs the ``lax`` depthwise lowering.
+    """
+    vertical = w.shape[1] == 1
+    k = w.shape[0] if vertical else w.shape[1]
+    axis = 1 if vertical else 2
+    L = x.shape[axis]
+    Lo = L + 2 * pad - k + 1
+    taps = (w[:, 0, 0, :] if vertical else w[0, :, 0, :])  # (k, C)
+    T = _strip_band(taps, Lo, L, pad)
+    eq = "bhwc,ohc->bowc" if vertical else "bhwc,owc->bhoc"
+    y = jnp.einsum(eq, x, T, preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _try_strip_matmul(x, w, b, stride, padding, groups, dilation,
+                      prefer: bool = False):
+    mode, min_k = _strip_matmul_env()
+    if mode == "force-off" or (mode is None and not prefer):
+        return None
+    kh, kw = w.shape[0], w.shape[1]
+    if (kh == 1) == (kw == 1):  # not a strip (1x1 or 2-D kernel)
+        return None
+    k = max(kh, kw)
+    if mode == "force-on" and k < min_k:
+        return None
+    C = x.shape[-1]
+    if groups != C or w.shape[2] != 1 or w.shape[3] != C:
+        return None
+    if _pair(stride) != (1, 1) or _pair(dilation) != (1, 1):
+        return None
+    pads = _pad_pairs(padding)
+    if isinstance(pads, str):
+        return None
+    (pt, pb), (pl, pr) = pads
+    if kh > 1 and (pt != pb or (pl, pr) != (0, 0)):
+        return None
+    if kw > 1 and (pl != pr or (pt, pb) != (0, 0)):
+        return None
+    return strip_conv_matmul(x, w, b, pt if kh > 1 else pl)
 
 
 def _pad_pairs(padding: PadT):
@@ -49,8 +142,18 @@ def conv2d(
     padding: PadT = 0,
     groups: int = 1,
     dilation=1,
+    strip_matmul: bool = False,
 ) -> jnp.ndarray:
-    """2-D cross-correlation, NHWC x HWIO -> NHWC."""
+    """2-D cross-correlation, NHWC x HWIO -> NHWC.
+
+    ``strip_matmul=True`` asks for the banded-Toeplitz MXU lowering when the
+    conv is a qualifying depthwise strip (see module docstring); the
+    ``CAT_STRIP_MATMUL`` env var force-enables/disables globally."""
+    if groups > 1:
+        y = _try_strip_matmul(x, w, b, stride, padding, groups, dilation,
+                              prefer=strip_matmul)
+        if y is not None:
+            return y
     y = lax.conv_general_dilated(
         x,
         w,

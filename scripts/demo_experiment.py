@@ -5,13 +5,18 @@ table, `doc/low-rank-exp/low-rank-exp.md:39-49`, in miniature).
 Runs the full scientific loop on a self-contained dataset (synthetic by
 default; point --dataset/--data-root at CIFAR-10 for the real protocol):
 
-1. train a baseline model to convergence           -> top-1(base)
-2. scheme-1 decompose (SVD, per-layer bases)       -> top-1(approx), MACs
-3. L2-reconstruction fine-tune (teacher = original)-> top-1(L2)
-4. CE fine-tune                                    -> top-1(L2->CE)
+1. train a baseline model to convergence                 -> row 1 (original)
+2. scheme-1 approximate, UNDECOMPOSED (SVD bases)        -> row 2
+3. rows 3-5: + L2 fine-tune / + L2 -> CE / + CE only
+4. spatially DECOMPOSED (separable strips)               -> row 6
+5. rows 7-9: + L2 / + L2 -> CE / + CE only
 
-and prints the resulting table.  Every stage goes through the same public
-pipeline pieces (TrainHelper, Runner, L2Reconstruct) a real experiment uses.
+— the reference's full 9-row experiment matrix
+(`doc/low-rank-exp/low-rank-exp.md:39-49`, BASELINE.md rows 1-9), every stage
+through the same public pipeline pieces (TrainHelper, Runner, L2Reconstruct)
+a real experiment uses.  With --dataset CIFAR10 --data-root <dir> and the
+BASELINE.md epochs (--ft-epochs 20 --ce-epochs 10) this IS the reference
+protocol; the synthetic default keeps it self-contained.
 """
 
 import argparse
@@ -29,7 +34,10 @@ def main():
     ap.add_argument("--num-bases", type=int, nargs="+", default=[8, 8, 6, 4])
     ap.add_argument("--indices", type=int, nargs="+", default=[2, 3, 4, 5])
     ap.add_argument("--train-epochs", type=int, default=30)
-    ap.add_argument("--ft-epochs", type=int, default=5)
+    ap.add_argument("--ft-epochs", type=int, default=5,
+                    help="L2-reconstruction epochs (reference protocol: 20)")
+    ap.add_argument("--ce-epochs", type=int, default=3,
+                    help="cross-entropy epochs (reference protocol: 10)")
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--dataset", default=None)
@@ -89,8 +97,8 @@ def main():
     base_ckpt = os.path.join(args.work_dir, "baseline", "model_best.ckpt.npz")
     rows.append(evaluate(model, variables, "original"))
 
-    # --- 2-4: pipeline configs ------------------------------------------
-    def pipeline(hooks_py, tag):
+    # --- rows 2-9: pipeline configs ---------------------------------------
+    def pipeline(hooks_py, tag, decomp):
         cfg = os.path.join(args.work_dir, f"cfg_{tag}.py")
         with open(cfg, "w") as f:
             f.write(f"""
@@ -98,7 +106,7 @@ model = dict(type="{args.model}", num_classes={args.num_classes},
              init_cfg=r"{base_ckpt}")
 app = dict(type="LowRankExpV1", max_iter=0, min_lmda=0, max_lmda=0,
            init_method="svd", lmda_length=1,
-           num_bases={tuple(args.num_bases)}, do_decomp=True)
+           num_bases={tuple(args.num_bases)}, do_decomp={decomp})
 filters = [dict(type="SimpleConvFilter"),
            dict(type="IndicesFilter", indices={tuple(args.indices)})]
 hooks = {hooks_py}
@@ -109,25 +117,35 @@ hooks = {hooks_py}
         runner.run()
         rows.append(evaluate(runner.model, runner.variables, tag))
 
-    ft_common = f"""
+    def ft_common(epochs):
+        return f"""
         dataset_args=dict(dataset={ds_cfg!r}, batch_size={args.batch_size}),
         data_config=dict(image_size={size}),
         optim_args=dict(opt="adamw", lr=1e-4, weight_decay=0.01),
-        sche_args=dict(epochs={args.ft_epochs}),
+        sche_args=dict(epochs={epochs}),
         other_args=dict(num_classes={args.num_classes}, log_interval=10**9),
 """
-    pipeline("[]", "approx_svd")
-    pipeline(f"""[dict(type="L2Reconstruct", priority=50, asym=True,
-        l2_weight=1.0, cls_weight=0.0,{ft_common})]""", "approx_l2ft")
-    pipeline(f"""[dict(type="L2Reconstruct", priority=50, asym=True, no_norm=True,
-        l2_weight=0.0, cls_weight=1.0,{ft_common})]""", "approx_ceft")
+    # BASELINE.md protocol: L2 phase trains only substituted layers (the
+    # default freeze), the CE phase trains everything (no_norm unfreezes)
+    l2_hook = ("dict(type='L2Reconstruct', priority=50, asym=True, "
+               "l2_weight=1.0, cls_weight=0.0," + ft_common(args.ft_epochs) + ")")
+    ce_hook = ("dict(type='L2Reconstruct', priority=50, asym=True, no_norm=True, "
+               "l2_weight=0.0, cls_weight=1.0," + ft_common(args.ce_epochs) + ")")
+    # reference row numbering: 2-5 undecomposed, 6-9 spatially decomposed
+    for decomp, prefix in ((False, "approx"), (True, "decomp")):
+        pipeline("[]", f"{prefix}_none", decomp)
+        pipeline(f"[{l2_hook}]", f"{prefix}_l2", decomp)
+        pipeline(f"[{l2_hook}, {ce_hook}]", f"{prefix}_l2ce", decomp)
+        pipeline(f"[{ce_hook}]", f"{prefix}_ce", decomp)
 
     # --- table ------------------------------------------------------------
-    print("\n=== experiment table (cf. reference doc/low-rank-exp table) ===")
-    print(f"{'config':<14} | {'top-1 %':>8} | {'MACs (M)':>9} | {'params (M)':>10}")
-    print("-" * 52)
-    for r in rows:
-        print(f"{r['tag']:<14} | {r['top1']:8.2f} | {r['macs']:9.1f} | {r['params']:10.2f}")
+    ref_rows = ["1", "2", "3", "4", "5", "6", "7", "8", "9"]
+    print("\n=== experiment table (reference doc/low-rank-exp/low-rank-exp.md:39-49) ===")
+    print(f"{'row':>3} | {'config':<14} | {'top-1 %':>8} | {'MACs (M)':>9} | {'params (M)':>10}")
+    print("-" * 58)
+    for ref, r in zip(ref_rows, rows):
+        print(f"{ref:>3} | {r['tag']:<14} | {r['top1']:8.2f} | {r['macs']:9.1f} | "
+              f"{r['params']:10.2f}")
 
 
 if __name__ == "__main__":

@@ -92,3 +92,22 @@ def test_cifar10_missing_gives_actionable_error(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no network download"):
         CIFAR10(str(tmp_path), split="train")
+
+
+def test_loader_abandoned_iteration_releases_worker():
+    """Breaking out of a prefetching epoch early (max_steps_per_epoch style)
+    must not strand the prefetch worker on a full queue (ADVICE r1 low)."""
+    import threading
+    import time
+
+    ds = Synthetic(64, (8, 8, 3), 4, seed=0)
+    loader = Loader(ds, 4, shuffle=False, prefetch=2)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)  # consume one batch, then abandon
+        it.close()
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

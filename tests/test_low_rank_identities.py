@@ -91,3 +91,30 @@ def test_grouped_matches_dense_blockdiag(keys):
         )
     y2 = ops.conv2d(x, dense, padding=1)
     compare4d(y1, y2)
+
+
+def test_matmul_mode_falls_back_on_per_channel_taps(monkeypatch):
+    """CAT_ENABLE_MATMUL_MODE assumes channel-shared bases; after per-channel
+    fine-tuning the layer must detect it (eager path) and use the exact conv
+    path instead of silently computing a different function (ADVICE r1 low)."""
+    import jax
+    import numpy as np
+
+    from convnet_approximater_tpu.layers.low_rank_conv import LowRankExpConvV1
+    from convnet_approximater_tpu.nn import Ctx
+
+    monkeypatch.setenv("CAT_ENABLE_MATMUL_MODE", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    layer = LowRankExpConvV1(4, 6, num_base=2, kernel_size=3, stride=1,
+                             padding=1, decomp=True)
+    params = layer.init(jax.random.key(0))
+    # per-channel taps (as L2Reconstruct training would produce)
+    params["s_conv"]["v_conv"]["weight"] = jax.random.normal(
+        jax.random.key(1), params["s_conv"]["v_conv"]["weight"].shape)
+    x = jax.random.normal(jax.random.key(2), (2, 8, 8, 4))
+    y_guarded = layer(params, x, Ctx())
+    monkeypatch.delenv("CAT_ENABLE_MATMUL_MODE")
+    y_conv = layer(params, x, Ctx())
+    np.testing.assert_allclose(np.asarray(y_guarded), np.asarray(y_conv),
+                               rtol=1e-5, atol=1e-6)
+    assert layer._warned_per_channel

@@ -217,3 +217,37 @@ def test_mix_merge_not_used_in_training_or_on_bank():
     assert tgt._mix_merge_parts() is not None
     ctx_train = Ctx(training=True)
     assert not tgt._can_mix_merge(ctx_train)
+
+
+def test_deploy_cascade_prefers_strip_matmul(monkeypatch):
+    """MscaRep's deploy-form d1 cascade opts into the MXU strip lowering;
+    the original multi-branch bank keeps the lax path (measured policy,
+    doc/perf-notes.md) — and both lowerings agree numerically."""
+    import jax
+
+    from convnet_approximater_tpu.core import MscaRep
+    from convnet_approximater_tpu.layers import MSCA
+    from convnet_approximater_tpu.layers.depth_separable_conv import CascadeConv
+    from convnet_approximater_tpu.nn.module import Ctx
+
+    src = MSCA(16, 5, (7, 11, 21))
+    params = src.init(jax.random.key(0))
+    # original bank branches: default lax
+    for _, b in src.sd_convs.branches.named_children():
+        if isinstance(b, CascadeConv):
+            assert not b.conv1.strip_matmul and not b.conv2.strip_matmul
+    app = MscaRep(decomp=1, fix=True, deploy=False)
+    sub, sp = app.initialize(src, params, jax.random.key(1))
+    app.optimize(sub, sp)
+    mod, new_params = app.postprocess(sub, sp)
+    cascade = mod.sd_convs[0]
+    assert isinstance(cascade, CascadeConv)
+    assert cascade.conv1.strip_matmul and cascade.conv2.strip_matmul
+
+    x = jax.random.normal(jax.random.key(2), (2, 24, 24, 16))
+    y_lax = mod.apply(new_params, x)[0]
+    # force the backend check to pass so the einsum path actually runs on CPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    y_mm = mod.apply(new_params, x)[0]
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_lax),
+                               rtol=2e-5, atol=2e-5)

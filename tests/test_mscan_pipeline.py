@@ -98,12 +98,75 @@ def test_scan_blocks_matches_unrolled():
     y_scan, _, _ = m_scan.apply(params, x, state=state)
     y_flat, _, _ = m_flat.apply(params, x, state=state)
     np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_flat), rtol=2e-5, atol=1e-5)
-    # training path must NOT scan (BN state updates must escape)
+    # training path scans too: BN state updates escape via the scan outputs
     y_tr, new_state, _ = m_scan.apply(params, x, state=state, training=True,
                                       rng=jax.random.key(2))
     assert not np.allclose(
         np.asarray(new_state["backbone"]["layers"]["0"]["1"]["0"]["norm1"]["mean"]), 0.0
     )
+
+
+def test_scan_blocks_training_matches_unrolled():
+    """Deterministic training (no dropout/drop-path): the scanned train step
+    must equal the unrolled one — outputs, per-block BN state updates, AND
+    loss gradients (VERDICT r1 next-step #5)."""
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+
+    kw = dict(num_channels=(8, 16), num_blocks=(3, 2), exp_ratios=(2, 2),
+              num_classes=5, drop_rate=0.0, drop_path_rate=0.0)
+    m_scan = MSCAN_Classifier(scan_blocks="auto", **kw)
+    m_flat = MSCAN_Classifier(scan_blocks="off", **kw)
+    params = m_scan.init(jax.random.key(0))
+    state = m_scan.init_state()
+    x = jax.random.normal(jax.random.key(1), (4, 32, 32, 3))
+    labels = jnp.asarray([0, 1, 2, 3])
+
+    def make_loss(model):
+        def loss_fn(params, state, x):
+            y, new_state, _ = model.apply(params, x, state=state, training=True,
+                                          rng=jax.random.key(7))
+            one_hot = jax.nn.one_hot(labels, y.shape[-1])
+            return -jnp.mean(jnp.sum(jax.nn.log_softmax(y) * one_hot, axis=-1)), new_state
+        return loss_fn
+
+    (l_s, st_s), g_s = jax.value_and_grad(make_loss(m_scan), has_aux=True)(params, state, x)
+    (l_f, st_f), g_f = jax.value_and_grad(make_loss(m_flat), has_aux=True)(params, state, x)
+    np.testing.assert_allclose(float(l_s), float(l_f), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_s), jax.tree_util.tree_leaves(st_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s), jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+    # per-block BN stats actually moved and differ across blocks
+    stage0 = st_s["backbone"]["layers"]["0"]["1"]
+    m0 = np.asarray(stage0["0"]["norm1"]["mean"])
+    m1 = np.asarray(stage0["1"]["norm1"]["mean"])
+    assert not np.allclose(m0, 0.0) and not np.allclose(m0, m1)
+
+
+def test_scan_blocks_training_stochastic_depth():
+    """drop_path_rate > 0 (heterogeneous per-block rates) still scans in
+    training: rates ride the scan as data; dropped paths keep outputs finite
+    and the step remains differentiable."""
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+
+    kw = dict(num_channels=(8, 16), num_blocks=(3, 2), exp_ratios=(2, 2),
+              num_classes=5, drop_path_rate=0.5)
+    m = MSCAN_Classifier(scan_blocks="auto", **kw)
+    params = m.init(jax.random.key(0))
+    state = m.init_state()
+    x = jax.random.normal(jax.random.key(1), (4, 32, 32, 3))
+
+    def loss_fn(params):
+        y, _, _ = m.apply(params, x, state=state, training=True, rng=jax.random.key(3))
+        return jnp.sum(y**2)
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree_util.tree_leaves(grads))
+    # different rng keys give different stochastic-depth masks
+    y1, _, _ = m.apply(params, x, state=state, training=True, rng=jax.random.key(4))
+    y2, _, _ = m.apply(params, x, state=state, training=True, rng=jax.random.key(5))
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
 
 def test_scan_blocks_after_rep(tmp_path):

@@ -200,3 +200,52 @@ def test_torch_conv_flatten_linear_conversion_end_to_end():
         y_t = tm(torch.from_numpy(x)).numpy()
     y_j, _, _ = JM().apply(tree["params"], _nhwc(x), training=False)
     np.testing.assert_allclose(np.asarray(y_j), y_t, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,vertical,bias", [(7, True, True), (21, False, True),
+                                             (11, True, False), (21, True, True)])
+def test_strip_conv_matmul_matches_depthwise(k, vertical, bias):
+    """The banded-Toeplitz MXU lowering of depthwise strip convs must be
+    numerically equivalent to the lax depthwise conv (and to torch)."""
+    rs = np.random.RandomState(k)
+    C, H, W = 8, 13, 9
+    x = rs.randn(2, H, W, C).astype(np.float32)
+    shape = (k, 1, 1, C) if vertical else (1, k, 1, C)
+    w = rs.randn(*shape).astype(np.float32)
+    b = rs.randn(C).astype(np.float32) if bias else None
+    pad = (k // 2, 0) if vertical else (0, k // 2)
+    y_conv = ops.conv2d(jnp.asarray(x), jnp.asarray(w),
+                        None if b is None else jnp.asarray(b),
+                        padding=pad, groups=C)
+    y_mm = ops.strip_conv_matmul(jnp.asarray(x), jnp.asarray(w),
+                                 None if b is None else jnp.asarray(b), k // 2)
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_conv),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_strip_matmul_env_dispatch(monkeypatch):
+    """CAT_STRIP_MATMUL routes qualifying strip convs to the MXU lowering
+    (k >= 7 by default; 1x1s, 2-D kernels, and strided convs keep lax)."""
+    from convnet_approximater_tpu.ops import conv as C
+
+    monkeypatch.setenv("CAT_STRIP_MATMUL", "1")
+    C._strip_matmul_env.cache_clear()
+    try:
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(2, 12, 12, 4).astype(np.float32))
+        w21 = jnp.asarray(rs.randn(21, 1, 1, 4).astype(np.float32))
+        got = C._try_strip_matmul(x, w21, None, 1, (10, 0), 4, 1)
+        assert got is not None
+        w5 = jnp.asarray(rs.randn(5, 1, 1, 4).astype(np.float32))
+        assert C._try_strip_matmul(x, w5, None, 1, (2, 0), 4, 1) is None  # k<7
+        w2d = jnp.asarray(rs.randn(7, 7, 1, 4).astype(np.float32))
+        assert C._try_strip_matmul(x, w2d, None, 1, 3, 4, 1) is None
+        assert C._try_strip_matmul(x, w21, None, 2, (10, 0), 4, 1) is None
+        # whole conv2d path agrees with the lax lowering
+        y_on = C.conv2d(x, w21, None, padding=(10, 0), groups=4)
+    finally:
+        monkeypatch.delenv("CAT_STRIP_MATMUL")
+        C._strip_matmul_env.cache_clear()
+    y_off = C.conv2d(x, w21, None, padding=(10, 0), groups=4)
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               rtol=1e-5, atol=1e-5)
