@@ -8,8 +8,9 @@ reference measured 0.54x on CUDA (decomposition made it SLOWER); anything
 above that converts more of the 36% MAC savings into real speed.
 ``vs_baseline`` = our ratio / 0.5398.
 
-Also measured (logged to stderr, not the JSON line): MSCAN-t original vs
-msca-rep d1 (fused Pallas path), fp32.
+Also measured (logged to stderr, not the JSON line): the MSCAN-t matrix —
+original and best serving config in f32 AND bf16, with like-for-like
+same-dtype ratios.  All timings are mean±std over repeated slope estimates.
 
 Timing method: the axon TPU relay acks ``block_until_ready`` without waiting
 for execution, so each measurement dispatches n iterations and forces one
@@ -46,10 +47,12 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_apply(model, variables, x, n1=16, n2=64):
+def time_apply(model, variables, x, n1=16, n2=64, repeats=3):
     """Seconds per forward via two-point slope timing: the difference between
     an n2- and an n1-iteration dispatch loop cancels the (large, noisy)
-    readback-roundtrip overhead of the axon relay."""
+    readback-roundtrip overhead of the axon relay.  Returns the mean over
+    ``repeats`` independent slope estimates and logs mean±std (VERDICT r1:
+    quantify run-to-run noise)."""
     params = variables["params"]
     state = variables.get("state", {})
 
@@ -70,9 +73,16 @@ def time_apply(model, variables, x, n1=16, n2=64):
         return time.time() - t0
 
     run(4)  # warm
-    t1 = min(run(n1) for _ in range(2))
-    t2 = min(run(n2) for _ in range(2))
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    slopes = []
+    for _ in range(repeats):
+        t1 = min(run(n1) for _ in range(2))
+        t2 = min(run(n2) for _ in range(2))
+        slopes.append(max((t2 - t1) / (n2 - n1), 1e-9))
+    mean = sum(slopes) / len(slopes)
+    std = (sum((s - mean) ** 2 for s in slopes) / len(slopes)) ** 0.5
+    log(f"  {mean * 1e3:.3f} ± {std * 1e3:.3f} ms/fwd over {repeats} slope reps "
+        f"({x.shape[0] / mean:.0f} img/s)")
+    return mean
 
 
 def run_pipeline(model, variables, app, filters):
@@ -94,7 +104,6 @@ def bench_alexnet():
     variables = {"params": model.init(KEY)}
     log("AlexNet dense original:")
     t_orig = time_apply(model, variables, x)
-    log(f"  {t_orig * 1e3:.3f} ms/fwd ({B / t_orig:.0f} img/s)")
 
     m2 = AlexNet(num_classes=10)
     v2 = {"params": m2.init(KEY)}
@@ -105,7 +114,6 @@ def bench_alexnet():
     m2, v2 = run_pipeline(m2, v2, app, [SimpleConvFilter(), IndicesFilter((2, 3, 4, 5))])
     log("AlexNet scheme-1 decomposed (fused kernels):")
     t_dec = time_apply(m2, v2, x)
-    log(f"  {t_dec * 1e3:.3f} ms/fwd ({B / t_dec:.0f} img/s)")
     return t_orig / t_dec
 
 
@@ -113,34 +121,43 @@ def bench_mscan():
     x = jax.random.normal(KEY, (B, 224, 224, 3))
     model = MSCAN_Classifier(num_classes=1000)
     variables = {"params": model.init(KEY), "state": model.init_state()}
-    log("MSCAN-t original:")
+    log("MSCAN-t original f32:")
     t_orig = time_apply(model, variables, x)
-    log(f"  {t_orig * 1e3:.3f} ms/fwd ({B / t_orig:.0f} img/s)")
 
     m2 = MSCAN_Classifier(num_classes=1000)
     v2 = {"params": m2.init(KEY), "state": m2.init_state()}
     app = MscaRep(decomp=1, fix=True)
     m2, v2 = run_pipeline(m2, v2, app, [])
-    log("MSCAN-t msca-rep d1+fix:")
+    log("MSCAN-t msca-rep d1+fix f32 (headline config):")
     t_rep = time_apply(m2, v2, x)
-    log(f"  {t_rep * 1e3:.3f} ms/fwd ({B / t_rep:.0f} img/s)")
 
-    # extras (stderr only): the framework's best serving config —
-    # decomp_conv0 + the FfnRep fc1/dconv merge on stages 1-2 + bf16
+    # extras (stderr only): the best serving config — decomp_conv0 + the
+    # FfnRep fc1/dconv merge on stages 1-2 (+ MXU strip lowering, on by
+    # default for the deploy cascades) — in BOTH dtypes, plus the bf16
+    # original, so like-for-like same-dtype ratios are reported.
     try:
         from convnet_approximater_tpu.core import FfnRep
         from convnet_approximater_tpu.utils import cast_floating
+
+        log("MSCAN-t original bf16:")
+        vb = {"params": cast_floating(variables["params"]),
+              "state": variables["state"]}
+        t_orig_bf16 = time_apply(model, vb, x.astype(jnp.bfloat16))
 
         m3 = MSCAN_Classifier(num_classes=1000)
         v3 = {"params": m3.init(KEY), "state": m3.init_state()}
         m3, v3 = run_pipeline(m3, v3, MscaRep(decomp=1, fix=True, decomp_conv0=True), [])
         m3, v3 = run_pipeline(m3, v3, FfnRep(fix=True),
                               [IndicesFilter((1, 2, 3, 4, 5, 6))])
+        log("MSCAN-t best serving config (d1+fix+dconv0+ffnrep(1,2)) f32:")
+        t_best_f32 = time_apply(m3, v3, x)
         v3b = {"params": cast_floating(v3["params"]), "state": v3["state"]}
-        log("MSCAN-t d1+fix+dconv0+ffnrep(1,2) bf16 (best serving config):")
+        log("MSCAN-t best serving config bf16:")
         t_best = time_apply(m3, v3b, x.astype(jnp.bfloat16))
-        log(f"  {t_best * 1e3:.3f} ms/fwd ({B / t_best:.0f} img/s) "
-            f"[{t_orig / t_best:.3f}x vs f32 original]")
+        log(f"like-for-like: f32-vs-f32 {t_orig / t_best_f32:.3f}x | "
+            f"bf16-vs-bf16 {t_orig_bf16 / t_best:.3f}x | "
+            f"bf16-vs-f32-orig {t_orig / t_best:.3f}x "
+            f"({B / t_best:.0f} img/s serving)")
     except Exception as e:
         log(f"best-config extra failed: {e}")
     return t_orig / t_rep

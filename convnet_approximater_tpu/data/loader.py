@@ -121,10 +121,15 @@ class Loader:
                         except queue.Full:
                             continue
             finally:
-                try:
-                    q.put_nowait(stop)
-                except queue.Full:
-                    pass
+                # deliver the sentinel with the same cancel-aware bounded put
+                # (put_nowait could drop it against a full queue and leave the
+                # consumer blocked on q.get forever)
+                while not cancel.is_set():
+                    try:
+                        q.put(stop, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

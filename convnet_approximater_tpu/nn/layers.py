@@ -214,6 +214,8 @@ class GELU(Module):
         import os
 
         exact = (not self.approximate) or os.environ.get("CAT_EXACT_GELU")
+        if os.environ.get("CAT_FAST_GELU"):  # explicit opt-out wins
+            exact = False
         return jax.nn.gelu(x, approximate=not exact)
 
 

@@ -27,8 +27,20 @@ from .base import BaseRunner
 
 
 class ClassInference(BaseRunner):
+    """``exact_gelu`` (default True): deploy/parity surface — checkpoints
+    fine-tuned in torch used erf GELU, so evaluate with it (the framework's
+    perf surfaces default to the tanh form; ADVICE r1).  ``dtype``: serving
+    dtype for weights + inputs ('float32' parity default; 'bfloat16' is the
+    measured best-throughput serving mode, see doc/perf-notes.md)."""
+
     def __init__(self, checkpoint: str, batch_size: int = 16, input_size=(224, 224, 3),
-                 do_decomp: bool = False, eval_cfg=None, rng=None):
+                 do_decomp: bool = False, eval_cfg=None, rng=None,
+                 exact_gelu: bool = True, dtype: str = "float32"):
+        import os
+
+        if exact_gelu and not os.environ.get("CAT_FAST_GELU"):
+            os.environ.setdefault("CAT_EXACT_GELU", "1")
+        self.dtype = jax.numpy.dtype(dtype)
         cfg = get_cfg()
         self.cfg = cfg
         self.checkpoint = checkpoint
@@ -46,9 +58,18 @@ class ClassInference(BaseRunner):
         self.ori_model = build_model(cfg.model)
 
     def _report(self, tag, model, variables):
+        import jax.numpy as jnp
+
         logger = get_logger()
+        if self.dtype != jnp.float32:
+            from convnet_approximater_tpu.utils import cast_floating
+
+            variables = {"params": cast_floating(variables["params"], self.dtype),
+                         "state": variables.get("state", {})}
+            tag = f"{tag}/{self.dtype.name}"
         shape = (self.batch_size,) + self.input_size
-        _, _, times = time_forward(model, variables, shape, num_iters=10, warmup=3)
+        _, _, times = time_forward(model, variables, shape, num_iters=10, warmup=3,
+                                   dtype=self.dtype)
         info = analyze_model(model, variables, shape)
         logger.info(
             f"[{tag}] fwd median {float(times.mean()) * 1e3:.3f} ms | "
