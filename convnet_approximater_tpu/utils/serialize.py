@@ -46,10 +46,21 @@ def unflatten_tree(flat: Dict[str, Any]) -> Dict[str, Any]:
     return tree
 
 
+ORBAX_SUFFIX = ".orbax"
+
+
 def save_model(variables: Dict[str, Any], path: str):
-    """Save a ``{'params': ..., 'state': ...}`` tree to ``path`` (.npz)."""
+    """Save a ``{'params': ..., 'state': ...}`` tree to ``path``.
+
+    Default format is a single ``.npz`` of flat keys (portable, atomic).
+    A path ending in ``.orbax`` selects the orbax-checkpoint backend
+    (sharded/async-capable TensorStore storage — the right choice for
+    multi-host or very large models); the same flat key space is stored, so
+    the two formats are drop-in interchangeable through ``load_ckpt``."""
     flat = flatten_tree(variables)
     flat = {k: np.asarray(v) for k, v in flat.items()}
+    if str(path).endswith(ORBAX_SUFFIX):
+        return _save_orbax(flat, path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # Write via a buffer for atomicity on interrupted runs.
     buf = io.BytesIO()
@@ -58,8 +69,33 @@ def save_model(variables: Dict[str, Any], path: str):
         f.write(buf.getvalue())
 
 
+def _save_orbax(flat: Dict[str, Any], path: str):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        # '/' is orbax's tree separator; store the flat keys '|'-escaped
+        ckptr.save(path, {k.replace(SEP, "|"): v for k, v in flat.items()})
+
+
+def _load_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        flat = ckptr.restore(os.path.abspath(path))
+    return unflatten_tree({k.replace("|", SEP): np.asarray(v)
+                           for k, v in flat.items()})
+
+
 def load_ckpt(path: str) -> Dict[str, Any]:
-    """Load a checkpoint file into a nested tree of numpy arrays."""
+    """Load a checkpoint (.npz file or .orbax dir) into a nested numpy tree."""
+    if os.path.isdir(path) or str(path).endswith(ORBAX_SUFFIX):
+        return _load_orbax(path)
     with np.load(path, allow_pickle=False) as data:
         flat = {k: data[k] for k in data.files}
     return unflatten_tree(flat)

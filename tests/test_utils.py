@@ -116,3 +116,25 @@ def test_load_into_strict_raises():
         load_into(cur, ckpt, strict=True)
     merged = load_into(cur, {"params": {"a": np.ones(2)}}, strict=True)
     np.testing.assert_array_equal(merged["params"]["a"], np.ones(2))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """A path ending in .orbax selects the orbax/TensorStore backend; the
+    stored key space matches the npz format so loads are interchangeable."""
+    import numpy as np
+
+    from convnet_approximater_tpu.utils.serialize import load_ckpt, save_model
+
+    tree = {"params": {"conv": {"weight": np.arange(12.0).reshape(3, 4),
+                                "bias": np.zeros(4, np.float32)}},
+            "state": {"bn": {"mean": np.ones(4, np.float32)}}}
+    path = str(tmp_path / "model.orbax")
+    save_model(tree, path)
+    back = load_ckpt(path)
+    np.testing.assert_array_equal(back["params"]["conv"]["weight"],
+                                  tree["params"]["conv"]["weight"])
+    np.testing.assert_array_equal(back["state"]["bn"]["mean"],
+                                  tree["state"]["bn"]["mean"])
+    # overwrite works (orbax refuses to clobber without the rm)
+    save_model(tree, path)
+    assert load_ckpt(path)["params"]["conv"]["bias"].shape == (4,)
