@@ -35,12 +35,18 @@ class ClassInference(BaseRunner):
 
     def __init__(self, checkpoint: str, batch_size: int = 16, input_size=(224, 224, 3),
                  do_decomp: bool = False, eval_cfg=None, rng=None,
-                 exact_gelu: bool = True, dtype: str = "float32"):
+                 exact_gelu: bool = True, dtype: str = "float32",
+                 fold_bn=None):
         import os
 
         if exact_gelu and not os.environ.get("CAT_FAST_GELU"):
             os.environ.setdefault("CAT_EXACT_GELU", "1")
         self.dtype = jax.numpy.dtype(dtype)
+        # deploy-time BN fold (deploy.fold_batchnorm): exact, inference-only;
+        # default on for the bf16 serving surface (measured -0.29 ms/fwd),
+        # off for the f32 parity surface
+        self.fold_bn = (self.dtype != jax.numpy.float32) if fold_bn is None \
+            else bool(fold_bn)
         cfg = get_cfg()
         self.cfg = cfg
         self.checkpoint = checkpoint
@@ -61,6 +67,10 @@ class ClassInference(BaseRunner):
         import jax.numpy as jnp
 
         logger = get_logger()
+        if self.fold_bn:
+            from convnet_approximater_tpu.deploy import fold_batchnorm
+
+            fold_batchnorm(model, variables)  # idempotent; edits in place
         if self.dtype != jnp.float32:
             from convnet_approximater_tpu.utils import cast_floating
 

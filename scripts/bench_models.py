@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""README-table benchmarks beyond the headline: MSCAN-s and VGG-16.
+
+MSCAN-s (the reference's larger classification config,
+``/root/reference/configs/_base_/models/mscan/mscan-s.py``): original vs
+msca-rep d1+fix vs best serving config (d1+fix+dconv0+ffnrep stages 1-2),
+f32 and bf16.  VGG-16: dense vs scheme-1 decomposed (bases chosen at ~2x
+MAC cut on the 3x3 stack), the BASELINE.json workload class.
+
+Usage: python scripts/bench_models.py [--model mscan-s|vgg16|all] [--batch 64]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cat_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from bench import KEY, run_pipeline, time_apply
+from convnet_approximater_tpu.core import FfnRep, LowRankExpV1, MscaRep
+from convnet_approximater_tpu.filters import IndicesFilter, SimpleConvFilter
+from convnet_approximater_tpu.models import MSCAN_Classifier, VGG
+from convnet_approximater_tpu.utils import cast_floating
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def bench_mscan_s(B):
+    x = jax.random.normal(KEY, (B, 224, 224, 3))
+    model = MSCAN_Classifier(
+        num_classes=1000, num_channels=(64, 128, 320, 512),
+        num_blocks=(2, 2, 4, 2), exp_ratios=(8, 8, 4, 4))
+    variables = {"params": model.init(KEY), "state": model.init_state()}
+    log("MSCAN-s original f32:")
+    t_orig = time_apply(model, variables, x)
+    vb = {"params": cast_floating(variables["params"]), "state": variables["state"]}
+    log("MSCAN-s original bf16:")
+    t_orig_bf16 = time_apply(model, vb, x.astype(jnp.bfloat16))
+
+    m2 = MSCAN_Classifier(
+        num_classes=1000, num_channels=(64, 128, 320, 512),
+        num_blocks=(2, 2, 4, 2), exp_ratios=(8, 8, 4, 4))
+    v2 = {"params": m2.init(KEY), "state": m2.init_state()}
+    m2, v2 = run_pipeline(m2, v2, MscaRep(decomp=1, fix=True), [])
+    log("MSCAN-s msca-rep d1+fix f32 (headline config):")
+    t_rep = time_apply(m2, v2, x)
+
+    m3 = MSCAN_Classifier(
+        num_classes=1000, num_channels=(64, 128, 320, 512),
+        num_blocks=(2, 2, 4, 2), exp_ratios=(8, 8, 4, 4))
+    v3 = {"params": m3.init(KEY), "state": m3.init_state()}
+    m3, v3 = run_pipeline(m3, v3, MscaRep(decomp=1, fix=True, decomp_conv0=True), [])
+    # stages 1-2 of mscan-s = the first 4 blocks (1-based indices)
+    m3, v3 = run_pipeline(m3, v3, FfnRep(fix=True), [IndicesFilter((1, 2, 3, 4))])
+    log("MSCAN-s best serving config f32:")
+    t_best_f32 = time_apply(m3, v3, x)
+    v3b = {"params": cast_floating(v3["params"]), "state": v3["state"]}
+    log("MSCAN-s best serving config bf16:")
+    t_best = time_apply(m3, v3b, x.astype(jnp.bfloat16))
+
+    log(f"MSCAN-s summary (b={B}): orig f32 {t_orig*1e3:.2f} ms | "
+        f"rep d1fix {t_rep*1e3:.2f} ms = {t_orig/t_rep:.3f}x | "
+        f"best f32 {t_best_f32*1e3:.2f} ms = {t_orig/t_best_f32:.3f}x | "
+        f"best bf16 {t_best*1e3:.2f} ms = {t_orig_bf16/t_best:.3f}x vs bf16 orig, "
+        f"{t_orig/t_best:.3f}x vs f32 orig ({B/t_best:.0f} img/s)")
+
+
+def bench_vgg16(B):
+    x = jax.random.normal(KEY, (B, 224, 224, 3))
+    model = VGG(depth=16, num_classes=1000)
+    variables = {"params": model.init(KEY)}
+    log("VGG-16 dense f32:")
+    t_orig = time_apply(model, variables, x)
+
+    m2 = VGG(depth=16, num_classes=1000)
+    v2 = {"params": m2.init(KEY)}
+    # scheme-1 on convs 2..13 (skip the first 3->64); bases = C_out/4 keeps
+    # the MAC cut at ~2x on the 3x3 stack (the reference's AlexNet recipe
+    # used much deeper cuts on far fatter 11x11/5x5 kernels)
+    bases = (16, 32, 32, 64, 64, 64, 128, 128, 128, 128, 128, 128)
+    app = LowRankExpV1(num_bases=bases, max_iter=0, lmda_length=1, min_lmda=0,
+                       max_lmda=0, init_method="svd", do_decomp=True)
+    m2, v2 = run_pipeline(m2, v2, app,
+                          [SimpleConvFilter(), IndicesFilter(tuple(range(1, 13)))])
+    log("VGG-16 scheme-1 decomposed (C/4 bases, layers 2-13) f32:")
+    t_dec = time_apply(m2, v2, x)
+    log(f"VGG-16 summary (b={B}): dense {t_orig*1e3:.2f} ms -> decomposed "
+        f"{t_dec*1e3:.2f} ms = {t_orig/t_dec:.3f}x")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="all", choices=["mscan-s", "vgg16", "all"])
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+    log(f"devices: {jax.devices()}")
+    if args.model in ("mscan-s", "all"):
+        bench_mscan_s(args.batch)
+    if args.model in ("vgg16", "all"):
+        bench_vgg16(args.batch)
+
+
+if __name__ == "__main__":
+    main()

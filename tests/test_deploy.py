@@ -1,0 +1,100 @@
+"""Deploy-time BN folding: exactness + structure/param-tree pairing."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import convnet_approximater_tpu.nn as nn
+from convnet_approximater_tpu.deploy import fold_batchnorm
+from convnet_approximater_tpu.models import MSCAN_Classifier
+from convnet_approximater_tpu.nn import Identity
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _randomize_bn_state(state):
+    """Fresh-init BN stats are (0,1) — make them non-trivial so the fold is
+    actually exercised."""
+    def walk(node, key):
+        if isinstance(node, dict):
+            for i, (k, v) in enumerate(sorted(node.items())):
+                sub = jax.random.fold_in(key, i)
+                if k == "mean" and not isinstance(v, dict):
+                    node[k] = jax.random.normal(sub, v.shape) * 0.5
+                elif k == "var" and not isinstance(v, dict):
+                    node[k] = jax.random.uniform(sub, v.shape, minval=0.3, maxval=2.0)
+                else:
+                    walk(v, sub)
+    walk(state, KEY)
+
+
+def test_fold_batchnorm_sequential_exact():
+    model = nn.Sequential(
+        nn.Conv2d(3, 8, 3, stride=2, padding=1),
+        nn.BatchNorm2d(8),
+        nn.GELU(),
+        nn.Conv2d(8, 16, 3, padding=1, bias=False),
+        nn.BatchNorm2d(16),
+    )
+    params = model.init(KEY)
+    state = model.init_state()
+    _randomize_bn_state(state)
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+    y_ref, _, _ = model.apply(params, x, state=state, training=False)
+
+    variables = {"params": params, "state": state}
+    n = fold_batchnorm(model, variables)
+    assert n == 2
+    assert isinstance(model[1], Identity) and isinstance(model[4], Identity)
+    assert "1" not in variables["params"] and "4" not in variables["params"]
+    assert "bias" in variables["params"]["3"]  # bias=False conv gained one
+    y, _, _ = model.apply(variables["params"], x,
+                          state=variables["state"], training=False)
+    assert jnp.max(jnp.abs(y - y_ref)) < 1e-5
+
+
+def test_fold_batchnorm_mscan_model_level():
+    """Stem + 3 DownSamples fold; whole-model outputs unchanged."""
+    model = MSCAN_Classifier(num_classes=10, num_channels=(8, 12, 16, 20),
+                             num_blocks=(1, 1, 1, 1), exp_ratios=(2, 2, 2, 2))
+    variables = {"params": model.init(KEY), "state": model.init_state()}
+    _randomize_bn_state(variables["state"])
+    x = jax.random.normal(KEY, (2, 64, 64, 3))
+    y_ref, _, _ = model.apply(variables["params"], x,
+                              state=variables["state"], training=False)
+    n = fold_batchnorm(model, variables)
+    assert n == 5  # stem conv1+conv2, downsample x3
+    y, _, _ = model.apply(variables["params"], x,
+                          state=variables["state"], training=False)
+    assert jnp.max(jnp.abs(y - y_ref)) < 1e-4
+    # block-internal norm1/norm2 BNs must survive (pre-norm, not foldable)
+    kept = [p for p, m in model.named_modules()
+            if isinstance(m, nn.layers.BatchNorm2d)]
+    assert any("norm1" in p for p in kept) and any("norm2" in p for p in kept)
+
+
+def test_fold_batchnorm_training_forward_differs():
+    """Folded models are serving-only: training-mode BN would recompute batch
+    stats, so the transform must not silently equal the training path."""
+    model = nn.Sequential(nn.Conv2d(3, 4, 3, padding=1), nn.BatchNorm2d(4))
+    params = model.init(KEY)
+    state = model.init_state()
+    _randomize_bn_state(state)
+    x = jax.random.normal(KEY, (4, 8, 8, 3))
+    y_train, _, _ = model.apply(params, x, state=state, training=True)
+    variables = {"params": params, "state": state}
+    fold_batchnorm(model, variables)
+    y_fold, _, _ = model.apply(variables["params"], x,
+                               state=variables["state"], training=False)
+    assert jnp.max(jnp.abs(y_fold - y_train)) > 1e-3
+
+
+def test_fold_batchnorm_idempotent():
+    model = nn.Sequential(nn.Conv2d(3, 4, 3), nn.BatchNorm2d(4))
+    variables = {"params": model.init(KEY), "state": model.init_state()}
+    fold_batchnorm(model, variables)
+    assert fold_batchnorm(model, variables) == 0
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
