@@ -115,8 +115,15 @@ class ValidateHelper:
             mesh = make_mesh()
             sharding = batch_sharding(mesh)
 
+        # serving surfaces hold bf16 weights; feed the model inputs in the
+        # weights' floating dtype (mixed conv operand dtypes are an error)
+        leaves = jax.tree_util.tree_leaves(params)
+        param_dt = next((l.dtype for l in leaves
+                         if jnp.issubdtype(l.dtype, jnp.floating)), jnp.float32)
+
         @jax.jit
         def eval_step(params, state, images, labels):
+            images = images.astype(param_dt)
             logits, _, _ = model.apply(params, images, state=state, training=False)
             one_hot = jax.nn.one_hot(labels, logits.shape[-1])
             loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, axis=-1))

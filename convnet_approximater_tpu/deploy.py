@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from convnet_approximater_tpu.nn import Identity, Sequential
@@ -118,3 +119,44 @@ def fold_batchnorm(model, variables: dict, verbose: bool = False) -> int:
         if verbose:
             print(f"fold_batchnorm: {conv_path} <- {bn_path}")
     return len(pairs)
+
+
+def compile_serving(fn, *example_args):
+    """Compile ``fn`` with XLA-chosen (AUTO) input layouts for serving.
+
+    The round-2b trace showed the jitted forward paying an on-device layout
+    copy of the input batch (copy.152: the NHWC batch arrives in the default
+    row-major layout but the stem conv wants a tiled batch-in-lanes form).
+    A serving session can instead let XLA pick every input's preferred
+    layout at compile time and place host batches straight into it —
+    the transfer then lands pre-formatted and the copy disappears.
+
+    Returns ``(compiled, put)``: ``compiled(*args)`` is the executable and
+    ``put(*args)`` device-puts positional args into the chosen formats
+    (weights/state once at session setup; each input batch on arrival).
+
+    Caveat (measured on the axon v5e relay): ``jax.device_put`` cannot
+    honor every AUTO-chosen layout on the host->device transfer path —
+    e.g. a batch-minor ``(1,2,3,0)`` input layout with ``(4,128)`` tiling
+    lands in a different format than requested.  ``put`` verifies what
+    actually landed and falls back to an on-device relayout (a jitted
+    identity with ``out_shardings=<format>``) for any leaf the transfer
+    could not format — still correct, and weights only pay it once.
+    """
+    from jax.experimental.layout import Format, Layout
+
+    auto = Format(Layout.AUTO)
+    jitted = jax.jit(fn, in_shardings=auto)
+    compiled = jitted.lower(*example_args).compile()
+    formats = compiled.input_formats[0]
+
+    def _put_leaf(a, f):
+        out = jax.device_put(a, f)
+        if getattr(out, "format", None) != f:
+            out = jax.jit(lambda t: t, out_shardings=f)(out)
+        return out
+
+    def put(*args):
+        return jax.tree_util.tree_map(_put_leaf, list(args), list(formats))
+
+    return compiled, put

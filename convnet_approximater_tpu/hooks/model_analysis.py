@@ -20,14 +20,18 @@ def count_params(params) -> int:
     return sum(int(np.prod(np.shape(p))) for p in jax.tree_util.tree_leaves(params))
 
 
-def analyze_model(model, variables, input_shape=(1, 224, 224, 3)) -> dict:
-    """Compile the eval forward and pull XLA's cost analysis."""
+def analyze_model(model, variables, input_shape=(1, 224, 224, 3),
+                  dtype=jnp.float32) -> dict:
+    """Compile the eval forward and pull XLA's cost analysis.
+
+    ``dtype`` must match the weights' floating dtype (bf16 serving surfaces
+    pass bfloat16 — mixed conv operand dtypes are a trace-time error)."""
 
     def fwd(params, state, x):
         y, _, _ = model.apply(params, x, state=state, training=False)
         return y
 
-    x = jnp.zeros(input_shape, jnp.float32)
+    x = jnp.zeros(input_shape, dtype)
     compiled = jax.jit(fwd).lower(variables["params"], variables.get("state", {}), x).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):  # older jax returns a per-computation list

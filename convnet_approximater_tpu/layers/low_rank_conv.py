@@ -258,11 +258,17 @@ class LowRankExpConvV1(Module):
         """
         if isinstance(self.s_conv, SeparableConv):
             return params
+        import numpy as np
+
         w = params["s_conv"]["weight"]  # (kh, kw, 1, C*M) HWIO grouped
         kh, kw, _, cm = w.shape
-        # -> (C*M, kh, kw) for per-output-channel SVD
-        k = jnp.transpose(w[:, :, 0, :], (2, 0, 1))
-        u, s, vh = jnp.linalg.svd(k, full_matrices=False)
+        # -> (C*M, kh, kw) for per-output-channel SVD.  Host numpy: a one-time
+        # solve over up-to-10^5 tiny (k,k) matrices — XLA's TPU QR custom-call
+        # runs out of scoped VMEM above ~2^14 batched 3x3 SVDs (hit on VGG-16
+        # 512-ch layers), and device latency is irrelevant here.
+        k = np.transpose(np.asarray(w[:, :, 0, :], dtype=np.float32), (2, 0, 1))
+        u, s, vh = np.linalg.svd(k, full_matrices=False)
+        u, s, vh = jnp.asarray(u), jnp.asarray(s), jnp.asarray(vh)
         s0 = jnp.sqrt(s[:, 0])
         v_w = (u[:, :, 0] * s0[:, None])  # (C*M, kh)
         h_w = (vh[:, 0, :] * s0[:, None])  # (C*M, kw)

@@ -80,7 +80,7 @@ class ClassInference(BaseRunner):
         shape = (self.batch_size,) + self.input_size
         _, _, times = time_forward(model, variables, shape, num_iters=10, warmup=3,
                                    dtype=self.dtype)
-        info = analyze_model(model, variables, shape)
+        info = analyze_model(model, variables, shape, dtype=self.dtype)
         logger.info(
             f"[{tag}] fwd median {float(times.mean()) * 1e3:.3f} ms | "
             f"MACs {info['macs'] / 1e6:.2f} M | params {info['params'] / 1e6:.2f} M"

@@ -89,6 +89,24 @@ def test_fold_batchnorm_training_forward_differs():
     assert jnp.max(jnp.abs(y_fold - y_train)) > 1e-3
 
 
+def test_compile_serving_matches_default_jit():
+    """AUTO-layout serving session: same numerics, pre-formatted inputs."""
+    from convnet_approximater_tpu.deploy import compile_serving
+
+    m = nn.Sequential(nn.Conv2d(3, 8, 3, padding=1), nn.GELU(),
+                      nn.Conv2d(8, 4, 3, padding=1))
+    params = m.init(KEY)
+
+    def fwd(p, x):
+        y, _, _ = m.apply(p, x, training=False)
+        return y
+
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+    compiled, put = compile_serving(fwd, params, x)
+    p2, x2 = put(params, x)
+    assert jnp.max(jnp.abs(compiled(p2, x2) - fwd(params, x))) < 1e-6
+
+
 def test_fold_batchnorm_idempotent():
     model = nn.Sequential(nn.Conv2d(3, 4, 3), nn.BatchNorm2d(4))
     variables = {"params": model.init(KEY), "state": model.init_state()}

@@ -70,6 +70,20 @@ def test_class_inference_comparator(tmp_path):
     ci.run()  # must complete: original + approximated reports
 
 
+def test_class_inference_bf16_serving(tmp_path):
+    """Serving dtype: reports run in bf16 and the BN fold defaults on
+    (TinyNet has no conv->BN pairs, so the fold is a no-op here — the point
+    is the surface runs end-to-end with fold_bn enabled)."""
+    runner = _run(tmp_path, "[]")
+    ci = ClassInference(checkpoint=runner.output_path, batch_size=2,
+                        input_size=(16, 16, 3), dtype="bfloat16")
+    assert ci.fold_bn is True
+    ci.run()
+    ci2 = ClassInference(checkpoint=runner.output_path, batch_size=2,
+                         input_size=(16, 16, 3))
+    assert ci2.fold_bn is False  # f32 parity surface: fold off by default
+
+
 def test_decomp_hook(tmp_path):
     runner = _run(
         tmp_path,
