@@ -121,6 +121,31 @@ def fold_batchnorm(model, variables: dict, verbose: bool = False) -> int:
     return len(pairs)
 
 
+def enable_pw_matmul(model, verbose: bool = False) -> int:
+    """Opt every qualifying 1x1 conv into the flattened-matmul lowering.
+
+    The round-2c trace showed XLA's conv emitter running small-spatial 1x1
+    convs (stage-3/4 FFN fc1/fc2 at 14^2/7^2) at ~6% of the bf16 MXU
+    roofline (H in the lanes); ``ops/conv.py::pointwise_matmul`` tiles
+    M = B*H*W properly and wins -0.13 ms on the best serving config.  The
+    spatial gate (H*W <= 196, measured) lives in the lowering — this just
+    sets the per-layer opt-in flag, so structure (not params) changes and
+    the rewrite is trivially idempotent.  Serving surfaces call this next
+    to ``fold_batchnorm``; ``CAT_PW_MATMUL`` still force-overrides.
+    """
+    n = 0
+    for path, mod in model.named_modules():
+        if (isinstance(mod, Conv2d) and mod.kernel_size == (1, 1)
+                and mod.groups == 1 and mod.stride == (1, 1)
+                and mod.padding == (0, 0) and mod.dilation == (1, 1)
+                and not mod.pw_matmul):
+            mod.pw_matmul = True
+            n += 1
+            if verbose:
+                print(f"enable_pw_matmul: {path}")
+    return n
+
+
 def compile_serving(fn, *example_args):
     """Compile ``fn`` with XLA-chosen (AUTO) input layouts for serving.
 

@@ -52,6 +52,7 @@ class Conv2d(Module):
         groups: int = 1,
         bias: bool = True,
         strip_matmul: bool = False,
+        pw_matmul: bool = False,
     ):
         super().__init__()
         self.in_channels = in_channels
@@ -66,6 +67,10 @@ class Conv2d(Module):
         # depthwise strip (set by CascadeConv for its k>=7 strips — measured
         # whole-model win on TPU; see ops/conv.py docstring)
         self.strip_matmul = strip_matmul
+        # opt this conv into the flattened-matmul 1x1 lowering on small
+        # spatial maps (set by deploy.enable_pw_matmul on serving surfaces —
+        # measured whole-model win on TPU; see ops/conv.py)
+        self.pw_matmul = pw_matmul
         assert in_channels % groups == 0 and out_channels % groups == 0
 
     def init_params(self, rng):
@@ -79,8 +84,9 @@ class Conv2d(Module):
         return params
 
     def __call__(self, params, x, ctx: Ctx):
-        sm = self.strip_matmul and not ctx.training \
-            and jax.default_backend() in ("tpu", "axon")
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        sm = self.strip_matmul and not ctx.training and on_tpu
+        pw = self.pw_matmul and not ctx.training and on_tpu
         return ops.conv2d(
             x,
             params["weight"],
@@ -90,6 +96,7 @@ class Conv2d(Module):
             groups=self.groups,
             dilation=self.dilation,
             strip_matmul=sm,
+            pw_matmul=pw,
         )
 
 

@@ -117,6 +117,66 @@ def _try_strip_matmul(x, w, b, stride, padding, groups, dilation,
     return strip_conv_matmul(x, w, b, pt if kh > 1 else pl)
 
 
+@lru_cache(maxsize=1)
+def _pw_matmul_env():
+    """CAT_PW_MATMUL: '' unset (per-call ``pw_matmul`` decides), '0' force-off,
+    '1' force-on, or an integer L: force-on only where H*W <= L (the
+    small-spatial maps whose conv-emitter layout wastes MXU lanes)."""
+    v = os.environ.get("CAT_PW_MATMUL", "").strip().lower()
+    if not v:
+        return None, 0
+    if v in ("0", "off", "false"):
+        return "force-off", 0
+    if v in ("1", "on", "true", "yes"):
+        return "force-on", 1 << 30
+    try:
+        return "force-on", max(int(v), 1)
+    except ValueError:
+        return "force-on", 1 << 30
+
+
+def pointwise_matmul(x: jnp.ndarray, w: jnp.ndarray,
+                     b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """1x1 conv as an explicit (B*H*W, Cin) x (Cin, Cout) MXU matmul.
+
+    The round-2c trace showed XLA's conv emitter running the small-spatial
+    1x1 convs (stage-3/4 FFN fc1/fc2: 14x14 and 7x7 maps) at ~6% of the
+    bf16 MXU roofline — the chosen layout puts H(=14) in the lanes.  A dot
+    over the flattened spatial axis tiles M = B*H*W onto the MXU properly.
+    Exact up to f32-accumulation rounding vs the conv lowering.
+    """
+    y = jnp.einsum("bhwc,cd->bhwd", x, w[0, 0],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+# measured sweep (scripts/exp_pw_matmul.py, best bf16 serving config):
+# <=196 (14^2 and down) wins -0.13 ms; 28^2 and up under the matmul form
+# loses the conv emitter's better large-map layouts.
+PW_MATMUL_DEFAULT_MAX_HW = 196
+
+
+def _try_pointwise_matmul(x, w, b, stride, padding, groups, dilation,
+                          prefer: bool = False):
+    mode, max_hw = _pw_matmul_env()
+    if mode == "force-off" or (mode is None and not prefer):
+        return None
+    if mode is None:
+        max_hw = PW_MATMUL_DEFAULT_MAX_HW
+    if w.shape[0] != 1 or w.shape[1] != 1 or groups != 1:
+        return None
+    if _pair(stride) != (1, 1) or _pair(dilation) != (1, 1):
+        return None
+    pads = _pad_pairs(padding)
+    if isinstance(pads, str) or pads != ((0, 0), (0, 0)):
+        return None
+    if x.shape[1] * x.shape[2] > max_hw:
+        return None
+    return pointwise_matmul(x, w, b)
+
+
 def _pad_pairs(padding: PadT):
     if isinstance(padding, str):
         return padding
@@ -143,15 +203,23 @@ def conv2d(
     groups: int = 1,
     dilation=1,
     strip_matmul: bool = False,
+    pw_matmul: bool = False,
 ) -> jnp.ndarray:
     """2-D cross-correlation, NHWC x HWIO -> NHWC.
 
     ``strip_matmul=True`` asks for the banded-Toeplitz MXU lowering when the
     conv is a qualifying depthwise strip (see module docstring); the
-    ``CAT_STRIP_MATMUL`` env var force-enables/disables globally."""
+    ``CAT_STRIP_MATMUL`` env var force-enables/disables globally.
+    ``pw_matmul=True`` lowers a qualifying 1x1 conv as an explicit flattened
+    matmul (``pointwise_matmul``); ``CAT_PW_MATMUL`` force-overrides."""
     if groups > 1:
         y = _try_strip_matmul(x, w, b, stride, padding, groups, dilation,
                               prefer=strip_matmul)
+        if y is not None:
+            return y
+    else:
+        y = _try_pointwise_matmul(x, w, b, stride, padding, groups, dilation,
+                                  prefer=pw_matmul)
         if y is not None:
             return y
     y = lax.conv_general_dilated(

@@ -52,8 +52,10 @@ def main():
         model, variables = run_pipeline(
             model, variables, FfnRep(fix=True),
             filters=[IndicesFilter((1, 2, 3, 4, 5, 6))])
+        from convnet_approximater_tpu.deploy import fold_batchnorm
         from convnet_approximater_tpu.utils import cast_floating
 
+        fold_batchnorm(model, variables)
         variables = {"params": cast_floating(variables["params"]),
                      "state": variables["state"]}
         x = x.astype(jnp.bfloat16)

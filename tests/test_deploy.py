@@ -116,3 +116,59 @@ def test_fold_batchnorm_idempotent():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_pointwise_matmul_exact():
+    """1x1-as-matmul lowering matches the conv emitter bit-for-bit in f32
+    (same f32 accumulate), including bias."""
+    import os
+
+    from convnet_approximater_tpu.ops import conv as conv_ops
+
+    x = jax.random.normal(KEY, (2, 14, 14, 16))
+    w = jax.random.normal(jax.random.fold_in(KEY, 1), (1, 1, 16, 24)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(KEY, 2), (24,)) * 0.1
+    y_conv = conv_ops.conv2d(x, w, b)
+    try:
+        os.environ["CAT_PW_MATMUL"] = "1"
+        conv_ops._pw_matmul_env.cache_clear()
+        y_mm = conv_ops.conv2d(x, w, b)
+    finally:
+        os.environ.pop("CAT_PW_MATMUL", None)
+        conv_ops._pw_matmul_env.cache_clear()
+    assert jnp.max(jnp.abs(y_mm - y_conv)) < 1e-5
+
+
+def test_enable_pw_matmul_selects_only_qualifying():
+    from convnet_approximater_tpu.deploy import enable_pw_matmul
+
+    model = nn.Sequential(
+        nn.Conv2d(8, 16, 1),                 # qualifies
+        nn.Conv2d(16, 16, 3, padding=1),     # k=3: no
+        nn.Conv2d(16, 16, 1, groups=2),      # grouped: no
+        nn.Conv2d(16, 16, 1, stride=2),      # strided: no
+        nn.Conv2d(16, 8, 1),                 # qualifies
+    )
+    n = enable_pw_matmul(model)
+    assert n == 2
+    flags = [m.pw_matmul for _, m in model.named_modules()
+             if isinstance(m, nn.Conv2d)]
+    assert flags == [True, False, False, False, True]
+    assert enable_pw_matmul(model) == 0  # idempotent
+
+
+def test_enable_pw_matmul_mscan_numerics_unchanged():
+    """Flag-setting rewrite: no params change, eval forward identical on CPU
+    (the matmul lowering itself only engages on TPU backends)."""
+    from convnet_approximater_tpu.deploy import enable_pw_matmul
+
+    model = MSCAN_Classifier(num_classes=10, num_channels=(8, 12, 16, 20),
+                             num_blocks=(1, 1, 1, 1), exp_ratios=(2, 2, 2, 2))
+    variables = {"params": model.init(KEY), "state": model.init_state()}
+    x = jax.random.normal(KEY, (2, 32, 32, 3))
+    y0, _, _ = model.apply(variables["params"], x, state=variables["state"],
+                           training=False)
+    assert enable_pw_matmul(model) > 0
+    y1, _, _ = model.apply(variables["params"], x, state=variables["state"],
+                           training=False)
+    assert jnp.max(jnp.abs(y1 - y0)) == 0
