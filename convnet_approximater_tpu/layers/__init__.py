@@ -6,3 +6,4 @@ from .merged_ffn import MergedFFN
 from .msca import MSCA, MSCAProfile
 from .drop import DropPath, drop_path
 from .dummy import DummyLayer
+from .quant import QuantConv2d

@@ -221,11 +221,20 @@ class MSCAN(Module):
             if training:
                 bctx.drop_path_rate = rate
             y = template(p, x, bctx)
-            return y, bctx.state_out
+            return y, (bctx.state_out, bctx.taps)
 
-        y, s_out = lax.scan(body, x, (p_stack, s_stack, rates, idx))
-        # graft the stacked per-block state updates back under dotted paths
+        y, (s_out, taps_out) = lax.scan(body, x, (p_stack, s_stack, rates, idx))
+        # per-block taps come back stacked along the scan axis; re-key them
+        # under each block's dotted path (uniform shapes across blocks are
+        # guaranteed by the scannability check) — this lets e.g. the int8
+        # calibration pass (deploy.quantize_int8) run with the scan ON
         prefix = ctx.path
+        for rel, stacked in taps_out.items():
+            for n_i, (n, _) in enumerate(blocks):
+                full = f"{prefix}.{n}.{rel}" if prefix else f"{n}.{rel}"
+                ctx.taps[full] = jax.tree_util.tree_map(
+                    lambda v, n_i=n_i: v[n_i], stacked)
+        # graft the stacked per-block state updates back under dotted paths
         for rel, stacked in s_out.items():
             for n_i, (n, _) in enumerate(blocks):
                 full = f"{prefix}.{n}.{rel}" if prefix else f"{n}.{rel}"

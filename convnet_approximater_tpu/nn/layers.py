@@ -71,6 +71,9 @@ class Conv2d(Module):
         # spatial maps (set by deploy.enable_pw_matmul on serving surfaces —
         # measured whole-model win on TPU; see ops/conv.py)
         self.pw_matmul = pw_matmul
+        # transient deploy-time flag: tap this conv's input absmax during a
+        # quantization calibration pass (deploy.quantize_int8)
+        self._calib = False
         assert in_channels % groups == 0 and out_channels % groups == 0
 
     def init_params(self, rng):
@@ -84,6 +87,8 @@ class Conv2d(Module):
         return params
 
     def __call__(self, params, x, ctx: Ctx):
+        if self._calib:
+            ctx.tap("in_absmax", jnp.max(jnp.abs(x.astype(jnp.float32))))
         on_tpu = jax.default_backend() in ("tpu", "axon")
         sm = self.strip_matmul and not ctx.training and on_tpu
         pw = self.pw_matmul and not ctx.training and on_tpu

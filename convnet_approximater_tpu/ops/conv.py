@@ -236,6 +236,24 @@ def conv2d(
     return y
 
 
+def conv2d_int8(x_q: jnp.ndarray, w_q: jnp.ndarray, stride=1, padding: PadT = 0,
+                groups: int = 1, dilation=1) -> jnp.ndarray:
+    """int8 x int8 -> int32 conv on the MXU (the v5e runs int8 at ~1.4x the
+    bf16 conv rate even counting the quant/dequant chain — measured in-jit,
+    doc/perf-notes.md).  Operands must already be quantized int8; the caller
+    owns scales/dequantization (see ``layers/quant.py::QuantConv2d``)."""
+    return lax.conv_general_dilated(
+        x_q,
+        w_q,
+        window_strides=_pair(stride),
+        padding=_pad_pairs(padding),
+        rhs_dilation=_pair(dilation),
+        dimension_numbers=DIMS,
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+
+
 def depthwise_conv2d(x, w, b=None, stride=1, padding=0, dilation=1):
     """Depthwise conv: ``w`` is ``(kh, kw, 1, C)``; groups = C."""
     return conv2d(x, w, b, stride, padding, groups=x.shape[-1], dilation=dilation)
