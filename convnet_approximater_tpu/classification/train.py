@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -100,7 +101,11 @@ class TrainHelper:
         opt_state = tx.init(self.variables["params"])
         smoothing = cfg.label_smoothing
 
-        @jax.jit
+        # donate the reassigned-every-step trees on TPU (in-place weight /
+        # moment updates; see hooks/finetune.py for the rationale)
+        donate = (0, 1, 2) if jax.default_backend() in ("tpu", "axon") else ()
+
+        @partial(jax.jit, donate_argnums=donate)
         def train_step(params, state, opt_state, images, labels, rng):
             def loss_fn(params):
                 ctx = Ctx(training=True, rng=rng, state=state)

@@ -118,8 +118,53 @@ class SeparableConv(Module):
         )
 
     def __call__(self, params, x, ctx: Ctx):
+        if self._use_shift(ctx):
+            return self._shift_forward(params, x)
         x = self.child("v_conv", params, x, ctx)
         return self.child("h_conv", params, x, ctx)
+
+    # -- shift-multiply lowering ----------------------------------------
+    def _use_shift(self, ctx: Ctx) -> bool:
+        """Opt into the shift-multiply lowering (``CAT_SEP_SHIFT=1``).
+
+        XLA's grouped-conv emitter is catastrophic for the decomposed pair
+        (v: C groups with channel multiplier M, h: depthwise over C*M): the
+        round-2c VGG-16 trace shows 35% of device time in pure layout
+        copies around the (B,H,W,C*M) intermediates plus slow grouped conv
+        fusions.  The same contraction is k shifted broadcast
+        multiply-accumulates over a (B,H,W,C,M) map — fusable elementwise
+        work with no grouped-conv emitter involved."""
+        v = os.environ.get("CAT_SEP_SHIFT", "").strip().lower()
+        if v in ("0", "off", "false"):
+            return False
+        if not v:
+            return False
+        return (not ctx.training
+                and self.v_conv.stride == (1, 1) == self.h_conv.stride)
+
+    def _shift_forward(self, params, x):
+        wv = params["v_conv"]["weight"]  # (kh, 1, 1, C*M)
+        wh = params["h_conv"]["weight"]  # (1, kw, 1, C*M)
+        B, H, W, C = x.shape
+        kh, kw = wv.shape[0], wh.shape[1]
+        M = wv.shape[3] // C
+        tv = wv[:, 0, 0, :].reshape(kh, C, M).astype(x.dtype)
+        th = wh[0, :, 0, :].reshape(kw, C, M).astype(x.dtype)
+        ph = self.v_conv.padding[0]
+        pw = self.h_conv.padding[1]
+        Ho = H + 2 * ph - kh + 1
+        Wo = W + 2 * pw - kw + 1
+        xp = jnp.pad(x, ((0, 0), (ph, ph), (0, 0), (0, 0)))
+        y = None
+        for j in range(kh):
+            t = xp[:, j:j + Ho, :, :, None] * tv[j][None, None, None, :, :]
+            y = t if y is None else y + t
+        yp = jnp.pad(y, ((0, 0), (0, 0), (pw, pw), (0, 0), (0, 0)))
+        z = None
+        for j in range(kw):
+            t = yp[:, :, j:j + Wo, :, :] * th[j][None, None, None, :, :]
+            z = t if z is None else z + t
+        return z.reshape(B, Ho, Wo, C * M)
 
 
 @LAYER.register_module()

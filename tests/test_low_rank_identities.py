@@ -118,3 +118,26 @@ def test_matmul_mode_falls_back_on_per_channel_taps(monkeypatch):
     np.testing.assert_allclose(np.asarray(y_guarded), np.asarray(y_conv),
                                rtol=1e-5, atol=1e-6)
     assert layer._warned_per_channel
+
+
+def test_separable_shift_lowering_matches_grouped():
+    """CAT_SEP_SHIFT=1: shift-multiply lowering == grouped-conv pair."""
+    import os
+
+    import jax
+
+    from convnet_approximater_tpu.layers.low_rank_conv import SeparableConv
+    from convnet_approximater_tpu.nn.module import Ctx
+
+    key = jax.random.PRNGKey(3)
+    for (C, M, k, pad) in [(4, 3, 3, 1), (8, 2, 5, 2)]:
+        sc = SeparableConv(C, M, k, 1, pad)
+        params = sc.init(key)
+        x = jax.random.normal(key, (2, 12, 12, C))
+        y0 = sc(params, x, Ctx(training=False))
+        try:
+            os.environ["CAT_SEP_SHIFT"] = "1"
+            y1 = sc(params, x, Ctx(training=False))
+        finally:
+            os.environ.pop("CAT_SEP_SHIFT", None)
+        assert jnp.max(jnp.abs(y1 - y0)) < 1e-5
