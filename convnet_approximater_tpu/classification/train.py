@@ -101,9 +101,10 @@ class TrainHelper:
         opt_state = tx.init(self.variables["params"])
         smoothing = cfg.label_smoothing
 
-        # donate the reassigned-every-step trees on TPU (in-place weight /
-        # moment updates; see hooks/finetune.py for the rationale)
-        donate = (0, 1, 2) if jax.default_backend() in ("tpu", "axon") else ()
+        # donate the reassigned-every-step trees on real TPU runtimes only
+        # (in-place weight/moment updates; the axon relay rejects aliased
+        # buffers — see hooks/finetune.py for the full rationale)
+        donate = (0, 1, 2) if jax.default_backend() == "tpu" else ()
 
         @partial(jax.jit, donate_argnums=donate)
         def train_step(params, state, opt_state, images, labels, rng):

@@ -436,9 +436,11 @@ class L2Reconstruct(Hook):
         # donate the updated-in-place trees (params/state/opt_state are
         # reassigned from the step's outputs every iteration) — on TPU this
         # lets XLA update AdamW moments and weights in their own buffers
-        # instead of allocating fresh ones (peak-HBM and bandwidth win);
-        # CPU ignores donation with a warning, so gate it
-        donate = (0, 1, 2) if jax.default_backend() in ("tpu", "axon") else ()
+        # instead of allocating fresh ones (peak-HBM and bandwidth win).
+        # Gated to real TPU runtimes: CPU ignores donation with a warning,
+        # and the axon relay REJECTS aliased-buffer executables
+        # (INVALID_ARGUMENT at run time — measured, scripts/exp_train_donate.py)
+        donate = (0, 1, 2) if jax.default_backend() == "tpu" else ()
 
         @partial(jax.jit, donate_argnums=donate)
         def train_step(params, state, opt_state, mask, t_vars, images, labels, rng):
