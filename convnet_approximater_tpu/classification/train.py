@@ -22,7 +22,7 @@ from convnet_approximater_tpu.data import Loader, Synthetic, build_dataset
 from convnet_approximater_tpu.hooks.finetune import CheckpointSaver, make_optimizer, update_summary
 from convnet_approximater_tpu.nn.module import Ctx, _merge_state
 from convnet_approximater_tpu.parallel import batch_sharding, is_main_process, make_mesh, replicate
-from convnet_approximater_tpu.utils import get_logger
+from convnet_approximater_tpu.utils import cast_floating, get_logger
 from convnet_approximater_tpu.utils.config import Config
 
 from .validate import AverageMeter, accuracy_sums
@@ -51,6 +51,7 @@ _default_train_cfg = dict(
     use_mesh=True,
     max_steps_per_epoch=None,
     max_eval_batches=None,
+    amp=False,  # bf16 compute / f32 master params (see hooks/finetune.py)
     work_dir="work_dirs/train",
     seed=0,
 )
@@ -106,11 +107,18 @@ class TrainHelper:
         # buffers — see hooks/finetune.py for the full rationale)
         donate = (0, 1, 2) if jax.default_backend() == "tpu" else ()
 
+        amp = bool(cfg.amp)
+
         @partial(jax.jit, donate_argnums=donate)
         def train_step(params, state, opt_state, images, labels, rng):
             def loss_fn(params):
+                if amp:
+                    params = cast_floating(params, jnp.bfloat16)
+                    imgs = images.astype(jnp.bfloat16)
+                else:
+                    imgs = images
                 ctx = Ctx(training=True, rng=rng, state=state)
-                logits = model(params, images, ctx)
+                logits = model(params, imgs, ctx).astype(jnp.float32)
                 new_state = _merge_state(state, ctx.state_out)
                 one_hot = jax.nn.one_hot(labels, num_classes)
                 if smoothing > 0:

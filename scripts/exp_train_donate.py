@@ -82,19 +82,27 @@ def main():
     s_plain = make_step(model, tx, donate=False)
     s_don = make_step(model, tx, donate=True)
 
+    # plain pairs FIRST: a failed aliased executable wedges the whole relay
+    # session (every op afterwards dies), so the donated attempt goes last
     carry_a = (v_a["params"], v_a["state"], opt_a)
-    carry_b = (v_b["params"], v_b["state"], opt_b)
-    pairs = []
+    ts = []
     for i in range(4):
         ta, carry_a = time_steps(s_plain, carry_a, x, y)
+        ts.append(ta)
+        log(f"  rep {i}: plain {ta*1e3:.3f} ms")
+    ma = sum(ts) / len(ts)
+    log(f"train step (CE, AdamW, d1+fix rep, b={B}): plain {ma*1e3:.3f} ms "
+        f"({B/ma:.0f} img/s training)")
+    try:
+        carry_b = (v_b["params"], v_b["state"], opt_b)
         tb, carry_b = time_steps(s_don, carry_b, x, y)
-        pairs.append((ta, tb))
-        log(f"  pair {i}: plain {ta*1e3:.3f} ms | donated {tb*1e3:.3f} ms | "
-            f"delta {1e3*(ta-tb):+.3f} ms")
-    ma = sum(p[0] for p in pairs) / len(pairs)
-    mb = sum(p[1] for p in pairs) / len(pairs)
-    log(f"train-step donation: {ma*1e3:.3f} -> {mb*1e3:.3f} ms "
-        f"({ma/mb:.3f}x, {B/mb:.0f} img/s training)")
+        tb2, _ = time_steps(s_don, carry_b, x, y)
+        mb = (tb + tb2) / 2
+        log(f"donation: {ma*1e3:.3f} -> {mb*1e3:.3f} ms ({ma/mb:.3f}x)")
+    except Exception as e:
+        # the axon relay rejects aliased-buffer executables
+        # (doc/perf-notes.md "relay limitations")
+        log(f"donated step FAILED on this runtime: {str(e)[:120]}")
 
 
 if __name__ == "__main__":

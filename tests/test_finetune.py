@@ -281,3 +281,56 @@ hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
     runner2.run()
     hook = [h for h in runner2.hooks if h.name == "L2Reconstruct"][0]
     assert hook.result["best_metric"] is not None
+
+
+def test_finetune_amp_bf16_compute(tmp_path):
+    """amp=True: bf16 compute, f32 master params/opt state; training runs and
+    the param tree keeps its f32 dtypes (torch-autocast semantics)."""
+    import jax.numpy as jnp
+
+    cfg_text = TINY_MODEL + """
+hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
+    cls_weight=1.0,
+    dataset_args=dict(batch_size=16),
+    data_config=dict(image_size=(16, 16)),
+    optim_args=dict(opt="adamw", lr=1e-4, weight_decay=0.01),
+    sche_args=dict(epochs=1),
+    other_args=dict(num_classes=4, max_steps_per_epoch=3, max_eval_batches=2,
+                    log_interval=1, use_mesh=False, amp=True),
+)]
+"""
+    p = tmp_path / "ft_amp.py"
+    p.write_text(cfg_text)
+    init_cfg(str(p))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="ft_amp", seed=0)
+    runner = Runner(skip_post=True)
+    runner.run()
+    hook = [h for h in runner.hooks if h.name == "L2Reconstruct"][0]
+    assert hook.result["best_metric"] is not None
+    for leaf in jax.tree_util.tree_leaves(runner.variables["params"]):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(runner.variables["state"]):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+
+
+def test_train_helper_amp(tmp_path):
+    """TrainHelper amp mode: loss finite, weights stay f32."""
+    import jax.numpy as jnp
+
+    from convnet_approximater_tpu.classification.train import TrainHelper
+    from convnet_approximater_tpu.models import build_model
+
+    model = build_model(dict(type="TinyNet", num_classes=4))
+    variables = {"params": model.init(jax.random.PRNGKey(0)),
+                 "state": model.init_state()}
+    helper = TrainHelper(model, variables, dict(
+        epochs=1, batch_size=16, image_size=(16, 16), num_classes=4,
+        max_steps_per_epoch=3, max_eval_batches=2, log_interval=1,
+        use_mesh=False, amp=True, work_dir=str(tmp_path / "w")))
+    out = helper.train()
+    assert out["best_metric"] is not None
+    for leaf in jax.tree_util.tree_leaves(helper.variables["params"]):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
