@@ -6,6 +6,7 @@ from .layers import (
     Dropout,
     Flatten,
     GELU,
+    GroupNorm,
     LayerNorm,
     Linear,
     MaxPool2d,

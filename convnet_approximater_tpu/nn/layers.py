@@ -203,6 +203,34 @@ class LayerNorm(Module):
         return y.astype(x.dtype)
 
 
+class GroupNorm(Module):
+    """GroupNorm over NHWC tensors (torch semantics: normalize each sample's
+    (H, W, C/G) group; affine per channel)."""
+
+    def __init__(self, num_groups: int, num_channels: int, eps: float = 1e-5):
+        super().__init__()
+        assert num_channels % num_groups == 0
+        self.num_groups = num_groups
+        self.num_channels = num_channels
+        self.eps = eps
+
+    def init_params(self, rng):
+        return {
+            "scale": jnp.ones((self.num_channels,)),
+            "bias": jnp.zeros((self.num_channels,)),
+        }
+
+    def __call__(self, params, x, ctx: Ctx):
+        B, H, W, C = x.shape
+        g = self.num_groups
+        xf = x.astype(jnp.float32).reshape(B, H, W, g, C // g)
+        mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(B, H, W, C)
+        y = y * params["scale"] + params["bias"]
+        return y.astype(x.dtype)
+
+
 class ReLU(Module):
     def __call__(self, params, x, ctx: Ctx):
         return jax.nn.relu(x)

@@ -1,5 +1,12 @@
-"""Segmentation package (placeholder, matching the reference's empty
-``src/approx/segmentation/`` and fully-commented-out ``models/segnext.py``:
-segmentation never materialized upstream).  The MSCAN backbone already
-returns per-stage feature maps (``models/mscan.py:MSCAN``), so a SegNeXt-style
-decode head is the only missing piece if this is ever needed."""
+"""SegNeXt segmentation (TPU-native extension — the reference's
+``src/approx/segmentation/`` is an empty placeholder and its
+``models/segnext.py`` is fully commented out; this completes the family the
+msca-rep experiments were aimed at).  ``SegNeXt`` is a ``SwitchableModel``
+over the same MSCAN backbone, so the full register -> MscaRep ->
+deploy pipeline applies to segmentation unchanged."""
+
+from .ham_head import Hamburger, LightHamHead, nmf2d, resize_bilinear, upsample_logits
+from .segnext import SegNeXt
+
+__all__ = ["SegNeXt", "LightHamHead", "Hamburger", "nmf2d",
+           "resize_bilinear", "upsample_logits"]
