@@ -100,9 +100,47 @@ def bench_vgg16(B):
         f"{t_dec*1e3:.2f} ms = {t_orig/t_dec:.3f}x")
 
 
+def bench_segnext(B=16, hw=512):
+    """SegNeXt-T semantic segmentation at its native 512^2 (ADE20K crop):
+    the attention share grows with spatial size, so msca-rep should convert
+    better than on classification."""
+    from convnet_approximater_tpu.deploy import fold_batchnorm
+    from convnet_approximater_tpu.models import build_model
+
+    x = jax.random.normal(KEY, (B, hw, hw, 3))
+
+    def build():
+        m = build_model(dict(type="SegNeXt", num_classes=150,
+                             drop_path_rate=0.0))
+        return m, {"params": m.init(KEY), "state": m.init_state()}
+
+    model, variables = build()
+    log(f"SegNeXt-T original f32 (b={B} @{hw}):")
+    t_orig = time_apply(model, variables, x)
+    vb = {"params": cast_floating(variables["params"]), "state": variables["state"]}
+    log("SegNeXt-T original bf16:")
+    t_orig_bf16 = time_apply(model, vb, x.astype(jnp.bfloat16))
+
+    m2, v2 = build()
+    m2, v2 = run_pipeline(m2, v2, MscaRep(decomp=1, fix=True), [])
+    log("SegNeXt-T msca-rep d1+fix f32:")
+    t_rep = time_apply(m2, v2, x)
+    m3, v3 = build()
+    m3, v3 = run_pipeline(m3, v3, MscaRep(decomp=1, fix=True, decomp_conv0=True), [])
+    fold_batchnorm(m3, v3)
+    v3b = {"params": cast_floating(v3["params"]), "state": v3["state"]}
+    log("SegNeXt-T rep+dconv0+fold bf16 (serving):")
+    t_best = time_apply(m3, v3b, x.astype(jnp.bfloat16))
+    log(f"SegNeXt-T summary (b={B} @{hw}): orig f32 {t_orig*1e3:.2f} ms | "
+        f"rep d1fix {t_rep*1e3:.2f} ms = {t_orig/t_rep:.3f}x | serving bf16 "
+        f"{t_best*1e3:.2f} ms = {t_orig_bf16/t_best:.3f}x vs bf16 orig, "
+        f"{t_orig/t_best:.3f}x vs f32 orig ({B/t_best:.0f} img/s)")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="all", choices=["mscan-s", "vgg16", "all"])
+    ap.add_argument("--model", default="all",
+                    choices=["mscan-s", "vgg16", "segnext", "all"])
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     log(f"devices: {jax.devices()}")
@@ -110,6 +148,8 @@ def main():
         bench_mscan_s(args.batch)
     if args.model in ("vgg16", "all"):
         bench_vgg16(args.batch)
+    if args.model in ("segnext", "all"):
+        bench_segnext()
 
 
 if __name__ == "__main__":
