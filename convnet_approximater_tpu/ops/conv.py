@@ -301,6 +301,11 @@ def adaptive_avg_pool2d(x, output_size):
     """
     oh, ow = _pair(output_size)
     B, H, W, C = x.shape
+    if H < oh or W < ow:
+        raise ValueError(
+            f"adaptive_avg_pool2d: output {oh}x{ow} larger than input "
+            f"{H}x{W} — the input image is too small for this model "
+            f"(AlexNet/VGG need >=64x64 inputs)")
     if H == oh and W == ow:
         return x
     if H % oh == 0 and W % ow == 0:
