@@ -112,8 +112,21 @@ def bench_alexnet():
         max_lmda=0, init_method="svd", do_decomp=True,
     )
     m2, v2 = run_pipeline(m2, v2, app, [SimpleConvFilter(), IndicesFilter((2, 3, 4, 5))])
-    log("AlexNet scheme-1 decomposed (fused kernels):")
+    log("AlexNet scheme-1 decomposed (pure XLA path):")
     t_dec = time_apply(m2, v2, x)
+
+    # never-lose deploy arbiter (VERDICT r2 #2): per-layer model-level A/B;
+    # losers are re-materialized to exact dense kernels, so the deployed
+    # model is never slower than the original.
+    from convnet_approximater_tpu.deploy import never_lose_deploy
+
+    res = never_lose_deploy(m2, v2, x.shape, verbose=False)
+    for row in res["layers"]:
+        log(f"  [arbiter] {row['name']}: {row['kept']}")
+    log("AlexNet never-lose deploy surface:")
+    t_nl = time_apply(m2, v2, x)
+    log(f"AlexNet deploy ratio (never-lose): {t_orig / t_nl:.3f}x "
+        f"({res['kept_decomposed']}/{len(res['layers'])} layers kept decomposed)")
     return t_orig / t_dec
 
 

@@ -45,10 +45,13 @@ _default_train_cfg = dict(
     warmup_epochs=0,
     decay_rate=0.1,
     label_smoothing=0.0,
+    aug=None,  # train-loader augmentation (data/loader.py::augment_batch)
     log_interval=50,
     eval_metric="top1",
     checkpoint_hist=3,
     use_mesh=True,
+    model_parallel=1,  # model-axis size; >1 shards params per tp_rules
+    tp_rules=None,  # "mscan" preset / explicit (suffix, axes) list (parallel/tp.py)
     max_steps_per_epoch=None,
     max_eval_batches=None,
     amp=False,  # bf16 compute / f32 master params (see hooks/finetune.py)
@@ -73,9 +76,12 @@ class TrainHelper:
 
         data_sh = None
         if cfg.use_mesh and len(jax.devices()) > 1:
-            mesh = make_mesh()
+            from convnet_approximater_tpu.parallel import shard_variables
+
+            mp = int(cfg.model_parallel or 1)
+            mesh = make_mesh(model=mp)
             data_sh = batch_sharding(mesh)
-            self.variables = replicate(self.variables, mesh)
+            self.variables = shard_variables(self.variables, mesh, mp, cfg.tp_rules)
 
         size = tuple(cfg.image_size)
         if cfg.dataset:
@@ -86,10 +92,10 @@ class TrainHelper:
             ds_train = Synthetic(512, size + (3,), cfg.num_classes, split="train")
             ds_eval = Synthetic(128, size + (3,), cfg.num_classes, split="validation")
             num_classes = cfg.num_classes
-        mk = lambda ds, sh: Loader(ds, cfg.batch_size, shuffle=sh, drop_last=True,
-                                   mean=cfg.mean, std=cfg.std, image_size=size,
-                                   sharding=data_sh)
-        loader_train, loader_eval = mk(ds_train, True), mk(ds_eval, False)
+        mk = lambda ds, sh, aug=None: Loader(
+            ds, cfg.batch_size, shuffle=sh, drop_last=True, mean=cfg.mean,
+            std=cfg.std, image_size=size, sharding=data_sh, aug=aug)
+        loader_train, loader_eval = mk(ds_train, True, cfg.aug), mk(ds_eval, False)
         steps = len(loader_train)
         if cfg.max_steps_per_epoch:
             steps = min(steps, cfg.max_steps_per_epoch)

@@ -40,6 +40,22 @@ _default_eval_cfg = dict(
 )
 
 
+def serving_dtype(params) -> jnp.dtype:
+    """Input dtype for a serving surface, derived from the *weight* leaves.
+
+    Serving surfaces hold bf16 weights; inputs must match (mixed conv operand
+    dtypes are a trace error).  The first-floating-leaf heuristic breaks on
+    mixed trees (an int8-quantized surface keeps f32 scales next to bf16
+    weights), so prefer multi-dim floating leaves — conv/linear kernels —
+    over 1-D scales/biases (ADVICE r2)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    float_leaves = [l for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)]
+    for l in float_leaves:
+        if l.ndim >= 2:
+            return l.dtype
+    return float_leaves[0].dtype if float_leaves else jnp.float32
+
+
 class AverageMeter:
     def __init__(self):
         self.val = 0.0
@@ -115,11 +131,7 @@ class ValidateHelper:
             mesh = make_mesh()
             sharding = batch_sharding(mesh)
 
-        # serving surfaces hold bf16 weights; feed the model inputs in the
-        # weights' floating dtype (mixed conv operand dtypes are an error)
-        leaves = jax.tree_util.tree_leaves(params)
-        param_dt = next((l.dtype for l in leaves
-                         if jnp.issubdtype(l.dtype, jnp.floating)), jnp.float32)
+        param_dt = serving_dtype(params)
 
         @jax.jit
         def eval_step(params, state, images, labels):

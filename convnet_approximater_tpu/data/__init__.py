@@ -6,6 +6,7 @@ from .datasets import (
     DATASET,
     IMAGENET_DEFAULT_MEAN,
     IMAGENET_DEFAULT_STD,
+    ImageFolder,
     Npz,
     Synthetic,
     build_dataset,

@@ -94,6 +94,63 @@ class CIFAR10(ArrayDataset):
 
 
 @DATASET.register_module()
+class ImageFolder(ArrayDataset):
+    """torchvision-style class-per-subdirectory tree, decoded with PIL.
+
+    ``root/<split>/<class_name>/*.{jpg,jpeg,png,bmp}``; falls back to
+    ``root/<class_name>/...`` when there is no split directory.  Classes are
+    sorted lexicographically (torchvision convention) so label indices match
+    checkpoints trained elsewhere.  Images are decoded once into an in-memory
+    uint8 pool at ``image_size`` (nearest resize) — the framework's datasets
+    are array-pools (see module doc); for ImageNet-scale corpora pre-convert
+    to ``Npz`` instead.
+    """
+
+    _EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+    def __init__(self, root: str, split: str = "train", image_size=(224, 224),
+                 max_samples: int = 0):
+        base = os.path.join(root, split)
+        if not os.path.isdir(base):
+            base = root
+        if not os.path.isdir(base):
+            raise FileNotFoundError(
+                f"ImageFolder root {root!r} not found (no network download "
+                f"available — place a class-per-subdirectory tree there)")
+        classes = sorted(d for d in os.listdir(base)
+                         if os.path.isdir(os.path.join(base, d)))
+        if not classes:
+            raise FileNotFoundError(
+                f"ImageFolder {base!r} has no class subdirectories")
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - PIL is in the image
+            raise ImportError("ImageFolder needs PIL to decode images; "
+                              "pre-convert to Npz instead") from e
+        th, tw = tuple(image_size)
+        images, labels = [], []
+        for ci, cname in enumerate(classes):
+            cdir = os.path.join(base, cname)
+            for fname in sorted(os.listdir(cdir)):
+                if not fname.lower().endswith(self._EXTS):
+                    continue
+                with Image.open(os.path.join(cdir, fname)) as im:
+                    im = im.convert("RGB").resize((tw, th), Image.NEAREST)
+                    images.append(np.asarray(im, dtype=np.uint8))
+                labels.append(ci)
+                if max_samples and len(labels) >= max_samples:
+                    break
+            if max_samples and len(labels) >= max_samples:
+                break
+        if not images:
+            raise FileNotFoundError(f"ImageFolder {base!r}: no decodable "
+                                    f"images under {self._EXTS}")
+        super().__init__(np.stack(images), np.asarray(labels, np.int64))
+        self.classes = classes
+        self.num_classes = len(classes)
+
+
+@DATASET.register_module()
 class Npz(ArrayDataset):
     """Pre-processed arrays: ``images`` (N, H, W, C), ``labels`` (N,)."""
 

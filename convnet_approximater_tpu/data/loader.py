@@ -30,6 +30,56 @@ def _resize_nearest(images: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     return images[:, ri][:, :, ci]
 
 
+def augment_batch(images: np.ndarray, rs: np.random.RandomState, *,
+                  hflip: float = 0.0, crop_pad: int = 0,
+                  rrc_scale=None, out_size=None) -> np.ndarray:
+    """Host-side train-time augmentation (numpy, per-batch vectorized).
+
+    The reference's fine-tune loaders came from timm ``create_loader``
+    (``/root/reference/src/approx/hooks/finetune.py:165-186``); its L2 phase
+    ran ``no_aug`` (so augmentation defaults OFF here — parity), but CE
+    recovery on real data wants the classics:
+
+    * ``hflip`` — probability of a horizontal flip per image.
+    * ``crop_pad`` — CIFAR-style: reflect-pad by N then random-crop back.
+    * ``rrc_scale`` — (lo, hi) area fraction: timm-style random-resized-crop
+      to ``out_size`` (nearest resize; aspect jitter 3/4..4/3).
+    """
+    n = len(images)
+    if rrc_scale is not None:
+        th, tw = out_size or images.shape[1:3]
+        H, W = images.shape[1:3]
+        out = np.empty((n, th, tw, images.shape[3]), images.dtype)
+        areas = rs.uniform(rrc_scale[0], rrc_scale[1], n) * H * W
+        log_ratio = rs.uniform(np.log(3 / 4), np.log(4 / 3), n)
+        for i in range(n):
+            ratio = np.exp(log_ratio[i])
+            ch = int(round(np.sqrt(areas[i] / ratio)))
+            cw = int(round(np.sqrt(areas[i] * ratio)))
+            ch, cw = min(max(ch, 1), H), min(max(cw, 1), W)
+            y0 = rs.randint(0, H - ch + 1)
+            x0 = rs.randint(0, W - cw + 1)
+            crop = images[i, y0:y0 + ch, x0:x0 + cw]
+            out[i] = _resize_nearest(crop[None], (th, tw))[0]
+        images = out
+    elif crop_pad > 0:
+        p = crop_pad
+        H, W = images.shape[1:3]
+        padded = np.pad(images, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        ys = rs.randint(0, 2 * p + 1, n)
+        xs = rs.randint(0, 2 * p + 1, n)
+        out = np.empty_like(images)
+        for i in range(n):
+            out[i] = padded[i, ys[i]:ys[i] + H, xs[i]:xs[i] + W]
+        images = out
+    if hflip > 0:
+        flip = rs.uniform(size=n) < hflip
+        if flip.any():
+            images = images.copy() if images.base is not None else images
+            images[flip] = images[flip, :, ::-1]
+    return images
+
+
 class Loader:
     def __init__(
         self,
@@ -45,6 +95,7 @@ class Loader:
         sharding=None,
         prefetch: int = 2,
         dtype=np.float32,
+        aug=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -57,6 +108,10 @@ class Loader:
         self.sharding = sharding
         self.prefetch = prefetch
         self.dtype = dtype
+        # train-time augmentation (see augment_batch); keys: hflip,
+        # crop_pad, rrc_scale.  None/{} = no aug (the reference's L2
+        # fine-tune parity default).
+        self.aug = dict(aug or {})
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -70,6 +125,19 @@ class Loader:
     def _prep(self, idx: np.ndarray):
         labels = self.dataset.labels[idx].astype(np.int32)
         pool = self.dataset.images
+        if self.aug:
+            # augmentation works on the raw uint8 images, so it takes the
+            # numpy path (the native kernel fuses gather+resize+normalize)
+            images = pool[idx]
+            rs = np.random.RandomState(
+                (self.seed * 1000003 + self._epoch * 9176
+                 + (int(idx[0]) if len(idx) else 0)) % (2 ** 31))
+            images = augment_batch(images, rs, out_size=self.image_size,
+                                   **self.aug)
+            if self.image_size is not None and "rrc_scale" not in self.aug:
+                images = _resize_nearest(images, self.image_size)
+            images = (images.astype(np.float32) - self.mean) / self.std
+            return images.astype(self.dtype), labels
         # native (C++ thread-pool) gather+resize+normalize; numpy fallback
         if pool.dtype == np.uint8 and self.dtype == np.float32:
             from .native import prep_batch

@@ -99,6 +99,7 @@ def fold_batchnorm(model, variables: dict, verbose: bool = False) -> int:
             if isinstance(c, Conv2d) and isinstance(n, BatchNorm2d):
                 pairs.append((sub(conv_attr), sub(bn_attr)))
 
+    n_folded = 0
     for conv_path, bn_path in pairs:
         conv = model.get_submodule(conv_path)
         bn = model.get_submodule(bn_path)
@@ -116,9 +117,10 @@ def fold_batchnorm(model, variables: dict, verbose: bool = False) -> int:
         model.set_submodule(bn_path, Identity())
         _pop(params, bn_path.split("."))
         _pop(state, bn_path.split("."))
+        n_folded += 1
         if verbose:
             print(f"fold_batchnorm: {conv_path} <- {bn_path}")
-    return len(pairs)
+    return n_folded
 
 
 def enable_pw_matmul(model, verbose: bool = False) -> int:
@@ -223,6 +225,176 @@ def quantize_int8(model, variables: dict, calib_batches, filter_fn=None,
         if verbose:
             print(f"quantize_int8: {path} (act_scale={act_scale:.3e})")
     return n
+
+
+def rematerialize_dense(module, params: dict):
+    """Exact dense ``Conv2d`` equivalent of a low-rank target layer.
+
+    ``W = A·B`` re-materialization (VERDICT r2 #2): the factored layers are
+    linear, so the dense kernel they represent can be rebuilt exactly —
+
+    * ``LowRankExpConvV1`` (grouped ``s_conv`` + 1x1 ``d_conv``):
+      ``W[u,v,c,n] = sum_m s[u,v,0,c*M+m] * d[c*M+m,n]``
+    * decomposed (``SeparableConv`` strips): the rank-1 outer product
+      ``v ⊗ h`` substitutes for ``s`` per output channel
+    * ``LowRankExpConvV2`` (dense vertical C->M, horizontal M->N):
+      ``W[u,v,c,n] = sum_m V[u,c,m] * H[v,m,n]``
+
+    Returns ``(Conv2d, params)`` or ``None`` if the module is not a
+    re-materializable low-rank layer (e.g. the ``grouped=True`` V2 parity
+    shape, which has no dense N-output equivalent).  Math in f32, cast back
+    to the stored dtype.  The compressed checkpoint keeps the factors; this
+    only changes the *serving* execution form.
+    """
+    from convnet_approximater_tpu.layers import (
+        LowRankExpConvV1,
+        LowRankExpConvV2,
+    )
+    from convnet_approximater_tpu.layers.low_rank_conv import SeparableConv
+
+    if isinstance(module, LowRankExpConvV1):
+        C, N, M = module.in_channels, module.out_channels, module.num_base
+        kh, kw = module.kernel_size
+        d = params["d_conv"]["weight"].astype(jnp.float32)  # (1,1,C*M,N)
+        dtype = params["d_conv"]["weight"].dtype
+        d2 = d[0, 0].reshape(C, M, N)
+        if isinstance(module.s_conv, SeparableConv):
+            v = params["s_conv"]["v_conv"]["weight"].astype(jnp.float32)
+            h = params["s_conv"]["h_conv"]["weight"].astype(jnp.float32)
+            v2 = v[:, 0, 0, :].reshape(kh, C, M)
+            h2 = h[0, :, 0, :].reshape(kw, C, M)
+            W = jnp.einsum("ucm,vcm,cmn->uvcn", v2, h2, d2)
+        else:
+            s = params["s_conv"]["weight"].astype(jnp.float32)  # (kh,kw,1,C*M)
+            s2 = s[:, :, 0, :].reshape(kh, kw, C, M)
+            W = jnp.einsum("uvcm,cmn->uvcn", s2, d2)
+        bias = params["d_conv"].get("bias")
+        conv = Conv2d(C, N, (kh, kw), stride=module.stride,
+                      padding=module.padding, bias=bias is not None)
+        new_p = {"weight": W.astype(dtype)}
+        if bias is not None:
+            new_p["bias"] = bias
+        return conv, new_p
+
+    if isinstance(module, LowRankExpConvV2):
+        if module.grouped:
+            return None  # reference parity shape: no dense N-out equivalent
+        C, N = module.in_channels, module.out_channels
+        v = params["v_conv"]["weight"].astype(jnp.float32)  # (kh,1,C,M)
+        h = params["h_conv"]["weight"].astype(jnp.float32)  # (1,kw,M,N)
+        dtype = params["h_conv"]["weight"].dtype
+        kh, kw = v.shape[0], h.shape[1]
+        W = jnp.einsum("ucm,vmn->uvcn", v[:, 0], h[0])
+        sh, sw = module.v_conv.stride[0], module.h_conv.stride[1]
+        ph, pw = module.v_conv.padding[0], module.h_conv.padding[1]
+        bias = params["h_conv"].get("bias")
+        conv = Conv2d(C, N, (kh, kw), stride=(sh, sw), padding=(ph, pw),
+                      bias=bias is not None)
+        new_p = {"weight": W.astype(dtype)}
+        if bias is not None:
+            new_p["bias"] = bias
+        return conv, new_p
+
+    return None
+
+
+def never_lose_deploy(model, variables: dict, input_shape, dtype=jnp.float32,
+                      num_iters: int = 10, margin: float = 0.03,
+                      greedy: bool = True, time_fn=None,
+                      verbose: bool = True) -> dict:
+    """Per-layer deploy arbiter: decomposed execution only where it WINS.
+
+    The reference shipped its decomposed models 2x slower on GPU
+    (``/root/reference/doc/low-rank-exp/low-rank-exp.md:51-53``); scheme-1 on
+    TPU still loses wall-clock at AlexNet/VGG shapes even though MSCA-rep
+    wins.  This arbiter guarantees a deployed model is never slower than the
+    dense original: every low-rank layer whose decomposed form does not pay
+    for itself at the MODEL level (isolated per-layer probes mislead —
+    doc/perf-notes.md, measured three times) is re-materialized to its exact
+    dense kernel via :func:`rematerialize_dense`.  The compressed checkpoint
+    is unchanged — only the serving execution form switches.
+
+    Protocol: time the fully-decomposed model, re-materialize everything and
+    time the all-dense form; if decomposed already wins, restore it whole.
+    Otherwise (``greedy=True``) re-enable decomposition one layer at a time,
+    keeping only model-level wins beyond ``margin`` (relative; relay noise is
+    ±0.1 ms).  O(L) compiles — a one-shot deploy cost.
+
+    ``time_fn(model, variables, input_shape, dtype) -> seconds`` is injectable
+    for tests; the default is the slope-timing ``time_forward``.
+
+    Returns a decision dict: per-layer table + the timings, and edits
+    ``model``/``variables`` in place to the chosen configuration.
+    """
+    if time_fn is None:
+        from convnet_approximater_tpu.hooks.inference_time_hook import (
+            time_forward,
+        )
+
+        def time_fn(m, v, shape, dt):
+            _, _, times = time_forward(m, v, shape, num_iters=num_iters,
+                                       warmup=2, dtype=dt)
+            return float(times.mean())
+
+    params = variables["params"]
+    # discover re-materializable switchable layers
+    sites = []  # (idx, name, lowrank_module, lowrank_params, dense_mod, dense_p)
+    for idx in range(model.length_switchable):
+        name = model.switchable_names[idx]
+        mod = model.get_switchable_module(idx)
+        sub_p = _get(params, name.split("."))
+        out = rematerialize_dense(mod, sub_p) if isinstance(sub_p, dict) else None
+        if out is not None:
+            sites.append((idx, name, mod, sub_p, out[0], out[1]))
+    result = dict(t_decomposed=None, t_dense=None, layers=[], kept_decomposed=0)
+    if not sites:
+        return result
+
+    def set_site(site, dense: bool):
+        idx, name, lr_mod, lr_p, d_mod, d_p = site
+        mod, p = (d_mod, d_p) if dense else (lr_mod, lr_p)
+        model.set_switchable_module(idx, mod, variables, {"params": p})
+
+    t_dec = time_fn(model, variables, input_shape, dtype)
+    for site in sites:
+        set_site(site, dense=True)
+    t_dense = time_fn(model, variables, input_shape, dtype)
+    result["t_decomposed"], result["t_dense"] = t_dec, t_dense
+    if verbose:
+        from convnet_approximater_tpu.utils.logger import get_logger
+
+        get_logger().info(
+            f"never_lose_deploy: decomposed {t_dec * 1e3:.3f} ms vs dense "
+            f"{t_dense * 1e3:.3f} ms ({len(sites)} low-rank layers)")
+
+    if t_dec < t_dense * (1.0 - margin):
+        for site in sites:  # decomposed wins whole — restore it
+            set_site(site, dense=False)
+        result["layers"] = [dict(name=s[1], kept="decomposed") for s in sites]
+        result["kept_decomposed"] = len(sites)
+        result["t_final"] = t_dec
+        return result
+
+    # dense baseline guarantees >=1.0x; greedily re-admit individual winners
+    t_best = t_dense
+    for site in sites:
+        kept = "dense"
+        if greedy:
+            set_site(site, dense=False)
+            t_try = time_fn(model, variables, input_shape, dtype)
+            if t_try < t_best * (1.0 - margin):
+                t_best, kept = t_try, "decomposed"
+                result["kept_decomposed"] += 1
+            else:
+                set_site(site, dense=True)
+        result["layers"].append(dict(name=site[1], kept=kept))
+        if verbose:
+            from convnet_approximater_tpu.utils.logger import get_logger
+
+            get_logger().info(f"never_lose_deploy: {site[1]} -> {kept} "
+                              f"(best {t_best * 1e3:.3f} ms)")
+    result["t_final"] = t_best
+    return result
 
 
 def compile_serving(fn, *example_args):

@@ -67,6 +67,11 @@ _default_data_config = dict(
     image_size=(224, 224),
     mean=(0.485, 0.456, 0.406),
     std=(0.229, 0.224, 0.225),
+    # train-loader augmentation (data/loader.py::augment_batch keys:
+    # hflip, crop_pad, rrc_scale).  {} = no_aug — the reference's L2 phase
+    # parity default (timm create_loader with no_aug=True,
+    # ref hooks/finetune.py:165-186); set for CE recovery on real data.
+    aug=None,
 )
 
 _default_optim_args = dict(opt="adamw", lr=1e-3, momentum=0.9, weight_decay=0.05, eps=1e-8)
@@ -83,6 +88,10 @@ _default_other_args = dict(
     max_steps_per_epoch=None,  # cap for smoke tests
     max_eval_batches=None,
     use_mesh=True,
+    # tensor parallelism (parallel/tp.py): size of the mesh's model axis and
+    # the sharding rule set ("mscan" preset, or explicit (suffix, axes) list)
+    model_parallel=1,
+    tp_rules=None,
     amp=False,  # bf16 compute / f32 master params (measured 1.35-1.5x on TPU)
 )
 
@@ -281,12 +290,19 @@ class L2Reconstruct(Hook):
         mesh = None
         data_sh = None
         if self.other_args.use_mesh and len(jax.devices()) > 1:
-            mesh = make_mesh()
+            from convnet_approximater_tpu.parallel import shard_variables
+
+            mp = int(self.other_args.model_parallel or 1)
+            mesh = make_mesh(model=mp)
             data_sh = batch_sharding(mesh)
-            runner.variables = replicate(runner.variables, mesh)
+            runner.variables = shard_variables(
+                runner.variables, mesh, mp, self.other_args.tp_rules)
             if self.teacher_variables is not None:
+                # teacher runs forward-only with its own (old-branch) tree;
+                # replicated is correct and avoids rule mismatches
                 self.teacher_variables = replicate(self.teacher_variables, mesh)
-            logger.info(f"training over mesh {mesh}")
+            logger.info(f"training over mesh {mesh}"
+                        + (f" (tp={mp})" if mp > 1 else ""))
 
         # data
         image_size = tuple(self.data_config.image_size)
@@ -298,12 +314,12 @@ class L2Reconstruct(Hook):
         else:
             ds_train = Synthetic(256, image_size + (3,), num_classes, split="train")
             ds_eval = Synthetic(128, image_size + (3,), num_classes, split="validation")
-        mk_loader = lambda ds, shuffle: Loader(
+        mk_loader = lambda ds, shuffle, aug=None: Loader(
             ds, self.dataset_args.batch_size, shuffle=shuffle, drop_last=True,
             mean=self.data_config.mean, std=self.data_config.std,
-            image_size=image_size, sharding=data_sh,
+            image_size=image_size, sharding=data_sh, aug=aug,
         )
-        loader_train = mk_loader(ds_train, True)
+        loader_train = mk_loader(ds_train, True, self.data_config.aug)
         loader_eval = mk_loader(ds_eval, False)
         steps_per_epoch = len(loader_train)
         if self.other_args.max_steps_per_epoch:

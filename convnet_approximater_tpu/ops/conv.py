@@ -84,10 +84,11 @@ def strip_conv_matmul(x: jnp.ndarray, w: jnp.ndarray,
     T = _strip_band(taps, Lo, L, pad)
     eq = "bhwc,ohc->bowc" if vertical else "bhwc,owc->bhoc"
     y = jnp.einsum(eq, x, T, preferred_element_type=jnp.float32)
-    y = y.astype(x.dtype)
+    # bias in the f32 accumulator, one cast to the conv output dtype — the
+    # same convention as pointwise_matmul and the lax path (ADVICE r2)
     if b is not None:
-        y = y + b.astype(x.dtype)
-    return y
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def _try_strip_matmul(x, w, b, stride, padding, groups, dilation,
@@ -146,10 +147,10 @@ def pointwise_matmul(x: jnp.ndarray, w: jnp.ndarray,
     Exact up to f32-accumulation rounding vs the conv lowering.
     """
     y = jnp.einsum("bhwc,cd->bhwd", x, w[0, 0],
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+                   preferred_element_type=jnp.float32)
     if b is not None:
-        y = y + b.astype(x.dtype)
-    return y
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 # measured sweep (scripts/exp_pw_matmul.py, best bf16 serving config):
@@ -232,7 +233,10 @@ def conv2d(
         feature_group_count=groups,
     )
     if b is not None:
-        y = y + b
+        # promote for the add, cast once back to the conv output dtype so a
+        # f32 bias on bf16 activations cannot change the downstream dtype
+        # (keeps all three lowerings' output dtypes identical — ADVICE r2)
+        y = (y + b).astype(y.dtype)
     return y
 
 
@@ -298,14 +302,11 @@ def adaptive_avg_pool2d(x, output_size):
     Uses the same bin edges as torch: start = floor(i*H/out), end =
     ceil((i+1)*H/out).  Static shapes, so the gather pattern is unrolled at
     trace time (output sizes are tiny: (6,6) or (1,1) in this framework).
+    When output > input, torch's bin edges duplicate input rows/cols; the
+    general path below reproduces that exactly (tests/test_torch_parity.py).
     """
     oh, ow = _pair(output_size)
     B, H, W, C = x.shape
-    if H < oh or W < ow:
-        raise ValueError(
-            f"adaptive_avg_pool2d: output {oh}x{ow} larger than input "
-            f"{H}x{W} — the input image is too small for this model "
-            f"(AlexNet/VGG need >=64x64 inputs)")
     if H == oh and W == ow:
         return x
     if H % oh == 0 and W % ow == 0:

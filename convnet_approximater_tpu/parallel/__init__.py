@@ -9,6 +9,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .tp import mscan_tp_rules, resolve_tp_rules, shard_variables
 from .distributed import (
     initialize_distributed,
     is_main_process,

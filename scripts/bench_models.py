@@ -96,8 +96,18 @@ def bench_vgg16(B):
                           [SimpleConvFilter(), IndicesFilter(tuple(range(1, 13)))])
     log("VGG-16 scheme-1 decomposed (M=4 bases, layers 2-13) f32:")
     t_dec = time_apply(m2, v2, x)
+
+    from convnet_approximater_tpu.deploy import never_lose_deploy
+
+    res = never_lose_deploy(m2, v2, x.shape, verbose=False)
+    for row in res["layers"]:
+        log(f"  [arbiter] {row['name']}: {row['kept']}")
+    log("VGG-16 never-lose deploy surface f32:")
+    t_nl = time_apply(m2, v2, x)
     log(f"VGG-16 summary (b={B}): dense {t_orig*1e3:.2f} ms -> decomposed "
-        f"{t_dec*1e3:.2f} ms = {t_orig/t_dec:.3f}x")
+        f"{t_dec*1e3:.2f} ms = {t_orig/t_dec:.3f}x | never-lose deploy "
+        f"{t_nl*1e3:.2f} ms = {t_orig/t_nl:.3f}x "
+        f"({res['kept_decomposed']}/{len(res['layers'])} kept decomposed)")
 
 
 def bench_segnext(B=16, hw=512):

@@ -111,3 +111,92 @@ def test_loader_abandoned_iteration_releases_worker():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+# -- augmentation + ImageFolder (round 3: VERDICT r2 #5) -------------------
+
+def test_augment_hflip_deterministic_and_flips():
+    from convnet_approximater_tpu.data.loader import augment_batch
+
+    imgs = np.arange(2 * 4 * 6 * 3, dtype=np.uint8).reshape(2, 4, 6, 3)
+    rs1, rs2 = np.random.RandomState(3), np.random.RandomState(3)
+    a = augment_batch(imgs, rs1, hflip=1.0)
+    b = augment_batch(imgs, rs2, hflip=1.0)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, imgs[:, :, ::-1])
+    # original untouched (copy semantics)
+    assert imgs[0, 0, 0, 0] == 0
+
+
+def test_augment_crop_pad_shape_and_content():
+    from convnet_approximater_tpu.data.loader import augment_batch
+
+    imgs = np.random.RandomState(0).randint(0, 256, (5, 8, 8, 3), np.uint8)
+    out = augment_batch(imgs, np.random.RandomState(1), crop_pad=2)
+    assert out.shape == imgs.shape
+    padded = np.pad(imgs, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+    # every output must be SOME window of the padded image
+    for i in range(5):
+        found = any(
+            np.array_equal(out[i], padded[i, y:y + 8, x:x + 8])
+            for y in range(5) for x in range(5))
+        assert found
+
+
+def test_augment_rrc_resizes_to_out_size():
+    from convnet_approximater_tpu.data.loader import augment_batch
+
+    imgs = np.random.RandomState(0).randint(0, 256, (3, 16, 16, 3), np.uint8)
+    out = augment_batch(imgs, np.random.RandomState(2),
+                        rrc_scale=(0.3, 1.0), out_size=(8, 8))
+    assert out.shape == (3, 8, 8, 3)
+
+
+def test_loader_aug_path_end_to_end():
+    from convnet_approximater_tpu.data import Loader, Synthetic
+
+    ds = Synthetic(16, (10, 10, 3), 4, seed=0)
+    loader = Loader(ds, 8, shuffle=True, prefetch=0, mean=(0, 0, 0),
+                    std=(1, 1, 1), image_size=(8, 8),
+                    aug=dict(hflip=0.5, crop_pad=2))
+    batches = list(loader)
+    assert len(batches) == 2
+    images, labels = batches[0]
+    assert images.shape == (8, 8, 8, 3)
+    # deterministic per (seed, epoch): same loader state -> same batches
+    again = list(loader)
+    np.testing.assert_allclose(np.asarray(batches[0][0]), np.asarray(again[0][0]))
+    # different epoch -> different augmentation draws
+    loader.set_epoch(1)
+    other = list(loader)
+    assert not np.allclose(np.asarray(batches[0][0]), np.asarray(other[0][0]))
+
+
+def test_image_folder_reads_class_tree(tmp_path):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from convnet_approximater_tpu.data import build_dataset
+
+    root = tmp_path / "train"
+    for ci, cname in enumerate(["cat", "dog"]):
+        d = root / cname
+        d.mkdir(parents=True)
+        for j in range(3):
+            arr = np.full((12, 14, 3), 40 * ci + j, np.uint8)
+            Image.fromarray(arr).save(d / f"img{j}.png")
+    ds = build_dataset(dict(type="ImageFolder", root=str(tmp_path),
+                            image_size=(8, 8)), split="train")
+    assert len(ds) == 6 and ds.num_classes == 2
+    assert ds.classes == ["cat", "dog"]
+    assert ds.images.shape == (6, 8, 8, 3)
+    np.testing.assert_array_equal(ds.labels, [0, 0, 0, 1, 1, 1])
+    assert int(ds.images[0, 0, 0, 0]) == 0 and int(ds.images[3, 0, 0, 0]) == 40
+
+
+def test_image_folder_missing_gives_actionable_error(tmp_path):
+    from convnet_approximater_tpu.data import build_dataset
+
+    with pytest.raises(FileNotFoundError, match="ImageFolder"):
+        build_dataset(dict(type="ImageFolder",
+                           root=str(tmp_path / "nope")), split="train")
