@@ -312,8 +312,7 @@ class L2Reconstruct(Hook):
             ds_eval = build_dataset(dict(self.dataset_args.dataset), split="validation")
             num_classes = getattr(ds_train, "num_classes", num_classes)
         else:
-            ds_train = Synthetic(256, image_size + (3,), num_classes, split="train")
-            ds_eval = Synthetic(128, image_size + (3,), num_classes, split="validation")
+            ds_train, ds_eval = self._default_datasets(image_size, num_classes)
         mk_loader = lambda ds, shuffle, aug=None: Loader(
             ds, self.dataset_args.batch_size, shuffle=shuffle, drop_last=True,
             mean=self.data_config.mean, std=self.data_config.std,
@@ -417,6 +416,23 @@ class L2Reconstruct(Hook):
             logger.info(f"*** Best metric: {best_metric} (epoch {best_epoch})")
         self.result = dict(best_metric=best_metric, best_epoch=best_epoch)
 
+    # -- task plug points (SegL2Reconstruct overrides these) --------------
+    def _ce_fn(self):
+        """Task loss on (logits, labels); default: classification CE."""
+
+        def ce(logits, labels):
+            one_hot = jax.nn.one_hot(labels, logits.shape[-1])
+            return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot,
+                                     axis=-1))
+
+        return ce
+
+    def _default_datasets(self, image_size, num_classes):
+        """Synthetic smoke datasets when no dataset cfg is given."""
+        return (Synthetic(256, image_size + (3,), num_classes, split="train"),
+                Synthetic(128, image_size + (3,), num_classes,
+                          split="validation"))
+
     # -- jitted steps ----------------------------------------------------
     def _make_train_step(self, tx):
         model = self.runner.model
@@ -426,6 +442,8 @@ class L2Reconstruct(Hook):
         l2w, clsw = self.l2_weight, self.cls_weight
         no_norm, asym = self.no_norm, self.asym
         amp = bool(self.other_args.amp)
+
+        ce_fn = self._ce_fn()
 
         def loss_fn(params, state, t_vars, images, labels, rng):
             if amp:
@@ -444,8 +462,7 @@ class L2Reconstruct(Hook):
             ctx = Ctx(training=True, rng=rng, state=state)
             logits = model(params_c, images, ctx).astype(jnp.float32)
             new_state = _merge_state(state, ctx.state_out)
-            one_hot = jax.nn.one_hot(labels, logits.shape[-1])
-            ce = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, axis=-1))
+            ce = ce_fn(logits, labels)
             total_norm = jnp.float32(0.0)
             if not no_norm:
                 if asym:

@@ -7,6 +7,12 @@ deploy pipeline applies to segmentation unchanged."""
 
 from .ham_head import Hamburger, LightHamHead, nmf2d, resize_bilinear, upsample_logits
 from .segnext import SegNeXt
+from .losses import seg_cross_entropy
+from .metrics import confusion_matrix, iou_from_confusion
+from .data import SyntheticSeg
+from .finetune import SegL2Reconstruct
 
 __all__ = ["SegNeXt", "LightHamHead", "Hamburger", "nmf2d",
-           "resize_bilinear", "upsample_logits"]
+           "resize_bilinear", "upsample_logits", "seg_cross_entropy",
+           "confusion_matrix", "iou_from_confusion", "SyntheticSeg",
+           "SegL2Reconstruct"]

@@ -33,16 +33,13 @@ import jax.numpy as jnp
 import convnet_approximater_tpu.nn as nn
 from convnet_approximater_tpu.nn import Ctx, Module
 
-_NMF_KEY_CACHE = []
-
-
 def _nmf_key():
     """Fixed dictionary-init key (see module doc), created lazily so a bare
     ``import`` never materializes a device array on the default backend
-    (the axon relay) before callers can force CPU."""
-    if not _NMF_KEY_CACHE:
-        _NMF_KEY_CACHE.append(jax.random.PRNGKey(42))
-    return _NMF_KEY_CACHE[0]
+    (the axon relay) before callers can force CPU.  Never cached: under jit
+    the key is a tracer (caching one leaks it across traces); XLA constant-
+    folds the recreation anyway."""
+    return jax.random.PRNGKey(42)
 
 
 def _gn_groups(channels: int, wanted: int = 32) -> int:
