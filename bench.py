@@ -47,6 +47,27 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# v5e-1 peak MXU rates (TFLOP/s): bf16 197, fp32 = bf16/2 (the MXU runs
+# f32 at half the bf16 rate), int8 394.  MFU = achieved / peak.
+PEAK_TFLOPS = {"float32": 98.5, "bfloat16": 197.0, "int8": 394.0}
+
+
+def log_mfu(model, variables, x, t_fwd):
+    """TFLOP/s + MFU line for a measured forward (VERDICT r2 #8: surface
+    the utilization numbers that lived only in doc/perf-notes.md)."""
+    try:
+        from convnet_approximater_tpu.hooks.model_analysis import analyze_model
+
+        dt = x.dtype
+        cost = analyze_model(model, variables, x.shape, dtype=dt)
+        tflops = cost["flops"] / t_fwd / 1e12
+        peak = PEAK_TFLOPS.get(jnp.dtype(dt).name)
+        pct = f" = {100 * tflops / peak:.1f}% MFU" if peak else ""
+        log(f"  {tflops:.1f} TFLOP/s ({jnp.dtype(dt).name}){pct}")
+    except Exception as e:  # never let metrics kill the bench
+        log(f"  (mfu unavailable: {e})")
+
+
 def time_apply(model, variables, x, n1=16, n2=64, repeats=3):
     """Seconds per forward via two-point slope timing: the difference between
     an n2- and an n1-iteration dispatch loop cancels the (large, noisy)
@@ -104,6 +125,7 @@ def bench_alexnet():
     variables = {"params": model.init(KEY)}
     log("AlexNet dense original:")
     t_orig = time_apply(model, variables, x)
+    log_mfu(model, variables, x, t_orig)
 
     m2 = AlexNet(num_classes=10)
     v2 = {"params": m2.init(KEY)}
@@ -170,6 +192,7 @@ def bench_mscan():
         v3b = {"params": cast_floating(v3["params"]), "state": v3["state"]}
         log("MSCAN-t best serving config bf16:")
         t_best = time_apply(m3, v3b, x.astype(jnp.bfloat16))
+        log_mfu(m3, v3b, x.astype(jnp.bfloat16), t_best)
         log(f"like-for-like: f32-vs-f32 {t_orig / t_best_f32:.3f}x | "
             f"bf16-vs-bf16 {t_orig_bf16 / t_best:.3f}x | "
             f"bf16-vs-f32-orig {t_orig / t_best:.3f}x "

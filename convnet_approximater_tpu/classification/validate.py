@@ -37,6 +37,16 @@ _default_eval_cfg = dict(
     split="validation",
     num_batches=None,  # cap for smoke runs
     use_mesh=False,
+    # timm eval extras (reference classification/validate.py:38-82):
+    amp=False,  # autocast eval: bf16 compute over f32 weights
+    valid_labels=None,  # path to a txt of valid class indices (subset eval)
+    real_labels=None,  # path to npz/json of per-sample label SETS (ImageNet
+    #                    "Re-labeled" protocol): reports real_top1/real_top5
+    test_input_size=None,  # (H, W): eval at test-time resolution.  timm's
+    #   test_time_pool re-applies the head convolutionally and avg-pools
+    #   logits when eval res > train res; these models pool features BEFORE
+    #   the head, so larger-resolution eval is natively the same computation
+    #   (crop_pct is already 1.0 — the loader full-image resizes).
 )
 
 
@@ -80,6 +90,50 @@ def accuracy_sums(logits, labels, topk=(1, 5)):
     return [jnp.sum(jnp.any(correct[:, :k], axis=1)) for k in topk]
 
 
+class RealLabelsSets:
+    """ImageNet "Real labels" re-assessment (timm ``RealLabelsImagenet``,
+    reference ``validate.py``): each validation sample carries a SET of
+    acceptable labels; real-accuracy counts a prediction correct when it
+    hits any of them.  Samples with an empty set are skipped (the published
+    real.json leaves ~1k images unlabeled).
+
+    Accepts a .json file (list of label-lists, aligned with the dataset's
+    sample order — the loader evaluates unshuffled) or an .npz with a
+    ``labels`` (N, K) int array padded with -1.
+    """
+
+    def __init__(self, path: str, topk=(1, 5)):
+        import json as _json
+
+        if path.endswith(".npz"):
+            with np.load(path) as d:
+                arr = d["labels"]
+            self.sets = [set(int(v) for v in row if v >= 0) for row in arr]
+        else:
+            with open(path) as f:
+                data = _json.load(f)
+            if isinstance(data, dict):  # filename-keyed: use sorted order
+                data = [data[k] for k in sorted(data)]
+            self.sets = [set(int(v) for v in row) for row in data]
+        self.topk = topk
+        self.correct = {k: 0 for k in topk}
+        self.counted = 0
+
+    def add(self, top_indices: np.ndarray, start: int):
+        """``top_indices`` (B, maxk) predictions for samples [start, start+B)."""
+        for i, row in enumerate(np.asarray(top_indices)):
+            idx = start + i
+            if idx >= len(self.sets) or not self.sets[idx]:
+                continue
+            self.counted += 1
+            for k in self.topk:
+                if any(int(p) in self.sets[idx] for p in row[:k]):
+                    self.correct[k] += 1
+
+    def accuracy(self, k: int) -> float:
+        return 100.0 * self.correct[k] / max(self.counted, 1)
+
+
 class ValidateHelper:
     def __init__(self, runner_or_model, eval_cfg, variables: Optional[dict] = None):
         self.cfg = Config()
@@ -100,7 +154,7 @@ class ValidateHelper:
         return self._model, self._variables
 
     def _make_loader(self, sharding):
-        size = tuple(self.cfg.input_size[:2])
+        size = tuple(self.cfg.test_input_size or self.cfg.input_size[:2])
         if self.cfg.dataset:
             ds = build_dataset(dict(self.cfg.dataset), split=self.cfg.split)
         else:
@@ -132,15 +186,42 @@ class ValidateHelper:
             sharding = batch_sharding(mesh)
 
         param_dt = serving_dtype(params)
+        amp = bool(self.cfg.amp)
+
+        valid_mask = None
+        if self.cfg.valid_labels:
+            with open(self.cfg.valid_labels) as f:
+                valid = {int(line.strip()) for line in f if line.strip()}
+            valid_mask = jnp.asarray(
+                [i in valid for i in range(self.cfg.num_classes)])
+            logger.info(f"subset eval over {len(valid)} valid classes")
+
+        real = (RealLabelsSets(self.cfg.real_labels)
+                if self.cfg.real_labels else None)
 
         @jax.jit
         def eval_step(params, state, images, labels):
-            images = images.astype(param_dt)
-            logits, _, _ = model.apply(params, images, state=state, training=False)
+            if amp:
+                # autocast eval (reference validate.py:38-53): bf16 compute
+                # over the f32 checkpoint, logits reduced in f32
+                from convnet_approximater_tpu.utils import cast_floating
+
+                params_c = cast_floating(params, jnp.bfloat16)
+                images = images.astype(jnp.bfloat16)
+            else:
+                params_c = params
+                images = images.astype(param_dt)
+            logits, _, _ = model.apply(params_c, images, state=state,
+                                       training=False)
+            logits = logits.astype(jnp.float32)
+            if valid_mask is not None:
+                logits = jnp.where(valid_mask[None, :], logits, -jnp.inf)
             one_hot = jax.nn.one_hot(labels, logits.shape[-1])
-            loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, axis=-1))
+            logp = jax.nn.log_softmax(logits)
+            loss = -jnp.mean(jnp.sum(jnp.where(one_hot > 0, logp, 0.0), axis=-1))
             c1, c5 = accuracy_sums(logits, labels)
-            return loss, c1, c5
+            top5 = jnp.argsort(-logits, axis=-1)[:, :5]
+            return loss, c1, c5, top5
 
         loader = self._make_loader(sharding)
         loss_m, top1_m, top5_m, time_m = (AverageMeter() for _ in range(4))
@@ -148,11 +229,16 @@ class ValidateHelper:
         n_batches = len(loader)
         if self.cfg.num_batches:
             n_batches = min(n_batches, self.cfg.num_batches)
+        cursor = 0
         for i, (images, labels) in enumerate(loader):
             if i >= n_batches:
                 break
-            loss, c1, c5 = jax.block_until_ready(eval_step(params, state, images, labels))
+            loss, c1, c5, top5 = jax.block_until_ready(
+                eval_step(params, state, images, labels))
             bs = images.shape[0]
+            if real is not None:
+                real.add(np.asarray(top5), cursor)
+            cursor += bs
             loss_m.update(float(loss), bs)
             top1_m.update(float(c1) / bs * 100.0, bs)
             top5_m.update(float(c5) / bs * 100.0, bs)
@@ -168,10 +254,19 @@ class ValidateHelper:
                 )
         from convnet_approximater_tpu.hooks.model_analysis import count_params
 
-        return dict(
+        out = dict(
             loss=loss_m.avg,
             top1=top1_m.avg,
             top5=top5_m.avg,
             param_count=count_params(params),
-            img_size=self.cfg.input_size[0],
+            img_size=(self.cfg.test_input_size or self.cfg.input_size)[0],
         )
+        if real is not None:
+            # the re-assessed protocol replaces the headline numbers (timm
+            # convention) — originals stay available as top1/top5
+            out["real_top1"] = real.accuracy(1)
+            out["real_top5"] = real.accuracy(5)
+            logger.info(f"Real labels: Acc@1 {out['real_top1']:.4f} "
+                        f"Acc@5 {out['real_top5']:.4f} "
+                        f"({real.counted} labeled samples)")
+        return out

@@ -74,6 +74,19 @@ class InferenceTimeHook(Hook):
         self.warmup = infer_cfg.pop("warmup", 3)
         self.capture_trace = infer_cfg.pop("capture_trace", False)
         self.dtype = jnp.bfloat16 if infer_cfg.pop("bf16", False) else jnp.float32
+        # config-driven profiler tables (the reference's profile_args /
+        # key_args / table_args surface, ref inference_time_hook.py:14-26,
+        # mapped to the TPU trace analyzer utils/trace.py):
+        #   profile_args: dict(capture=True) forces a trace capture
+        #   table_args: dict(group_by=[...], row_limit=N, exclude=[...])
+        profile_args = dict(infer_cfg.pop("profile_args", {}) or {})
+        if profile_args.get("capture"):
+            self.capture_trace = True
+        table_args = dict(infer_cfg.pop("table_args", {}) or {})
+        gb = table_args.get("group_by", ("op", "source", "category"))
+        self.table_group_by = (gb,) if isinstance(gb, str) else tuple(gb)
+        self.table_row_limit = int(table_args.get("row_limit", 15))
+        self.table_exclude = tuple(table_args.get("exclude", ()))
 
     def after_run(self):
         logger = get_logger()
@@ -90,12 +103,14 @@ class InferenceTimeHook(Hook):
             from convnet_approximater_tpu.utils.trace import summarize_trace
 
             # the per-op tables — the torch.profiler key_averages analog,
-            # plus source-line attribution (device time -> module code)
-            logger.info("Profile by op:\n" + summarize_trace(trace_dir, group_by="op"))
-            logger.info("Profile by source line:\n"
-                        + summarize_trace(trace_dir, group_by="source"))
-            logger.info("Profile by HLO category:\n"
-                        + summarize_trace(trace_dir, group_by="category"))
+            # plus source-line attribution (device time -> module code);
+            # groupings/row limit/exclusions come from table_args
+            for gb in self.table_group_by:
+                logger.info(
+                    f"Profile by {gb}:\n"
+                    + summarize_trace(trace_dir, top_k=self.table_row_limit,
+                                      exclude_substrings=self.table_exclude,
+                                      group_by=gb))
         cost = analyze_model(model, variables, self.input_size)
         med = float(np.median(times)) * 1e3
         logger.info(
