@@ -227,6 +227,86 @@ def quantize_int8(model, variables: dict, calib_batches, filter_fn=None,
     return n
 
 
+class SpaceToDepthConv(Conv2d):
+    """Exact space-to-depth rewrite of a stride-2 stem conv (serving only).
+
+    A ``Conv2d(3, C, 3, stride=2, padding=1)`` on a (B, 2h, 2w, 3) input
+    wastes the MXU's 128 input lanes (C_in = 3) and forces an input layout
+    copy (the round-2b trace's copy.152/copy.82).  The identical contraction
+    over 2x2 pixel blocks is a ``Conv2d(12, C, 2, stride=1)`` with
+    asymmetric pad (1, 0) on a (B, h, w, 12) input:
+
+        y[o] = sum_j w[j] x[2o + j - 1]
+             = w2[0, e1] blk[o-1] + w2[1, e0] blk[o] + w2[1, e1] blk[o]
+
+    i.e. ``W2[bh, bw, (eh, ew, c), n] = W[2bh + eh - 1, 2bw + ew - 1, c, n]``
+    (zero where the source index falls outside the 3x3 kernel).  The 4x
+    channel width tiles the lanes properly and the reshape replaces the
+    layout copy with a fusable transpose — and a serving host can deliver
+    batches pre-blocked (``expects_s2d_input=True`` skips the reshape).
+    """
+
+    def __init__(self, out_channels: int):
+        super().__init__(12, out_channels, 2, stride=1, padding=((1, 0), (1, 0)))
+        self.expects_s2d_input = False
+
+    @staticmethod
+    def s2d(x: jnp.ndarray) -> jnp.ndarray:
+        """(B, 2h, 2w, c) -> (B, h, w, 4c); channel index = (eh, ew, c)."""
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+        return x.reshape(B, H // 2, W // 2, 4 * C)
+
+    @staticmethod
+    def convert_weight(w: jnp.ndarray) -> jnp.ndarray:
+        """HWIO (3, 3, c, N) -> (2, 2, 4c, N) per the block algebra above."""
+        kh, kw, c, n = w.shape
+        assert (kh, kw) == (3, 3)
+        w2 = jnp.zeros((2, 2, 2, 2, c, n), w.dtype)
+        for bh in range(2):
+            for eh in range(2):
+                src_h = 2 * bh + eh - 1
+                if not 0 <= src_h < 3:
+                    continue
+                for bw in range(2):
+                    for ew in range(2):
+                        src_w = 2 * bw + ew - 1
+                        if 0 <= src_w < 3:
+                            w2 = w2.at[bh, bw, eh, ew].set(w[src_h, src_w])
+        return w2.reshape(2, 2, 4 * c, n)
+
+    def __call__(self, params, x, ctx):
+        if not self.expects_s2d_input:
+            x = self.s2d(x)
+        return super().__call__(params, x, ctx)
+
+
+def space_to_depth_stem(model, variables: dict, verbose: bool = False) -> int:
+    """Rewrite every qualifying stride-2 3x3 first-layer conv to the
+    space-to-depth form (see :class:`SpaceToDepthConv`).  Exact; serving
+    only (the param tree changes shape — fold BN first if folding at all).
+    Returns the number of convs rewritten."""
+    params = variables["params"]
+    n = 0
+    for path, mod in list(model.named_modules()):
+        if (type(mod) is Conv2d and mod.kernel_size == (3, 3)
+                and mod.stride == (2, 2) and mod.padding == (1, 1)
+                and mod.groups == 1 and mod.in_channels <= 4):
+            cp = _get(params, path.split("."))
+            if cp is None or "weight" not in cp:
+                continue
+            new = SpaceToDepthConv(mod.out_channels)
+            new.in_channels = 4 * mod.in_channels
+            new.use_bias = "bias" in cp
+            cp["weight"] = SpaceToDepthConv.convert_weight(cp["weight"])
+            model.set_submodule(path, new)
+            n += 1
+            if verbose:
+                print(f"space_to_depth_stem: {path}")
+    return n
+
+
 def rematerialize_dense(module, params: dict):
     """Exact dense ``Conv2d`` equivalent of a low-rank target layer.
 

@@ -16,6 +16,9 @@ def main():
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--decomp", action="store_true", help="also measure after decomp()")
+    ap.add_argument("--never-lose", action="store_true",
+                    help="per-layer deploy arbiter: re-materialize dense "
+                         "kernels wherever decomposition loses wall-clock")
     ap.add_argument("--eval-dataset", default=None, help="DATASET registry type, e.g. CIFAR10")
     ap.add_argument("--eval-root", default=None)
     args = ap.parse_args()
@@ -38,6 +41,7 @@ def main():
         batch_size=args.batch,
         do_decomp=args.decomp,
         eval_cfg=eval_cfg,
+        never_lose=args.never_lose,
     ).run()
 
 

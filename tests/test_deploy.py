@@ -172,3 +172,35 @@ def test_enable_pw_matmul_mscan_numerics_unchanged():
     y1, _, _ = model.apply(variables["params"], x, state=variables["state"],
                            training=False)
     assert jnp.max(jnp.abs(y1 - y0)) == 0
+
+
+def test_space_to_depth_stem_exact():
+    """S2D stem rewrite (deploy.SpaceToDepthConv): bit-level equivalent
+    contraction, 4x lane width, reshape instead of layout copy."""
+    from convnet_approximater_tpu.deploy import space_to_depth_stem
+
+    model = nn.Sequential(
+        nn.Conv2d(3, 16, 3, stride=2, padding=1),
+        nn.GELU(),
+        nn.Conv2d(16, 24, 3, stride=2, padding=1),  # C_in 16 > 4: untouched
+    )
+    params = model.init(KEY)
+    x = jax.random.normal(KEY, (2, 32, 32, 3))
+    y_ref, _, _ = model.apply(params, x, training=False)
+
+    variables = {"params": params}
+    n = space_to_depth_stem(model, variables)
+    assert n == 1
+    from convnet_approximater_tpu.deploy import SpaceToDepthConv
+
+    assert isinstance(model[0], SpaceToDepthConv)
+    assert variables["params"]["0"]["weight"].shape == (2, 2, 12, 16)
+    y, _, _ = model.apply(variables["params"], x, training=False)
+    assert y.shape == y_ref.shape
+    assert float(jnp.max(jnp.abs(y - y_ref))) < 1e-5
+
+    # pre-blocked host input path
+    model[0].expects_s2d_input = True
+    xs2d = SpaceToDepthConv.s2d(x)
+    y2, _, _ = model.apply(variables["params"], xs2d, training=False)
+    assert float(jnp.max(jnp.abs(y2 - y_ref))) < 1e-5
