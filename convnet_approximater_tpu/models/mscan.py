@@ -136,8 +136,15 @@ class MSCAN(Module):
         drop_rate: float = 0.0,
         drop_path_rate: float = 0.0,
         scan_blocks: str = "auto",
+        remat: bool = False,
     ):
         super().__init__()
+        # remat: rematerialize each scanned block on the backward pass
+        # (jax.checkpoint over the scan body) — activation memory becomes
+        # O(1) in depth instead of O(num_blocks); the recompute FLOPs are
+        # one extra forward per block, the standard trade for training
+        # models that don't otherwise fit HBM.
+        self.remat = remat
         assert len(num_channels) == len(num_blocks) == len(exp_ratios)
         self.num_channels = tuple(num_channels)
         self.num_blocks = tuple(num_blocks)
@@ -223,7 +230,12 @@ class MSCAN(Module):
             y = template(p, x, bctx)
             return y, (bctx.state_out, bctx.taps)
 
-        y, (s_out, taps_out) = lax.scan(body, x, (p_stack, s_stack, rates, idx))
+        body_fn = body
+        if self.remat and training:
+            # recompute block activations during backward instead of saving
+            # them across the scan (see __init__ docstring)
+            body_fn = jax.checkpoint(body, prevent_cse=False)
+        y, (s_out, taps_out) = lax.scan(body_fn, x, (p_stack, s_stack, rates, idx))
         # per-block taps come back stacked along the scan axis; re-key them
         # under each block's dotted path (uniform shapes across blocks are
         # guaranteed by the scannability check) — this lets e.g. the int8
@@ -276,6 +288,7 @@ class MSCAN_Classifier(SwitchableModel):
         num_classes: int = 1000,
         init_cfg=None,
         scan_blocks: str = "auto",
+        remat: bool = False,
     ):
         super().__init__(init_cfg=init_cfg)
         self.num_classes = num_classes
@@ -287,6 +300,7 @@ class MSCAN_Classifier(SwitchableModel):
             drop_rate=drop_rate,
             drop_path_rate=drop_path_rate,
             scan_blocks=scan_blocks,
+            remat=remat,
         )
         self.head = nn.Linear(num_channels[-1], num_classes, bias=True)
 

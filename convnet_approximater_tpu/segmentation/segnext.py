@@ -44,6 +44,7 @@ class SegNeXt(SwitchableModel):
         in_indices=(1, 2, 3),
         init_cfg=None,
         scan_blocks: str = "auto",
+        remat: bool = False,
         full_res: bool = False,
     ):
         super().__init__(init_cfg=init_cfg)
@@ -58,6 +59,7 @@ class SegNeXt(SwitchableModel):
             drop_rate=drop_rate,
             drop_path_rate=drop_path_rate,
             scan_blocks=scan_blocks,
+            remat=remat,
         )
         self.decode_head = LightHamHead(
             in_channels=[num_channels[i] for i in self.in_indices],

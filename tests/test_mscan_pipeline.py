@@ -179,3 +179,32 @@ def test_scan_blocks_after_rep(tmp_path):
     y_flat, _, _ = model.apply(runner.variables["params"], x, state=runner.variables["state"])
     model.backbone.scan_blocks = "auto"
     np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_flat), rtol=2e-5, atol=1e-5)
+
+
+def test_scan_remat_gradients_match():
+    """remat=True (jax.checkpoint over the scan body) must not change
+    gradients — only the backward-pass memory/recompute trade."""
+    import jax.numpy as jnp
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+
+    kw = dict(num_channels=(8, 16), num_blocks=(2, 2), exp_ratios=(2, 2),
+              num_classes=5, drop_path_rate=0.0)
+    m0 = MSCAN_Classifier(**kw)
+    m1 = MSCAN_Classifier(**kw, remat=True)
+    key = jax.random.key(0)
+    variables = {"params": m0.init(key), "state": m0.init_state()}
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+
+    def loss(model):
+        def f(params):
+            y, _, _ = model.apply(params, x, state=variables["state"],
+                                  training=True, rng=jax.random.key(2))
+            return jnp.sum(y ** 2)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m0))(variables["params"])
+    l1, g1 = jax.value_and_grad(loss(m1))(variables["params"])
+    assert float(abs(l0 - l1)) < 1e-4 * max(1.0, float(abs(l0)))
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
