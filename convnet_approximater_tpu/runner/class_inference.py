@@ -36,7 +36,8 @@ class ClassInference(BaseRunner):
     def __init__(self, checkpoint: str, batch_size: int = 16, input_size=(224, 224, 3),
                  do_decomp: bool = False, eval_cfg=None, rng=None,
                  exact_gelu: bool = True, dtype: str = "float32",
-                 fold_bn=None, never_lose: bool = False):
+                 fold_bn=None, never_lose: bool = False,
+                 s2d_stem: bool = False):
         import os
 
         if exact_gelu and not os.environ.get("CAT_FAST_GELU"):
@@ -54,6 +55,9 @@ class ClassInference(BaseRunner):
         self.input_size = tuple(input_size)
         self.do_decomp = do_decomp
         self.never_lose = never_lose
+        # opt-in serving rewrite (deploy.space_to_depth_stem): exact, but
+        # a measured win is not yet established — keep off by default
+        self.s2d_stem = s2d_stem
         self.eval_cfg = eval_cfg or {}
         self.rng = rng if rng is not None else jax.random.key(cfg.seed or 0)
 
@@ -72,6 +76,10 @@ class ClassInference(BaseRunner):
             from convnet_approximater_tpu.deploy import fold_batchnorm
 
             fold_batchnorm(model, variables)  # idempotent; edits in place
+        if self.s2d_stem:
+            from convnet_approximater_tpu.deploy import space_to_depth_stem
+
+            space_to_depth_stem(model, variables)  # idempotent (type-gated)
         if self.dtype != jnp.float32:
             from convnet_approximater_tpu.utils import cast_floating
 
