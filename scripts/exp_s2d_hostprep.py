@@ -1,13 +1,9 @@
 #!/usr/bin/env python
-"""Interleaved A/B for the space-to-depth stem rewrite
-(``deploy.space_to_depth_stem``): targets the input-side layout copy +
-3-channel lane waste the round-2b trace showed (copy.82/copy.152).
-
-Both variants are the best bf16 serving config (d1+fix+dconv0+ffnrep+
-bnfold+pw_matmul); B adds the S2D stem.  Relay drift is ±0.1 ms, so the
-measurements alternate A,B,A,B and report pairwise deltas
-(doc/perf-notes.md interleaved method).
-"""
+"""Variant C of the S2D stem experiment: the host delivers pre-blocked
+(B, 112, 112, 12) batches (``expects_s2d_input=True``), so the device
+program has the 4x-lane stem conv WITHOUT the on-device reshape that made
+variant B lose (-0.112 ms, scripts/exp_s2d_stem.py).  Isolates reshape
+cost vs lane-width win; if C beats base, the C++ batch-prep should S2D."""
 
 import os
 import sys
@@ -23,6 +19,7 @@ import jax.numpy as jnp
 
 from bench import B, KEY, log
 from convnet_approximater_tpu.deploy import (
+    SpaceToDepthConv,
     enable_pw_matmul,
     fold_batchnorm,
     space_to_depth_stem,
@@ -47,40 +44,41 @@ def main():
     float(jnp.sum(f_a(*args_a)))
     log("variant A (baseline best) compiled")
 
-    model_b, vars_b, _ = build("best")
-    fold_batchnorm(model_b, vars_b)
-    enable_pw_matmul(model_b)
-    n = space_to_depth_stem(model_b, vars_b, verbose=True)
-    log(f"space_to_depth_stem rewrote {n} conv(s)")
-    args_b = (vars_b["params"], vars_b["state"], x)
+    model_c, vars_c, _ = build("best")
+    fold_batchnorm(model_c, vars_c)
+    enable_pw_matmul(model_c)
+    space_to_depth_stem(model_c, vars_c)
+    for _, mod in model_c.named_modules():
+        if isinstance(mod, SpaceToDepthConv):
+            mod.expects_s2d_input = True
+    x_blocked = jax.device_put(SpaceToDepthConv.s2d(x))
+    args_c = (vars_c["params"], vars_c["state"], x_blocked)
 
-    def fwd_b(params, state, xx):
-        y, _, _ = model_b.apply(params, xx, state=state, training=False)
+    def fwd_c(params, state, xx):
+        y, _, _ = model_c.apply(params, xx, state=state, training=False)
         return y
 
-    f_b = jax.jit(fwd_b)
-    float(jnp.sum(f_b(*args_b)))
-    log("variant B (+s2d stem) compiled")
+    f_c = jax.jit(fwd_c)
+    float(jnp.sum(f_c(*args_c)))
+    log("variant C (host-prepped s2d input) compiled")
 
-    # exactness spot check on-device (bf16 rounding tolerance)
-    ya = f_a(*args_a)
-    yb = f_b(*args_b)
-    rel = float(jnp.linalg.norm((ya - yb).astype(jnp.float32))
+    ya, yc = f_a(*args_a), f_c(*args_c)
+    rel = float(jnp.linalg.norm((ya - yc).astype(jnp.float32))
                 / jnp.linalg.norm(ya.astype(jnp.float32)))
-    log(f"A/B output rel err: {rel:.2e}")
+    log(f"A/C output rel err: {rel:.2e}")
 
     deltas = []
     for i in range(6):
         ta = slope_time(f_a, args_a)
-        tb = slope_time(f_b, args_b)
-        deltas.append(ta - tb)
-        log(f"  pair {i}: base {ta*1e3:.3f} ms | s2d {tb*1e3:.3f} ms | "
-            f"delta {1e3*(ta-tb):+.3f} ms")
+        tc = slope_time(f_c, args_c)
+        deltas.append(ta - tc)
+        log(f"  pair {i}: base {ta*1e3:.3f} ms | hostS2D {tc*1e3:.3f} ms | "
+            f"delta {1e3*(ta-tc):+.3f} ms")
     mean = sum(deltas) / len(deltas)
     std = (sum((d - mean) ** 2 for d in deltas) / len(deltas)) ** 0.5
     verdict = "WIN" if mean > 2 * std else ("LOSS" if -mean > 2 * std
                                             else "not significant")
-    log(f"s2d stem effect: {mean*1e3:+.3f} ± {std*1e3:.3f} ms ({verdict})")
+    log(f"host-prepped s2d effect: {mean*1e3:+.3f} ± {std*1e3:.3f} ms ({verdict})")
 
 
 if __name__ == "__main__":
