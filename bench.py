@@ -184,9 +184,10 @@ def bench_mscan():
         m3, v3 = run_pipeline(m3, v3, MscaRep(decomp=1, fix=True, decomp_conv0=True), [])
         m3, v3 = run_pipeline(m3, v3, FfnRep(fix=True),
                               [IndicesFilter((1, 2, 3, 4, 5, 6))])
-        from convnet_approximater_tpu.deploy import fold_batchnorm
+        from convnet_approximater_tpu.deploy import enable_pw_matmul, fold_batchnorm
 
         fold_batchnorm(m3, v3)  # serving-only exact rewrite (-0.29 ms bf16)
+        enable_pw_matmul(m3)  # small-map 1x1s as matmuls (-0.13 ms bf16)
         log("MSCAN-t best serving config (d1+fix+dconv0+ffnrep(1,2)+bnfold) f32:")
         t_best_f32 = time_apply(m3, v3, x)
         v3b = {"params": cast_floating(v3["params"]), "state": v3["state"]}

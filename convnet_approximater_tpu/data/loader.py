@@ -30,10 +30,71 @@ def _resize_nearest(images: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     return images[:, ri][:, :, ci]
 
 
+def _reflect_index(idx: np.ndarray, size: int) -> np.ndarray:
+    """Map possibly-out-of-range indices into [0, size) by edge reflection
+    (numpy ``pad(mode='reflect')`` semantics: -k -> k, size-1+k -> size-1-k)."""
+    idx = np.abs(idx)
+    over = idx > size - 1
+    idx = np.where(over, 2 * (size - 1) - idx, idx)
+    return np.clip(idx, 0, size - 1)
+
+
+def draw_aug_params(rs: np.random.RandomState, n: int, H: int, W: int, *,
+                    hflip: float = 0.0, crop_pad: int = 0, rrc_scale=None):
+    """Draw per-image augmentation parameters (crop rect + flip flag).
+
+    The geometry is expressed uniformly as a source rectangle
+    ``(y0, x0, ch, cw)`` (``y0``/``x0`` may be negative for reflect-padded
+    crops) nearest-resized to ``out_hw``, optionally horizontally flipped —
+    so the numpy and native C++ appliers share one parameterization and are
+    bit-identical.
+    """
+    if rrc_scale is not None:
+        areas = rs.uniform(rrc_scale[0], rrc_scale[1], n) * H * W
+        log_ratio = rs.uniform(np.log(3 / 4), np.log(4 / 3), n)
+        ch = np.clip(np.round(np.sqrt(areas / np.exp(log_ratio))), 1, H
+                     ).astype(np.int64)
+        cw = np.clip(np.round(np.sqrt(areas * np.exp(log_ratio))), 1, W
+                     ).astype(np.int64)
+        y0 = np.asarray([rs.randint(0, H - c + 1) for c in ch], np.int64)
+        x0 = np.asarray([rs.randint(0, W - c + 1) for c in cw], np.int64)
+    elif crop_pad > 0:
+        p = crop_pad
+        ch = np.full(n, H, np.int64)
+        cw = np.full(n, W, np.int64)
+        y0 = rs.randint(0, 2 * p + 1, n).astype(np.int64) - p
+        x0 = rs.randint(0, 2 * p + 1, n).astype(np.int64) - p
+    else:
+        ch = np.full(n, H, np.int64)
+        cw = np.full(n, W, np.int64)
+        y0 = np.zeros(n, np.int64)
+        x0 = np.zeros(n, np.int64)
+    flip = (rs.uniform(size=n) < hflip) if hflip > 0 else np.zeros(n, bool)
+    return y0, x0, ch, cw, flip
+
+
+def apply_aug(images: np.ndarray, params, out_hw) -> np.ndarray:
+    """Numpy applier for :func:`draw_aug_params` (native path:
+    ``native.prep_batch_aug`` fuses this with gather+normalize)."""
+    y0, x0, ch, cw, flip = params
+    n = len(images)
+    H, W = images.shape[1:3]
+    th, tw = out_hw
+    out = np.empty((n, th, tw, images.shape[3]), images.dtype)
+    r = np.arange(th)
+    c = np.arange(tw)
+    for i in range(n):
+        rows = _reflect_index(y0[i] + (r * ch[i]) // th, H)
+        cs = (tw - 1 - c) if flip[i] else c
+        cols = _reflect_index(x0[i] + (cs * cw[i]) // tw, W)
+        out[i] = images[i][rows][:, cols]
+    return out
+
+
 def augment_batch(images: np.ndarray, rs: np.random.RandomState, *,
                   hflip: float = 0.0, crop_pad: int = 0,
                   rrc_scale=None, out_size=None) -> np.ndarray:
-    """Host-side train-time augmentation (numpy, per-batch vectorized).
+    """Host-side train-time augmentation.
 
     The reference's fine-tune loaders came from timm ``create_loader``
     (``/root/reference/src/approx/hooks/finetune.py:165-186``); its L2 phase
@@ -44,40 +105,17 @@ def augment_batch(images: np.ndarray, rs: np.random.RandomState, *,
     * ``crop_pad`` — CIFAR-style: reflect-pad by N then random-crop back.
     * ``rrc_scale`` — (lo, hi) area fraction: timm-style random-resized-crop
       to ``out_size`` (nearest resize; aspect jitter 3/4..4/3).
+
+    ``crop_pad``/``hflip`` keep the input resolution unless ``rrc_scale``
+    is set (then the output is ``out_size``).  The Loader's native path
+    fuses the same parameterization into the C++ batch prep.
     """
-    n = len(images)
-    if rrc_scale is not None:
-        th, tw = out_size or images.shape[1:3]
-        H, W = images.shape[1:3]
-        out = np.empty((n, th, tw, images.shape[3]), images.dtype)
-        areas = rs.uniform(rrc_scale[0], rrc_scale[1], n) * H * W
-        log_ratio = rs.uniform(np.log(3 / 4), np.log(4 / 3), n)
-        for i in range(n):
-            ratio = np.exp(log_ratio[i])
-            ch = int(round(np.sqrt(areas[i] / ratio)))
-            cw = int(round(np.sqrt(areas[i] * ratio)))
-            ch, cw = min(max(ch, 1), H), min(max(cw, 1), W)
-            y0 = rs.randint(0, H - ch + 1)
-            x0 = rs.randint(0, W - cw + 1)
-            crop = images[i, y0:y0 + ch, x0:x0 + cw]
-            out[i] = _resize_nearest(crop[None], (th, tw))[0]
-        images = out
-    elif crop_pad > 0:
-        p = crop_pad
-        H, W = images.shape[1:3]
-        padded = np.pad(images, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
-        ys = rs.randint(0, 2 * p + 1, n)
-        xs = rs.randint(0, 2 * p + 1, n)
-        out = np.empty_like(images)
-        for i in range(n):
-            out[i] = padded[i, ys[i]:ys[i] + H, xs[i]:xs[i] + W]
-        images = out
-    if hflip > 0:
-        flip = rs.uniform(size=n) < hflip
-        if flip.any():
-            images = images.copy() if images.base is not None else images
-            images[flip] = images[flip, :, ::-1]
-    return images
+    H, W = images.shape[1:3]
+    out_hw = (tuple(out_size) if (rrc_scale is not None and out_size)
+              else (H, W))
+    params = draw_aug_params(rs, len(images), H, W, hflip=hflip,
+                             crop_pad=crop_pad, rrc_scale=rrc_scale)
+    return apply_aug(images, params, out_hw)
 
 
 class Loader:
@@ -126,16 +164,23 @@ class Loader:
         labels = self.dataset.labels[idx].astype(np.int32)
         pool = self.dataset.images
         if self.aug:
-            # augmentation works on the raw uint8 images, so it takes the
-            # numpy path (the native kernel fuses gather+resize+normalize)
-            images = pool[idx]
+            # one crop-rect+flip parameterization, applied either by the
+            # fused native kernel (gather+aug+resize+normalize, no GIL) or
+            # the numpy fallback — bit-identical by construction
+            H, W = pool.shape[1:3]
+            out_hw = tuple(self.image_size or (H, W))
             rs = np.random.RandomState(
                 (self.seed * 1000003 + self._epoch * 9176
                  + (int(idx[0]) if len(idx) else 0)) % (2 ** 31))
-            images = augment_batch(images, rs, out_size=self.image_size,
-                                   **self.aug)
-            if self.image_size is not None and "rrc_scale" not in self.aug:
-                images = _resize_nearest(images, self.image_size)
+            params = draw_aug_params(rs, len(idx), H, W, **self.aug)
+            if pool.dtype == np.uint8 and self.dtype == np.float32:
+                from .native import prep_batch_aug
+
+                out = prep_batch_aug(pool, np.asarray(idx), out_hw,
+                                     self.mean, self.std, params)
+                if out is not None:
+                    return out, labels
+            images = apply_aug(pool[idx], params, out_hw)
             images = (images.astype(np.float32) - self.mean) / self.std
             return images.astype(self.dtype), labels
         # native (C++ thread-pool) gather+resize+normalize; numpy fallback

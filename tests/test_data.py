@@ -200,3 +200,47 @@ def test_image_folder_missing_gives_actionable_error(tmp_path):
     with pytest.raises(FileNotFoundError, match="ImageFolder"):
         build_dataset(dict(type="ImageFolder",
                            root=str(tmp_path / "nope")), split="train")
+
+
+def test_native_aug_matches_numpy():
+    """The fused C++ aug kernel must be bit-identical to apply_aug+normalize."""
+    from convnet_approximater_tpu.data.loader import apply_aug, draw_aug_params
+    from convnet_approximater_tpu.data.native import get_lib, prep_batch_aug
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rs0 = np.random.RandomState(0)
+    pool = rs0.randint(0, 256, (20, 14, 18, 3), np.uint8)
+    idx = np.asarray([3, 0, 7, 19, 5], np.int64)
+    mean = np.asarray([0.4, 0.5, 0.6], np.float32) * 255.0
+    std = np.asarray([0.2, 0.25, 0.3], np.float32) * 255.0
+    for aug in (dict(hflip=0.7, crop_pad=3),
+                dict(rrc_scale=(0.3, 1.0), hflip=0.5),
+                dict(hflip=1.0),
+                dict()):
+        for out_hw in ((14, 18), (8, 8), (20, 24)):
+            params = draw_aug_params(np.random.RandomState(42), len(idx),
+                                     14, 18, **aug)
+            native = prep_batch_aug(pool, idx, out_hw, mean, std, params)
+            assert native is not None
+            ref = apply_aug(pool[idx], params, out_hw)
+            ref = (ref.astype(np.float32) - mean) / std
+            np.testing.assert_allclose(native, ref, rtol=0, atol=1e-6)
+
+
+def test_loader_aug_native_path_matches_fallback(monkeypatch):
+    from convnet_approximater_tpu.data import Loader, Synthetic
+
+    ds = Synthetic(16, (10, 10, 3), 4, seed=0)
+    kw = dict(shuffle=True, prefetch=0, mean=(0.5, 0.5, 0.5),
+              std=(0.25, 0.25, 0.25), image_size=(8, 8),
+              aug=dict(hflip=0.5, crop_pad=2))
+    native = [np.asarray(b[0]) for b in Loader(ds, 8, **kw)]
+    monkeypatch.setenv("CAT_DISABLE_NATIVE", "1")
+    import convnet_approximater_tpu.data.native as nat
+
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_tried", False)
+    fallback = [np.asarray(b[0]) for b in Loader(ds, 8, **kw)]
+    for a, b in zip(native, fallback):
+        np.testing.assert_allclose(a, b, atol=1e-6)
