@@ -2,6 +2,7 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    spatial_sharding,
     make_mesh,
     pad_to_multiple,
     param_shardings,

@@ -45,6 +45,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard NHWC activations over batch (data axis) AND image rows (model
+    axis) — the conv-net analog of sequence parallelism.  XLA inserts the
+    halo exchanges a spatially-sharded convolution needs (kernel-width rows
+    traded with neighbors over ICI), so giant images that don't fit one
+    chip's HBM run without any manual tiling; see
+    ``tests/test_parallel.py::test_spatial_sharding_matches_replicated``."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a (possibly nested) batch with the leading axis sharded."""
     sh = batch_sharding(mesh)

@@ -112,3 +112,27 @@ def test_tp_grad_psum_matches_replicated():
 
     for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_tp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5)
+
+
+def test_spatial_sharding_matches_replicated():
+    """Spatial (sequence-parallel analog) sharding: image rows sharded over
+    the model axis — XLA's halo exchange must reproduce the replicated conv
+    forward exactly (fp32 reduction-order noise only)."""
+    from convnet_approximater_tpu.parallel import spatial_sharding
+
+    model, variables = _tiny_mscan()
+    mesh = make_mesh(data=4, model=2)
+    x = jnp.asarray(np.random.RandomState(7).randn(8, 32, 32, 3).astype(np.float32))
+
+    def fwd(params, state, xx):
+        y, _, _ = model.apply(params, xx, state=state, training=False)
+        return y
+
+    y_ref = jax.jit(fwd)(variables["params"], variables["state"], x)
+
+    params = replicate(variables["params"], mesh)
+    state = replicate(variables["state"], mesh)
+    x_sp = jax.device_put(x, spatial_sharding(mesh))  # B over data, H over model
+    y_sp = jax.jit(fwd)(params, state, x_sp)
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
