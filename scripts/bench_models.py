@@ -99,7 +99,10 @@ def bench_vgg16(B):
 
     from convnet_approximater_tpu.deploy import never_lose_deploy
 
-    res = never_lose_deploy(m2, v2, x.shape, verbose=False)
+    # greedy=False: the per-layer story is already measured (doc/perf-notes
+    # "grouped-conv wall" — every VGG scheme-1 layer loses individually), so
+    # the whole-model A/B is sufficient and saves ~12 VGG compiles
+    res = never_lose_deploy(m2, v2, x.shape, greedy=False, verbose=False)
     for row in res["layers"]:
         log(f"  [arbiter] {row['name']}: {row['kept']}")
     log("VGG-16 never-lose deploy surface f32:")
