@@ -20,7 +20,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 
 from bench import KEY, log
-from convnet_approximater_tpu.deploy import fold_batchnorm
+from convnet_approximater_tpu.deploy import enable_pw_matmul, fold_batchnorm
 from exp_strip_matmul import build
 
 
@@ -41,6 +41,7 @@ def slope_time(f, args, n1=16, n2=64):
 def main():
     model, variables, dtype = build("best")
     fold_batchnorm(model, variables)
+    enable_pw_matmul(model)  # the round-3 serving default
 
     def fwd(params, state, xx):
         y, _, _ = model.apply(params, xx, state=state, training=False)
