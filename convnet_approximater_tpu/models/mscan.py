@@ -149,6 +149,7 @@ class MSCAN(Module):
         self.num_channels = tuple(num_channels)
         self.num_blocks = tuple(num_blocks)
         self.scan_blocks = scan_blocks
+        self._pipeline = None  # see enable_pipeline
         total = sum(num_blocks)
         dpr = [drop_path_rate * i / max(total - 1, 1) for i in range(total)]
         self.layers = nn.ModuleList()
@@ -166,6 +167,54 @@ class MSCAN(Module):
             norm = nn.LayerNorm(out_c)
             self.layers.append(nn.ModuleList([down, stage, norm]))
             cur += nb
+
+    # -- pipeline-parallel path (eval) -------------------------------------
+    def enable_pipeline(self, mesh, axis=None, num_microbatches=None):
+        """Run each scannable stage's blocks as a GPipe pipeline over
+        ``mesh``'s model axis (``parallel/pp.py``): device ``i`` owns blocks
+        ``[i*L/n, (i+1)*L/n)`` and microbatch activations rotate through the
+        stages with ``ppermute`` over ICI.  Eval-only (per-microbatch BN/LN
+        eval is exact); stages whose block count doesn't divide the pipeline
+        depth fall back to the scan.  ``enable_pipeline(None)`` disables."""
+        if mesh is None:
+            self._pipeline = None
+        else:
+            from convnet_approximater_tpu.parallel.mesh import MODEL_AXIS
+
+            self._pipeline = (mesh, axis or MODEL_AXIS, num_microbatches)
+
+    def _pipeline_stage(self, stage, stage_params, x, ctx: Ctx):
+        import jax
+
+        from convnet_approximater_tpu.parallel.pp import pipeline_blocks
+
+        mesh, axis, M = self._pipeline
+        blocks = list(stage.named_children())
+        template = blocks[0][1]
+        p_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[stage_params.get(n, {}) for n, _ in blocks]
+        )
+        stage_state = ctx.get_state()
+        states = [stage_state.get(n, {}) for n, _ in blocks]
+        stacked = {"p": p_stack}
+        if any(states):
+            stacked["s"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+        def block_fn(ps, h):
+            bctx = Ctx(training=False, rng=None, state=ps.get("s", {}))
+            return template(ps["p"], h, bctx)
+
+        return pipeline_blocks(block_fn, stacked, x, mesh, axis=axis,
+                               num_microbatches=M)
+
+    def _stage_pipelineable(self, stage, ctx: Ctx) -> bool:
+        pipe = getattr(self, "_pipeline", None)
+        if pipe is None or ctx.training:
+            return False
+        mesh, axis, M = pipe
+        nb = len(list(stage.named_children()))
+        n = mesh.shape[axis]
+        return n > 1 and nb % n == 0
 
     # -- scan-over-blocks path (inference AND training) --------------------
     def _stage_scannable(self, stage, stage_params, ctx: Ctx) -> bool:
@@ -267,7 +316,10 @@ class MSCAN(Module):
                     stage = layer[1]
                     with ctx.scope("1"):
                         if self._stage_scannable(stage, lp.get("1", {}), ctx):
-                            x = self._scan_stage(stage, lp.get("1", {}), x, ctx)
+                            if self._stage_pipelineable(stage, ctx):
+                                x = self._pipeline_stage(stage, lp.get("1", {}), x, ctx)
+                            else:
+                                x = self._scan_stage(stage, lp.get("1", {}), x, ctx)
                         else:
                             x = stage(lp.get("1", {}), x, ctx)
                     x = layer.child("2", lp, x, ctx)

@@ -10,6 +10,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .pp import pipeline_blocks, stack_shardings
 from .tp import mscan_tp_rules, resolve_tp_rules, shard_variables
 from .distributed import (
     initialize_distributed,

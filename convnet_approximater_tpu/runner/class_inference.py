@@ -37,7 +37,7 @@ class ClassInference(BaseRunner):
                  do_decomp: bool = False, eval_cfg=None, rng=None,
                  exact_gelu: bool = True, dtype: str = "float32",
                  fold_bn=None, never_lose: bool = False,
-                 s2d_stem: bool = False):
+                 s2d_stem: bool = False, pipeline_parallel: int = 1):
         import os
 
         if exact_gelu and not os.environ.get("CAT_FAST_GELU"):
@@ -58,6 +58,10 @@ class ClassInference(BaseRunner):
         # opt-in serving rewrite (deploy.space_to_depth_stem): exact, but
         # a measured win is not yet established — keep off by default
         self.s2d_stem = s2d_stem
+        # GPipe block pipelining over the mesh's model axis (parallel/pp.py):
+        # for models too deep for one chip's HBM; eval-only, model must
+        # expose backbone.enable_pipeline (MSCAN family)
+        self.pipeline_parallel = int(pipeline_parallel)
         self.eval_cfg = eval_cfg or {}
         self.rng = rng if rng is not None else jax.random.key(cfg.seed or 0)
 
@@ -67,6 +71,24 @@ class ClassInference(BaseRunner):
         self.new_model = build_model(cfg.model)
         # original model
         self.ori_model = build_model(cfg.model)
+
+    def _maybe_pipeline(self, model):
+        if self.pipeline_parallel <= 1:
+            return
+        backbone = getattr(model, "backbone", None)
+        if not hasattr(backbone, "enable_pipeline"):
+            get_logger().warning(
+                f"pipeline_parallel={self.pipeline_parallel}: "
+                f"{type(model).__name__} has no pipeline-capable backbone — ignored"
+            )
+            return
+        from convnet_approximater_tpu.parallel import make_mesh
+
+        n = jax.device_count()
+        pp = self.pipeline_parallel
+        if n % pp:
+            raise ValueError(f"pipeline_parallel={pp} doesn't divide {n} devices")
+        backbone.enable_pipeline(make_mesh(data=n // pp, model=pp))
 
     def _report(self, tag, model, variables):
         import jax.numpy as jnp
@@ -105,6 +127,8 @@ class ClassInference(BaseRunner):
             logger.info(f"[{tag}] eval: {res}")
 
     def run(self):
+        self._maybe_pipeline(self.ori_model)
+        self._maybe_pipeline(self.new_model)
         # original
         ori_vars = {"params": self.ori_model.init(self.rng), "state": self.ori_model.init_state()}
         ori_vars = self.ori_model.init_weights(ori_vars)

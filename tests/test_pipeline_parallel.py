@@ -1,0 +1,151 @@
+"""Pipeline parallelism (`parallel/pp.py`): GPipe over stacked identical
+blocks via shard_map + ppermute.  The pipelined result must EQUAL the
+sequential composition (exactly for M=n on this CPU mesh; fp-noise when the
+microbatch count changes the reduction grouping), it must compose with data
+parallelism on a dp x pp mesh, and the MSCAN integration
+(`MSCAN.enable_pipeline`) must match the scan-over-blocks forward.
+
+The reference has no pipeline path (its scaling is 1-GPU-per-process DDP,
+SURVEY.md §2.8) — this is TPU-native capability beyond it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from convnet_approximater_tpu.parallel import (
+    MODEL_AXIS,
+    make_mesh,
+    pipeline_blocks,
+    stack_shardings,
+)
+
+
+def _mlp_stack(L=8, D=16, seed=0):
+    rs = np.random.RandomState(seed)
+    return {
+        "w": jnp.asarray(rs.randn(L, D, D).astype(np.float32) * 0.2),
+        "b": jnp.asarray(rs.randn(L, D).astype(np.float32) * 0.1),
+    }
+
+
+def _block(p, h):
+    return jnp.tanh(h @ p["w"] + p["b"])
+
+
+def _sequential(p_stack, x):
+    return lax.scan(lambda h, p: (_block(p, h), None), x, p_stack)[0]
+
+
+def test_pipeline_matches_sequential():
+    p_stack = _mlp_stack()
+    x = jnp.asarray(np.random.RandomState(1).randn(8, 16).astype(np.float32))
+    seq = _sequential(p_stack, x)
+    mesh = make_mesh(data=2, model=4)
+    out = pipeline_blocks(_block, p_stack, x, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=1e-6)
+
+
+def test_pipeline_more_microbatches_than_stages():
+    p_stack = _mlp_stack()
+    x = jnp.asarray(np.random.RandomState(2).randn(8, 16).astype(np.float32))
+    seq = _sequential(p_stack, x)
+    mesh = make_mesh(data=2, model=4)
+    out = pipeline_blocks(_block, p_stack, x, mesh, num_microbatches=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_full_depth_mesh():
+    p_stack = _mlp_stack()
+    x = jnp.asarray(np.random.RandomState(3).randn(6, 16).astype(np.float32))
+    seq = _sequential(p_stack, x)
+    mesh = make_mesh(data=1, model=8)
+    out = pipeline_blocks(_block, p_stack, x, mesh, num_microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=1e-6)
+
+
+def test_pipeline_composes_with_dp_sharded_batch():
+    """dp x pp: batch sharded over 'data', block stack over 'model' — the
+    shard_map is manual only over the pipeline axis, XLA handles dp."""
+    p_stack = _mlp_stack()
+    x = jnp.asarray(np.random.RandomState(4).randn(8, 16).astype(np.float32))
+    seq = _sequential(p_stack, x)
+    mesh = make_mesh(data=4, model=2)
+    xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+    pd = jax.device_put(p_stack, stack_shardings(p_stack, mesh))
+
+    @jax.jit
+    def run(p, x):
+        return pipeline_blocks(_block, p, x, mesh)
+
+    out = run(pd, xd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=1e-6)
+
+
+def test_pipeline_validation_errors():
+    p_stack = _mlp_stack(L=6)
+    x = jnp.ones((8, 16), jnp.float32)
+    mesh = make_mesh(data=2, model=4)
+    with pytest.raises(ValueError, match="don't split"):
+        pipeline_blocks(_block, p_stack, x, mesh)
+    with pytest.raises(ValueError, match="microbatches"):
+        pipeline_blocks(_block, _mlp_stack(L=8), jnp.ones((6, 16)), mesh)
+
+
+def test_mscan_pipeline_matches_scan_forward():
+    """A tiny MSCAN whose stage-3 has 4 identical blocks: the pipelined
+    forward over a pp=4 axis must equal the scan-over-blocks forward."""
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+
+    model = MSCAN_Classifier(
+        num_channels=(8, 16, 24, 32), num_blocks=(1, 1, 4, 2),
+        exp_ratios=(2, 2, 2, 2), num_classes=16,
+    )
+    variables = {"params": model.init(jax.random.key(0)),
+                 "state": model.init_state()}
+    x = jnp.asarray(np.random.RandomState(5).randn(8, 32, 32, 3).astype(np.float32))
+
+    def fwd(params, state, x):
+        y, _, _ = model.apply(params, x, state=state, training=False)
+        return y
+
+    y_scan = jax.jit(fwd)(variables["params"], variables["state"], x)
+
+    mesh = make_mesh(data=2, model=4)
+    model.backbone.enable_pipeline(mesh)  # stage 3 (4 blocks) pipelines;
+    # stage 4 (2 blocks) doesn't divide 4 -> falls back to the scan
+    y_pp = jax.jit(fwd)(variables["params"], variables["state"], x)
+    model.backbone.enable_pipeline(None)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_scan),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_class_inference_pipeline_wiring():
+    """`ClassInference(pipeline_parallel=n)` enables the backbone pipeline on
+    pipeline-capable models and warns-and-ignores on others (TinyNet)."""
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+    from convnet_approximater_tpu.runner.class_inference import ClassInference
+
+    ci = ClassInference.__new__(ClassInference)  # skip cfg-bound __init__
+    ci.pipeline_parallel = 2
+    model = MSCAN_Classifier(
+        num_channels=(8, 16, 24, 32), num_blocks=(1, 1, 2, 1),
+        exp_ratios=(2, 2, 2, 2), num_classes=16,
+    )
+    ci._maybe_pipeline(model)
+    assert model.backbone._pipeline is not None
+    mesh, axis, M = model.backbone._pipeline
+    assert mesh.shape[axis] == 2 and M is None
+    model.backbone.enable_pipeline(None)
+
+    class NoBackbone:
+        pass
+
+    ci._maybe_pipeline(NoBackbone())  # warns, no raise
+
+    ci.pipeline_parallel = 3  # doesn't divide the 8 CPU devices
+    with pytest.raises(ValueError, match="divide"):
+        ci._maybe_pipeline(model)
