@@ -168,14 +168,17 @@ class MSCAN(Module):
             self.layers.append(nn.ModuleList([down, stage, norm]))
             cur += nb
 
-    # -- pipeline-parallel path (eval) -------------------------------------
+    # -- pipeline-parallel path (eval + training) --------------------------
     def enable_pipeline(self, mesh, axis=None, num_microbatches=None):
         """Run each scannable stage's blocks as a GPipe pipeline over
         ``mesh``'s model axis (``parallel/pp.py``): device ``i`` owns blocks
         ``[i*L/n, (i+1)*L/n)`` and microbatch activations rotate through the
-        stages with ``ppermute`` over ICI.  Eval-only (per-microbatch BN/LN
-        eval is exact); stages whose block count doesn't divide the pipeline
-        depth fall back to the scan.  ``enable_pipeline(None)`` disables."""
+        stages with ``ppermute`` over ICI.  Eval is exact (per-microbatch
+        BN/LN eval matches the full batch); training differentiates straight
+        through the rotation (GPipe batch-stat semantics — see
+        ``_pipeline_stage``).  Stages whose block count doesn't divide the
+        pipeline depth fall back to the scan.  ``enable_pipeline(None)``
+        disables."""
         if mesh is None:
             self._pipeline = None
         else:
@@ -184,9 +187,21 @@ class MSCAN(Module):
             self._pipeline = (mesh, axis or MODEL_AXIS, num_microbatches)
 
     def _pipeline_stage(self, stage, stage_params, x, ctx: Ctx):
+        """Eval: :func:`parallel.pp.pipeline_blocks`.  Training:
+        :func:`parallel.pp.pipeline_blocks_train` — per-block BN state rides
+        the sharded stack, drop-path rng folds per (block, microbatch), and
+        the running-stat updates come back averaged over microbatches (GPipe
+        semantics: each microbatch normalizes by its own stats; exactly the
+        full-batch update at ``num_microbatches=1``).  Taps do NOT escape a
+        pipelined stage (capture-enabled Substitutions already force the
+        unrolled path via ``_stage_scannable``) — run calibration or
+        L2-reconstruct tapping with the pipeline disabled."""
         import jax
 
-        from convnet_approximater_tpu.parallel.pp import pipeline_blocks
+        from convnet_approximater_tpu.parallel.pp import (
+            pipeline_blocks,
+            pipeline_blocks_train,
+        )
 
         mesh, axis, M = self._pipeline
         blocks = list(stage.named_children())
@@ -200,16 +215,45 @@ class MSCAN(Module):
         if any(states):
             stacked["s"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
-        def block_fn(ps, h):
-            bctx = Ctx(training=False, rng=None, state=ps.get("s", {}))
-            return template(ps["p"], h, bctx)
+        if not ctx.training:
+            def block_fn(ps, h):
+                bctx = Ctx(training=False, rng=None, state=ps.get("s", {}))
+                return template(ps["p"], h, bctx)
 
-        return pipeline_blocks(block_fn, stacked, x, mesh, axis=axis,
-                               num_microbatches=M)
+            return pipeline_blocks(block_fn, stacked, x, mesh, axis=axis,
+                                   num_microbatches=M)
+
+        stacked["rate"] = jnp.asarray(
+            [float(getattr(getattr(b, "drop_path", None), "drop_prob", 0.0))
+             for _, b in blocks],
+            jnp.float32,
+        )
+        stacked["i"] = jnp.arange(len(blocks))
+        base_rng = ctx.rng() if ctx._rng is not None else None
+
+        def train_block_fn(ps, h, mb):
+            brng = None
+            if base_rng is not None:
+                brng = jax.random.fold_in(
+                    jax.random.fold_in(base_rng, ps["i"]), mb)
+            bctx = Ctx(training=True, rng=brng, state=ps.get("s", {}))
+            bctx.drop_path_rate = ps["rate"]
+            y = template(ps["p"], h, bctx)
+            return y, bctx.state_out
+
+        y, s_out = pipeline_blocks_train(train_block_fn, stacked, x, mesh,
+                                         axis=axis, num_microbatches=M)
+        prefix = ctx.path
+        for rel, stacked_v in s_out.items():
+            for n_i, (n, _) in enumerate(blocks):
+                full = f"{prefix}.{n}.{rel}" if prefix else f"{n}.{rel}"
+                ctx.state_out[full] = jax.tree_util.tree_map(
+                    lambda v, n_i=n_i: v[n_i], stacked_v)
+        return y
 
     def _stage_pipelineable(self, stage, ctx: Ctx) -> bool:
         pipe = getattr(self, "_pipeline", None)
-        if pipe is None or ctx.training:
+        if pipe is None:
             return False
         mesh, axis, M = pipe
         nb = len(list(stage.named_children()))

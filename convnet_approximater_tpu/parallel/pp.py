@@ -31,7 +31,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from convnet_approximater_tpu.parallel.mesh import MODEL_AXIS
 
-__all__ = ["pipeline_blocks", "stack_shardings"]
+__all__ = ["pipeline_blocks", "pipeline_blocks_train", "stack_shardings"]
 
 
 def stack_shardings(p_stack, mesh: Mesh, axis: str = MODEL_AXIS):
@@ -136,3 +136,110 @@ def pipeline_blocks(
     )
     out = fn(p_stack, xs)
     return out.reshape(B, *x.shape[1:])
+
+
+def pipeline_blocks_train(
+    block_fn,
+    stack,
+    x,
+    mesh: Mesh,
+    axis: str = MODEL_AXIS,
+    num_microbatches: int | None = None,
+):
+    """Differentiable GPipe with per-block auxiliary outputs (training path).
+
+    Like :func:`pipeline_blocks`, but ``block_fn(block_stack_slice, h,
+    mb_idx) -> (h, aux)`` may consume per-block data beyond params (state,
+    drop-path rates, the block index for rng folding — anything the caller
+    stacks into ``stack``) and emit a per-block aux tree (e.g. BatchNorm
+    running-stat updates).  Returns ``(y, aux_stack)`` where ``aux_stack``
+    leads with the block axis ``L`` and each block's aux is the MEAN over
+    its ``M`` microbatch activations — the standard GPipe treatment of
+    batch statistics (each microbatch normalizes by its own stats; the
+    running-stat update is their average, equal to the full-batch update at
+    M=1).
+
+    The whole construction is reverse-differentiable: the transpose of the
+    forward ``ppermute`` rotation is the inverse rotation, so ``jax.grad``
+    of a loss through this function IS the pipeline-parallel backward —
+    gradients flow stage-to-stage over ICI with no further machinery.
+    """
+    n = mesh.shape[axis]
+    leaves = jax.tree_util.tree_leaves(stack)
+    if not leaves:
+        return x, stack
+    L = leaves[0].shape[0]
+    if any(l.shape[0] != L for l in leaves):
+        raise ValueError("pipeline_blocks_train: ragged block stack")
+    if L % n:
+        raise ValueError(
+            f"pipeline_blocks_train: {L} blocks don't split over {n} stages")
+    M = int(num_microbatches or n)
+    B = x.shape[0]
+    if B % M:
+        raise ValueError(
+            f"pipeline_blocks_train: batch {B} % microbatches {M} != 0")
+    xs = x.reshape(M, B // M, *x.shape[1:])
+
+    specs = jax.tree_util.tree_map(
+        lambda leaf: P(axis, *([None] * (leaf.ndim - 1))), stack
+    )
+
+    def stage(local_stack, xs_all):
+        idx = lax.axis_index(axis)
+        mb_zero = jnp.zeros_like(xs_all[0])
+
+        def _vary(v):
+            # mark device-varying over the pipe axis; no-op if already so
+            try:
+                if hasattr(lax, "pcast"):
+                    return lax.pcast(v, (axis,), to="varying")
+                return lax.pvary(v, (axis,))
+            except ValueError:
+                return v
+
+        def chunk(h, mb_idx):
+            def body(h, ps):
+                return block_fn(ps, h, mb_idx)
+
+            # h enters device-varying (each stage computes its own blocks)
+            return lax.scan(body, _vary(h), local_stack)
+
+        aux_shape = jax.eval_shape(chunk, mb_zero, jnp.int32(0))[1]
+        aux0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), aux_shape)
+
+        def step(carry, t):
+            prev, outs, aux_acc = carry
+            j = t - idx  # this stage's microbatch index at step t
+            mb = jnp.clip(j, 0, M - 1)
+            inp = jnp.where(idx == 0, xs_all[jnp.clip(t, 0, M - 1)], prev)
+            out, auxs = chunk(inp, mb)
+            active = (j >= 0) & (j < M)
+            aux_acc = jax.tree_util.tree_map(
+                lambda acc, u: acc + jnp.where(active, u, jnp.zeros_like(u)) / M,
+                aux_acc, auxs)
+            jo = t - (n - 1)  # the LAST stage finishes microbatch jo here
+            joc = jnp.clip(jo, 0, M - 1)
+            valid = (idx == n - 1) & (jo >= 0) & (jo < M)
+            cur = lax.dynamic_index_in_dim(outs, joc, 0, keepdims=False)
+            outs = lax.dynamic_update_index_in_dim(
+                outs, jnp.where(valid, out, cur), joc, 0)
+            nxt = lax.ppermute(out, axis, [(i, (i + 1) % n) for i in range(n)])
+            return (nxt, outs, aux_acc), None
+
+        carry0 = (_vary(mb_zero), _vary(jnp.zeros_like(xs_all)),
+                  jax.tree_util.tree_map(_vary, aux0))
+        (_, outs, aux_acc), _ = lax.scan(step, carry0, jnp.arange(M + n - 1))
+        return lax.psum(outs, axis), aux_acc
+
+    x_spec = P()
+    fn = jax.shard_map(
+        stage,
+        mesh=mesh,
+        in_specs=(specs, x_spec),
+        out_specs=(x_spec, P(axis)),  # P(axis) prefix-broadcasts over aux
+        axis_names=frozenset({axis}),
+    )
+    out, aux_stack = fn(stack, xs)
+    return out.reshape(B, *x.shape[1:]), aux_stack

@@ -123,6 +123,91 @@ def test_mscan_pipeline_matches_scan_forward():
                                rtol=2e-5, atol=2e-6)
 
 
+def _tiny_pp_model():
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+
+    model = MSCAN_Classifier(
+        num_channels=(8, 16, 24, 32), num_blocks=(1, 1, 4, 2),
+        exp_ratios=(2, 2, 2, 2), num_classes=16,
+    )
+    variables = {"params": model.init(jax.random.key(0)),
+                 "state": model.init_state()}
+    return model, variables
+
+
+def test_mscan_pipeline_train_step_matches_scan():
+    """Training THROUGH the pipeline: at num_microbatches=1 the loss, grads,
+    and updated BN state must equal the scan-over-blocks train step (full
+    batch flows as one microbatch, so even batch-stat semantics coincide)."""
+    from convnet_approximater_tpu.nn.module import Ctx, _merge_state
+
+    model, variables = _tiny_pp_model()
+    x = jnp.asarray(np.random.RandomState(6).randn(8, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(np.arange(8) % 16)
+
+    def loss_fn(params, state, rng):
+        ctx = Ctx(training=True, rng=rng, state=state)
+        logits = model(params, x, ctx)
+        new_state = _merge_state(state, ctx.state_out)
+        one_hot = jax.nn.one_hot(labels, logits.shape[-1])
+        loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, axis=-1))
+        return loss, new_state
+
+    rng = jax.random.key(7)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    (l_ref, s_ref), g_ref = grad_fn(variables["params"], variables["state"], rng)
+
+    mesh = make_mesh(data=2, model=4)
+    model.backbone.enable_pipeline(mesh, num_microbatches=1)
+    grad_fn_pp = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    (l_pp, s_pp), g_pp = grad_fn_pp(variables["params"], variables["state"], rng)
+    model.backbone.enable_pipeline(None)
+
+    np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=1e-5)
+    for (ka, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_pp),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5, err_msg=str(ka))
+    for (ka, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s_ref),
+        jax.tree_util.tree_leaves_with_path(s_pp),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(ka))
+
+
+def test_mscan_pipeline_train_step_microbatched():
+    """M=4 GPipe training step: runs, finite loss, BN running stats move."""
+    from convnet_approximater_tpu.nn.module import Ctx, _merge_state
+
+    model, variables = _tiny_pp_model()
+    x = jnp.asarray(np.random.RandomState(8).randn(8, 32, 32, 3).astype(np.float32))
+    mesh = make_mesh(data=2, model=4)
+    model.backbone.enable_pipeline(mesh, num_microbatches=4)
+
+    def loss_fn(params, state, rng):
+        ctx = Ctx(training=True, rng=rng, state=state)
+        logits = model(params, x, ctx)
+        return jnp.mean(logits ** 2), _merge_state(state, ctx.state_out)
+
+    (loss, new_state), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(variables["params"], variables["state"], jax.random.key(9))
+    model.backbone.enable_pipeline(None)
+    assert np.isfinite(float(loss))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert bool(jnp.all(jnp.isfinite(g)))
+    # some BN state in the pipelined stage must have been updated
+    before = jax.tree_util.tree_leaves(variables["state"])
+    after = jax.tree_util.tree_leaves(new_state)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, after)
+    )
+
+
 def test_class_inference_pipeline_wiring():
     """`ClassInference(pipeline_parallel=n)` enables the backbone pipeline on
     pipeline-capable models and warns-and-ignores on others (TinyNet)."""
