@@ -516,3 +516,48 @@ def compile_serving(fn, *example_args):
         return jax.tree_util.tree_map(_put_leaf, list(args), list(formats))
 
     return compiled, put
+
+
+def export_serving(fn, example_args, path=None, platforms=None):
+    """Serialize a serving forward to a portable StableHLO artifact.
+
+    ``jax.export`` traces ``fn`` once (static shapes — the serving contract
+    anyway) and serializes the StableHLO module with its calling convention;
+    the artifact runs on any machine with a jax runtime WITHOUT the model
+    code, config tree, or checkpoint loader — the TPU-native analog of the
+    reference exporting a TorchScript/ONNX bundle (it had none; deploy there
+    meant re-running the Python stack, ``runner/class_inference.py``).
+
+    Args:
+      fn: jittable ``(params, state, x) -> logits`` (or any signature).
+      example_args: positional example inputs fixing shapes/dtypes.
+      path: optional file to write the serialized bytes to.
+      platforms: lowering platforms, e.g. ``("tpu", "cpu")`` for an artifact
+        that runs on both; default = current backend only.
+
+    Returns the serialized ``bytes``.
+    """
+    from jax import export as jax_export
+
+    exp = jax_export.export(jax.jit(fn), platforms=platforms)(*example_args)
+    data = exp.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data
+
+
+def load_serving(path_or_bytes):
+    """Load an :func:`export_serving` artifact; returns a callable.
+
+    The callable accepts the same positional pytrees the exported ``fn``
+    did and re-jits around the deserialized StableHLO (``Exported.call``),
+    so it composes with device placement and further jit like any jax
+    function."""
+    from jax import export as jax_export
+
+    data = path_or_bytes
+    if not isinstance(data, (bytes, bytearray)):
+        with open(data, "rb") as f:
+            data = f.read()
+    return jax_export.deserialize(bytearray(data)).call

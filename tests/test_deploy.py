@@ -204,3 +204,28 @@ def test_space_to_depth_stem_exact():
     xs2d = SpaceToDepthConv.s2d(x)
     y2, _, _ = model.apply(variables["params"], xs2d, training=False)
     assert float(jnp.max(jnp.abs(y2 - y_ref))) < 1e-5
+
+
+def test_export_serving_roundtrip(tmp_path):
+    """StableHLO serving artifact: export -> file -> deserialize -> same
+    numerics, with no reference to the model object."""
+    from convnet_approximater_tpu.deploy import export_serving, load_serving
+
+    m = nn.Sequential(nn.Conv2d(3, 8, 3, padding=1), nn.GELU(),
+                      nn.Conv2d(8, 4, 3, padding=1))
+    params = m.init(KEY)
+
+    def fwd(p, x):
+        y, _, _ = m.apply(p, x, training=False)
+        return y
+
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+    path = str(tmp_path / "model.stablehlo")
+    data = export_serving(fwd, (params, x), path=path)
+    assert isinstance(data, (bytes, bytearray)) and len(data) > 0
+
+    served = load_serving(path)
+    assert jnp.max(jnp.abs(served(params, x) - fwd(params, x))) < 1e-6
+    # bytes path too
+    served2 = load_serving(data)
+    assert jnp.max(jnp.abs(served2(params, x) - fwd(params, x))) < 1e-6
