@@ -208,6 +208,32 @@ def test_mscan_pipeline_train_step_microbatched():
     )
 
 
+def test_segnext_pipeline_matches_scan():
+    """SegNeXt shares the MSCAN backbone, so `backbone.enable_pipeline`
+    pipelines its stages identically (eval parity vs the scan forward)."""
+    from convnet_approximater_tpu.segmentation import SegNeXt
+
+    model = SegNeXt(
+        num_channels=(8, 16, 24, 32), num_blocks=(1, 1, 4, 2),
+        exp_ratios=(2, 2, 2, 2), num_classes=7,
+        ham_channels=16, ham_rank=4, ham_iters=2,
+    )
+    variables = {"params": model.init(jax.random.key(0)),
+                 "state": model.init_state()}
+    x = jnp.asarray(np.random.RandomState(9).randn(8, 32, 32, 3).astype(np.float32))
+
+    def fwd(params, state, x):
+        y, _, _ = model.apply(params, x, state=state, training=False)
+        return y
+
+    y_scan = jax.jit(fwd)(variables["params"], variables["state"], x)
+    model.backbone.enable_pipeline(make_mesh(data=2, model=4))
+    y_pp = jax.jit(fwd)(variables["params"], variables["state"], x)
+    model.backbone.enable_pipeline(None)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_scan),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_class_inference_pipeline_wiring():
     """`ClassInference(pipeline_parallel=n)` enables the backbone pipeline on
     pipeline-capable models and warns-and-ignores on others (TinyNet)."""
