@@ -93,6 +93,9 @@ _default_other_args = dict(
     model_parallel=1,
     tp_rules=None,
     amp=False,  # bf16 compute / f32 master params (measured 1.35-1.5x on TPU)
+    # "npz" (host-gathered flat file) or "sharded" (orbax/TensorStore: each
+    # device's shards written in parallel, async commit — utils/sharded_ckpt)
+    ckpt_backend="npz",
 )
 
 
@@ -144,13 +147,17 @@ def masked_update(tx, grads, opt_state, params, mask):
     return optax.apply_updates(params, updates), opt_state
 
 
-def opt_state_to_tree(opt_state) -> dict:
+def opt_state_to_tree(opt_state, to_host: bool = True) -> dict:
     """Flatten an optax state (arbitrary NamedTuple nesting) into a
     serializable dict keyed by flattening order.  Restored against a freshly
     ``tx.init``-ed state of the same structure (:func:`opt_state_from_tree`)
     — the same trick timm's ``resume_checkpoint`` plays with
-    ``optimizer.state_dict()`` (ref ``hooks/finetune.py:190-203``)."""
+    ``optimizer.state_dict()`` (ref ``hooks/finetune.py:190-203``).
+    ``to_host=False`` keeps device arrays (sharded-checkpoint path: orbax
+    writes the shards directly, no gather)."""
     leaves = jax.tree_util.tree_leaves(opt_state)
+    if not to_host:
+        return {f"{i:05d}": x for i, x in enumerate(leaves)}
     return {f"{i:05d}": np.asarray(x) for i, x in enumerate(leaves)}
 
 
@@ -178,15 +185,21 @@ class CheckpointSaver:
     ``hooks/finetune.py:190-203``).  Deploy-time loads ignore the extra
     ``opt``/``meta`` collections (non-strict graft)."""
 
-    def __init__(self, out_dir: str, decreasing: bool = False, max_history: int = 10):
+    def __init__(self, out_dir: str, decreasing: bool = False, max_history: int = 10,
+                 backend: str = "npz"):
+        if backend not in ("npz", "sharded"):
+            raise ValueError(f"unknown ckpt backend {backend!r}")
         self.out_dir = out_dir
         self.decreasing = decreasing
         self.max_history = max_history
+        self.backend = backend
         self.history = []  # list of (metric, path)
         os.makedirs(out_dir, exist_ok=True)
 
     def save_checkpoint(self, variables: dict, epoch: int, metric: float,
                         opt_state=None):
+        if self.backend == "sharded":
+            return self._save_sharded(variables, epoch, metric, opt_state)
         tree = dict(variables)
         if opt_state is not None:
             tree["opt"] = opt_state_to_tree(opt_state)
@@ -204,6 +217,38 @@ class CheckpointSaver:
         save_model(load_ckpt(best_path) if os.path.exists(best_path) else tree,
                    os.path.join(self.out_dir, "model_best.ckpt.npz"))
         return best_metric, best_epoch
+
+    def _save_sharded(self, variables: dict, epoch: int, metric: float, opt_state):
+        """Device-sharded async save (utils/sharded_ckpt): arrays are written
+        from their mesh shards by orbax/TensorStore — no host gather, no
+        duplicate 'last' copy (symlinks point at the epoch directory)."""
+        from ..utils.sharded_ckpt import save_sharded
+
+        tree = dict(variables)
+        if opt_state is not None:
+            tree["opt"] = opt_state_to_tree(opt_state, to_host=False)
+        tree["meta"] = {"epoch": int(epoch), "metric": float(metric)}
+        path = os.path.join(self.out_dir, f"checkpoint-{epoch}.ckpt.oshard")
+        save_sharded(path, tree, wait=False)
+        self._relink("last.ckpt.oshard", path)
+        self.history.append((metric, path, epoch))
+        self.history.sort(key=lambda t: t[0], reverse=not self.decreasing)
+        while len(self.history) > self.max_history:
+            _, stale, _ = self.history.pop()
+            # never remove the dir 'last.ckpt.oshard' currently points at
+            if stale != path and os.path.isdir(stale) and not os.path.islink(stale):
+                import shutil
+
+                shutil.rmtree(stale, ignore_errors=True)
+        best_metric, best_path, best_epoch = self.history[0]
+        self._relink("model_best.ckpt.oshard", best_path)
+        return best_metric, best_epoch
+
+    def _relink(self, name: str, target: str):
+        link = os.path.join(self.out_dir, name)
+        if os.path.islink(link):
+            os.remove(link)
+        os.symlink(os.path.abspath(target), link)
 
 
 def update_summary(epoch: int, train_metrics: dict, eval_metrics: dict, path: str,
@@ -364,6 +409,7 @@ class L2Reconstruct(Hook):
             saver = CheckpointSaver(
                 out_dir, decreasing=(eval_metric == "loss"),
                 max_history=self.other_args.checkpoint_hist,
+                backend=self.other_args.ckpt_backend,
             )
 
         train_step = self._make_train_step(tx)

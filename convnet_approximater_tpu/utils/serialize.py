@@ -93,7 +93,12 @@ def _load_orbax(path: str) -> Dict[str, Any]:
 
 
 def load_ckpt(path: str) -> Dict[str, Any]:
-    """Load a checkpoint (.npz file or .orbax dir) into a nested numpy tree."""
+    """Load a checkpoint (.npz file, .orbax dir or .oshard sharded dir) into a
+    nested numpy tree."""
+    from .sharded_ckpt import is_sharded_ckpt, restore_sharded
+
+    if is_sharded_ckpt(path):
+        return restore_sharded(path)
     if os.path.isdir(path) or str(path).endswith(ORBAX_SUFFIX):
         return _load_orbax(path)
     with np.load(path, allow_pickle=False) as data:
