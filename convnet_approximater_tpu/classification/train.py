@@ -55,9 +55,28 @@ _default_train_cfg = dict(
     max_steps_per_epoch=None,
     max_eval_batches=None,
     amp=False,  # bf16 compute / f32 master params (see hooks/finetune.py)
+    # model EMA (timm ModelEmaV2 analog): decay>0 keeps an exponential moving
+    # average of all floating leaves (params + BN stats) updated inside the
+    # jitted step; eval + checkpoint-metric use the EMA weights
+    ema_decay=0.0,
+    # gradient accumulation (optax.MultiSteps): k micro-batches are averaged
+    # into one optimizer step — large effective batch without the HBM
+    grad_accum=1,
     work_dir="work_dirs/train",
     seed=0,
 )
+
+
+def ema_update(ema, new, decay):
+    """timm ``ModelEmaV2._update`` semantics: floating leaves decay
+    (``e*d + n*(1-d)``), non-floating leaves (counters) copy through."""
+
+    def leaf(e, n):
+        if jnp.issubdtype(jnp.asarray(e).dtype, jnp.floating):
+            return e * decay + n.astype(jnp.asarray(e).dtype) * (1.0 - decay)
+        return n
+
+    return jax.tree_util.tree_map(leaf, ema, new)
 
 
 class TrainHelper:
@@ -105,18 +124,33 @@ class TrainHelper:
         sche_args = Config(dict(epochs=cfg.epochs, sched=cfg.sched, min_lr=cfg.min_lr,
                                 warmup_epochs=cfg.warmup_epochs, decay_rate=cfg.decay_rate))
         tx, lr_sched = make_optimizer(optim_args, sche_args, steps)
+        accum = int(cfg.grad_accum or 1)
+        if accum > 1:
+            # the inner schedule advances once per k micro-steps (per real
+            # optimizer update) — mirror of torch-side grad accumulation
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
         opt_state = tx.init(self.variables["params"])
         smoothing = cfg.label_smoothing
+
+        use_ema = float(cfg.ema_decay or 0.0) > 0.0
+        ema_decay = float(cfg.ema_decay or 0.0)
+        self._ema = None
+        if use_ema:
+            self._ema = {
+                "params": jax.tree_util.tree_map(jnp.asarray, self.variables["params"]),
+                "state": jax.tree_util.tree_map(jnp.asarray, self.variables["state"]),
+            }
 
         # donate the reassigned-every-step trees on real TPU runtimes only
         # (in-place weight/moment updates; the axon relay rejects aliased
         # buffers — see hooks/finetune.py for the full rationale)
-        donate = (0, 1, 2) if jax.default_backend() == "tpu" else ()
+        donate = ((0, 1, 2, 3) if use_ema else (0, 1, 2)) \
+            if jax.default_backend() == "tpu" else ()
 
         amp = bool(cfg.amp)
 
         @partial(jax.jit, donate_argnums=donate)
-        def train_step(params, state, opt_state, images, labels, rng):
+        def train_step(params, state, opt_state, ema, images, labels, rng):
             def loss_fn(params):
                 if amp:
                     params = cast_floating(params, jnp.bfloat16)
@@ -135,7 +169,10 @@ class TrainHelper:
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, new_state, opt_state, loss
+            if use_ema:
+                ema = ema_update(ema, {"params": params, "state": new_state},
+                                 jnp.float32(ema_decay))
+            return params, new_state, opt_state, ema, loss
 
         @jax.jit
         def eval_step(params, state, images, labels):
@@ -163,7 +200,7 @@ class TrainHelper:
         best_metric, best_epoch = self._best
         logger.info(f"*** Best {cfg.eval_metric}: {best_metric} (epoch {best_epoch})")
         return dict(best_metric=best_metric, best_epoch=best_epoch,
-                    variables=self.variables)
+                    variables=self.variables, ema=self._ema)
 
     def _loop(self, cfg, loader_train, loader_eval, steps, train_step,
               eval_step, lr_sched, rng, saver, out_dir, opt_state):
@@ -178,12 +215,14 @@ class TrainHelper:
                 if i >= steps:
                     break
                 step_rng = jax.random.fold_in(rng, step_count)
-                params, state, opt_state, loss = train_step(
+                params, state, opt_state, ema, loss = train_step(
                     self.variables["params"], self.variables["state"], opt_state,
-                    images, labels, step_rng,
+                    self._ema, images, labels, step_rng,
                 )
                 self.variables["params"] = params
                 self.variables["state"] = state
+                if ema is not None:
+                    self._ema = ema
                 step_count += 1
                 if i % cfg.log_interval == 0 or i == steps - 1:
                     jax.block_until_ready(loss)
@@ -196,14 +235,15 @@ class TrainHelper:
                         f"Time: {time_m.val:.3f}s"
                     )
                 end = time.time()
-            # validate
+            # validate (EMA weights when enabled — timm checkpoints on the
+            # EMA metric once model-ema is on)
+            ev_params = self._ema["params"] if self._ema is not None else self.variables["params"]
+            ev_state = self._ema["state"] if self._ema is not None else self.variables["state"]
             lm, t1, t5 = AverageMeter(), AverageMeter(), AverageMeter()
             for j, (images, labels) in enumerate(loader_eval):
                 if cfg.max_eval_batches and j >= cfg.max_eval_batches:
                     break
-                loss, c1, c5 = eval_step(
-                    self.variables["params"], self.variables["state"], images, labels
-                )
+                loss, c1, c5 = eval_step(ev_params, ev_state, images, labels)
                 bs = images.shape[0]
                 lm.update(float(loss), bs)
                 t1.update(float(c1) / bs * 100, bs)
@@ -215,6 +255,9 @@ class TrainHelper:
                                os.path.join(out_dir, "summary.csv"),
                                write_header=(epoch == 0))
             if saver is not None:
+                to_save = dict(self.variables)
+                if self._ema is not None:
+                    to_save["ema"] = self._ema
                 self._best = saver.save_checkpoint(
-                    self.variables, epoch, eval_metrics[cfg.eval_metric]
+                    to_save, epoch, eval_metrics[cfg.eval_metric]
                 )
