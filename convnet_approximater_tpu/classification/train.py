@@ -24,6 +24,7 @@ from convnet_approximater_tpu.nn.module import Ctx, _merge_state
 from convnet_approximater_tpu.parallel import batch_sharding, is_main_process, make_mesh, replicate
 from convnet_approximater_tpu.utils import cast_floating, get_logger
 from convnet_approximater_tpu.utils.config import Config
+from convnet_approximater_tpu.utils.preempt import Preempted, PreemptionGuard
 
 from .validate import AverageMeter, accuracy_sums
 
@@ -62,6 +63,7 @@ _default_train_cfg = dict(
     # gradient accumulation (optax.MultiSteps): k micro-batches are averaged
     # into one optimizer step — large effective batch without the HBM
     grad_accum=1,
+    resume="",  # checkpoint path: restores weights (+ema/opt if present) + epoch
     work_dir="work_dirs/train",
     seed=0,
 )
@@ -189,31 +191,72 @@ class TrainHelper:
             os.makedirs(out_dir, exist_ok=True)
             saver = CheckpointSaver(out_dir, decreasing=(cfg.eval_metric == "loss"),
                                     max_history=cfg.checkpoint_hist)
+
+        start_epoch = 0
+        if cfg.resume:
+            from convnet_approximater_tpu.utils.serialize import load_ckpt, load_into
+
+            ckpt = load_ckpt(cfg.resume)
+            self.variables = load_into(
+                self.variables,
+                {k: v for k, v in ckpt.items() if k in ("params", "state")})
+            if self._ema is not None and "ema" in ckpt:
+                self._ema = load_into(self._ema, ckpt["ema"])
+            if "opt" in ckpt:
+                from convnet_approximater_tpu.hooks.finetune import opt_state_from_tree
+
+                restored = opt_state_from_tree(ckpt["opt"], opt_state)
+                if restored is not None:
+                    opt_state = restored
+            if "meta" in ckpt and "epoch" in ckpt["meta"]:
+                start_epoch = int(ckpt["meta"]["epoch"]) + 1
+            logger.info(f"resumed from {cfg.resume} (epoch {start_epoch})")
+
         best_metric = best_epoch = None
-        step_count = 0
+        self._best = (None, None)
+        guard = PreemptionGuard()
+        guard.__enter__()  # SIGTERM -> cooperative stop-and-checkpoint
+        self._guard = guard
         try:
             self._loop(cfg, loader_train, loader_eval, steps, train_step,
-                       eval_step, lr_sched, rng, saver, out_dir, opt_state)
+                       eval_step, lr_sched, rng, saver, out_dir, opt_state,
+                       start_epoch)
         except KeyboardInterrupt:
             # partial runs still report the best metric (reference behavior)
             pass
+        except Preempted as e:
+            if e.args:
+                opt_state = e.args[1]
+            if saver is not None:
+                to_save = dict(self.variables)
+                if self._ema is not None:
+                    to_save["ema"] = self._ema
+                path = saver.save_last(to_save, e.args[0] - 1 if e.args else -1,
+                                       opt_state=opt_state)
+                logger.warning(f"preempted: full train state saved to {path}")
+        finally:
+            self._guard = None
+            guard.__exit__()
         best_metric, best_epoch = self._best
         logger.info(f"*** Best {cfg.eval_metric}: {best_metric} (epoch {best_epoch})")
         return dict(best_metric=best_metric, best_epoch=best_epoch,
                     variables=self.variables, ema=self._ema)
 
     def _loop(self, cfg, loader_train, loader_eval, steps, train_step,
-              eval_step, lr_sched, rng, saver, out_dir, opt_state):
+              eval_step, lr_sched, rng, saver, out_dir, opt_state,
+              start_epoch=0):
         logger = get_logger()
-        self._best = (None, None)
-        step_count = 0
-        for epoch in range(cfg.epochs):
+        step_count = start_epoch * steps
+        guard = getattr(self, "_guard", None)
+        for epoch in range(start_epoch, cfg.epochs):
             loader_train.set_epoch(epoch)
             loss_m, time_m = AverageMeter(), AverageMeter()
             end = time.time()
             for i, (images, labels) in enumerate(loader_train):
                 if i >= steps:
                     break
+                if guard is not None and guard.triggered:
+                    raise Preempted(epoch, opt_state)
                 step_rng = jax.random.fold_in(rng, step_count)
                 params, state, opt_state, ema, loss = train_step(
                     self.variables["params"], self.variables["state"], opt_state,

@@ -55,6 +55,7 @@ from convnet_approximater_tpu.utils import (
     tree_set,
 )
 from convnet_approximater_tpu.utils.config import Config
+from convnet_approximater_tpu.utils.preempt import Preempted, PreemptionGuard
 
 from .hook import HOOK, Hook
 
@@ -250,6 +251,27 @@ class CheckpointSaver:
             os.remove(link)
         os.symlink(os.path.abspath(target), link)
 
+    def save_last(self, variables: dict, epoch: int, opt_state=None):
+        """Preemption save: overwrite only the 'last' checkpoint (full train
+        state, best-k history untouched).  ``epoch`` is the last *completed*
+        epoch — resume redoes the interrupted one from these weights."""
+        tree = dict(variables)
+        if opt_state is not None:
+            tree["opt"] = opt_state_to_tree(opt_state,
+                                            to_host=(self.backend != "sharded"))
+        if self.backend == "sharded":
+            from ..utils.sharded_ckpt import save_sharded
+
+            tree["meta"] = {"epoch": int(epoch), "metric": float("nan")}
+            path = os.path.join(self.out_dir, "checkpoint-preempt.ckpt.oshard")
+            save_sharded(path, tree, wait=True)
+            self._relink("last.ckpt.oshard", path)
+            return path
+        tree["meta"] = {"epoch": np.int64(epoch), "metric": np.float64("nan")}
+        path = os.path.join(self.out_dir, "last.ckpt.npz")
+        save_model(tree, path)
+        return path
+
 
 def update_summary(epoch: int, train_metrics: dict, eval_metrics: dict, path: str,
                    write_header: bool = False):
@@ -417,7 +439,12 @@ class L2Reconstruct(Hook):
 
         best_metric = None
         best_epoch = None
+        preempted = False
+        epoch = start_epoch
         step_count = start_epoch * steps_per_epoch
+        guard = PreemptionGuard()
+        guard.__enter__()  # SIGTERM -> cooperative stop-and-checkpoint
+        self._guard = guard
         try:
             for epoch in range(start_epoch, num_epochs):
                 b = behavior[epoch]
@@ -458,9 +485,23 @@ class L2Reconstruct(Hook):
                     )
         except KeyboardInterrupt:
             pass
+        except Preempted as e:
+            preempted = True
+            if e.args:  # opt_state at the interrupted step (see _train_one_epoch)
+                opt_state = e.args[0]
+            if saver is not None:
+                path = saver.save_last(runner.variables, epoch - 1,
+                                       opt_state=opt_state)
+                logger.warning(
+                    f"preempted during epoch {epoch}: full train state saved to "
+                    f"{path}; resuming will redo epoch {epoch}")
+        finally:
+            self._guard = None
+            guard.__exit__()
         if best_metric is not None:
             logger.info(f"*** Best metric: {best_metric} (epoch {best_epoch})")
-        self.result = dict(best_metric=best_metric, best_epoch=best_epoch)
+        self.result = dict(best_metric=best_metric, best_epoch=best_epoch,
+                           preempted=preempted)
 
     # -- task plug points (SegL2Reconstruct overrides these) --------------
     def _ce_fn(self):
@@ -570,9 +611,14 @@ class L2Reconstruct(Hook):
         t_vars = self.teacher_variables or {"params": {}, "state": {}}
         rng = runner.rng
         end = time.time()
+        guard = getattr(self, "_guard", None)
         for i, (images, labels) in enumerate(loader):
             if i >= steps:
                 break
+            if guard is not None and guard.triggered:
+                # carry the in-epoch optimizer state out for a consistent
+                # (weights, moments) preemption checkpoint
+                raise Preempted(opt_state)
             step_rng = jax.random.fold_in(rng, step_count)
             params, new_state, opt_state, loss, ce, norm = train_step(
                 runner.variables["params"], runner.variables["state"], opt_state,
