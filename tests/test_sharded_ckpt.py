@@ -159,3 +159,38 @@ def test_finetune_kill_and_resume_sharded_backend(tmp_path):
     r_leaves = jax.tree_util.tree_leaves(resumed.variables["params"])
     for a, b in zip(f_leaves, r_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_finetune_sharded_backend_over_dp_tp_mesh(tmp_path):
+    """The sharded backend saves a genuinely mesh-sharded train state (dp x tp,
+    model_parallel=2): orbax writes from the shards, and the checkpoint loads
+    back to a host tree through load_ckpt."""
+    from convnet_approximater_tpu.runner import Runner
+    from convnet_approximater_tpu.utils import init_cfg, update_cfg
+    from tests.test_finetune import TINY_MODEL
+
+    cfg_text = TINY_MODEL + """
+hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
+    cls_weight=0.0,
+    dataset_args=dict(batch_size=16),
+    data_config=dict(image_size=(16, 16)),
+    optim_args=dict(opt="adamw", lr=1e-4, weight_decay=0.01),
+    sche_args=dict(epochs=1),
+    other_args=dict(num_classes=4, max_steps_per_epoch=2, max_eval_batches=1,
+                    log_interval=100, use_mesh=True, model_parallel=2,
+                    tp_rules="mscan", ckpt_backend="sharded"),
+)]
+"""
+    p = tmp_path / "ft_sh.py"
+    p.write_text(cfg_text)
+    init_cfg(str(p))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="ft_sh", seed=0)
+    runner = Runner(skip_post=True)
+    runner.run()
+    wait_for_saves()
+    last = str(tmp_path / "work" / "last.ckpt.oshard")
+    assert os.path.islink(last)
+    ckpt = load_ckpt(last)
+    assert "opt" in ckpt and int(ckpt["meta"]["epoch"]) == 0
+    for leaf in jax.tree_util.tree_leaves(ckpt["params"]):
+        assert np.all(np.isfinite(leaf))
