@@ -64,6 +64,7 @@ _default_train_cfg = dict(
     # into one optimizer step — large effective batch without the HBM
     grad_accum=1,
     resume="",  # checkpoint path: restores weights (+ema/opt if present) + epoch
+    ckpt_backend="npz",  # or "sharded" (orbax shard-parallel; see finetune.py)
     work_dir="work_dirs/train",
     seed=0,
 )
@@ -187,10 +188,12 @@ class TrainHelper:
 
         out_dir = cfg.work_dir
         saver = None
-        if is_main_process():
+        # sharded saves are collective across hosts (see hooks/finetune.py)
+        if is_main_process() or cfg.ckpt_backend == "sharded":
             os.makedirs(out_dir, exist_ok=True)
             saver = CheckpointSaver(out_dir, decreasing=(cfg.eval_metric == "loss"),
-                                    max_history=cfg.checkpoint_hist)
+                                    max_history=cfg.checkpoint_hist,
+                                    backend=cfg.ckpt_backend)
 
         start_epoch = 0
         if cfg.resume:

@@ -222,7 +222,10 @@ class CheckpointSaver:
     def _save_sharded(self, variables: dict, epoch: int, metric: float, opt_state):
         """Device-sharded async save (utils/sharded_ckpt): arrays are written
         from their mesh shards by orbax/TensorStore — no host gather, no
-        duplicate 'last' copy (symlinks point at the epoch directory)."""
+        duplicate 'last' copy (symlinks point at the epoch directory).
+        Multihost: the save itself is collective (run this on EVERY process —
+        see the trainers' saver construction); symlink/pruning bookkeeping
+        happens on process 0 only."""
         from ..utils.sharded_ckpt import save_sharded
 
         tree = dict(variables)
@@ -237,7 +240,8 @@ class CheckpointSaver:
         while len(self.history) > self.max_history:
             _, stale, _ = self.history.pop()
             # never remove the dir 'last.ckpt.oshard' currently points at
-            if stale != path and os.path.isdir(stale) and not os.path.islink(stale):
+            if (stale != path and jax.process_index() == 0
+                    and os.path.isdir(stale) and not os.path.islink(stale)):
                 import shutil
 
                 shutil.rmtree(stale, ignore_errors=True)
@@ -246,6 +250,8 @@ class CheckpointSaver:
         return best_metric, best_epoch
 
     def _relink(self, name: str, target: str):
+        if jax.process_index() != 0:
+            return
         link = os.path.join(self.out_dir, name)
         if os.path.islink(link):
             os.remove(link)
@@ -427,7 +433,9 @@ class L2Reconstruct(Hook):
         eval_metric = self.other_args.eval_metric
         saver = None
         out_dir = runner.cfg.work_dir or "."
-        if is_main_process():
+        # sharded saves are collective across hosts — every process must
+        # construct the saver and call it (npz saves stay process-0-only)
+        if is_main_process() or self.other_args.ckpt_backend == "sharded":
             saver = CheckpointSaver(
                 out_dir, decreasing=(eval_metric == "loss"),
                 max_history=self.other_args.checkpoint_hist,

@@ -57,9 +57,16 @@ def save_sharded(path: str, tree: Dict[str, Any], *, wait: bool = True) -> str:
     path = os.path.abspath(path)
     ckptr = _checkpointer()
     ckptr.wait_until_finished()  # one in-flight save at a time
-    if os.path.exists(path):
+    # multihost: the save is COLLECTIVE (every process writes its shards) —
+    # call it on ALL processes; only process 0 cleans a stale directory
+    # (shared-filesystem assumption), with a barrier before anyone writes
+    if jax.process_index() == 0 and os.path.exists(path):
         shutil.rmtree(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("sharded_ckpt_pre_save")
     ckptr.save(path, tree)
     if wait:
         ckptr.wait_until_finished()

@@ -149,3 +149,56 @@ def test_two_process_spmd_train_step(tmp_path):
     batch_sharding), per-process local batch halves, loss + updated params
     bit-matching the single-host full-batch computation."""
     _launch_two(tmp_path, _TRAIN_WORKER, "TRAIN-OK", devices_per_proc=2)
+
+
+_CKPT_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from convnet_approximater_tpu.parallel import initialize_distributed, make_mesh
+    from convnet_approximater_tpu.utils.sharded_ckpt import (
+        restore_sharded, save_sharded)
+
+    addr, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    initialize_distributed(coordinator_address=addr, num_processes=2,
+                           process_id=pid)
+
+    mesh = make_mesh(data=2, model=2)  # spans both processes
+    w = jax.device_put(jnp.arange(64, dtype=jnp.float32).reshape(8, 8),
+                       NamedSharding(mesh, P("data", "model")))
+    assert not w.is_fully_addressable  # this host holds only its own shards
+    tree = {"params": {"w": w}, "meta": {"epoch": 5}}
+    path = out_dir + "/multi.ckpt.oshard"
+    save_sharded(path, tree)  # every host writes its shards; orbax barriers
+
+    restored = restore_sharded(
+        path, {"params": {"w": jax.ShapeDtypeStruct(
+            (8, 8), jnp.float32,
+            sharding=NamedSharding(mesh, P("model", "data")))},
+            "meta": {"epoch": 0}})
+    got = restored["params"]["w"]
+    assert got.sharding.spec == P("model", "data")
+    assert restored["meta"]["epoch"] == 5
+    # check the addressable shards carry the right values after resharding
+    for shard in got.addressable_shards:
+        r0, c0 = shard.index[0].start or 0, shard.index[1].start or 0
+        block = np.arange(64, dtype=np.float32).reshape(8, 8)[shard.index]
+        np.testing.assert_array_equal(np.asarray(shard.data), block)
+    print(f"rank {pid} CKPT-OK", flush=True)
+""")
+
+
+def test_two_process_sharded_checkpoint(tmp_path):
+    """Multi-host sharded checkpointing: an array sharded across BOTH
+    processes (not fully addressable on either) saves via orbax — each host
+    writing only its shards — and restores resharded, with per-shard values
+    verified against the global array."""
+    out = tmp_path / "ckpts"
+    out.mkdir()
+    src = _CKPT_WORKER.replace("sys.argv[3]", f"{str(out)!r}")
+    # keep the 3-arg launcher signature: out_dir baked into the source
+    _launch_two(tmp_path, src, "CKPT-OK", devices_per_proc=2)
