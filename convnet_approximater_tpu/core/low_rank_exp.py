@@ -70,8 +70,12 @@ class LowRankExpV1(Approximater):
         )
 
     def _fix_substitution(self, sub: Substitution, params: dict):
-        # carry the source conv's bias onto the 1x1 mixing conv
-        params["new"]["d_conv"]["bias"] = params["old"]["bias"]
+        # carry the source conv's bias onto the 1x1 mixing conv; a bias-less
+        # source (e.g. ResNet's pre-BN convs) approximates to zero bias
+        old_bias = params["old"].get("bias")
+        params["new"]["d_conv"]["bias"] = (
+            old_bias if old_bias is not None
+            else jnp.zeros_like(params["new"]["d_conv"]["bias"]))
 
     def optimize(self, sub: Substitution, params: dict):
         if self.init_decomp:
@@ -175,7 +179,10 @@ class LowRankExpV2(Approximater):
         )
 
     def _fix_substitution(self, sub: Substitution, params: dict):
-        params["new"]["h_conv"]["bias"] = params["old"]["bias"]
+        old_bias = params["old"].get("bias")
+        params["new"]["h_conv"]["bias"] = (
+            old_bias if old_bias is not None
+            else jnp.zeros_like(params["new"]["h_conv"]["bias"]))
 
     def optimize(self, sub: Substitution, params: dict):
         logger = get_logger()

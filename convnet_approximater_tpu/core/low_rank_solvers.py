@@ -119,7 +119,12 @@ def pc_energy(bases: jnp.ndarray, d: int) -> jnp.ndarray:
     basis — the reference's "PC Energy" log (``low_rank_exp.py:177-180``)."""
     sv = jnp.linalg.svd(bases.reshape(-1, d, d), compute_uv=False)
     lbd = sv**2
-    return jnp.mean(lbd[:, 0] / jnp.sum(lbd, axis=1))
+    tot = jnp.sum(lbd, axis=1)
+    # all-zero bases (SVD init with num_base > d*d rank) carry no energy —
+    # exclude them from the mean instead of propagating 0/0 = nan
+    nz = tot > 0
+    frac = jnp.where(nz, lbd[:, 0] / jnp.where(nz, tot, 1.0), 0.0)
+    return jnp.sum(frac) / jnp.maximum(jnp.sum(nz), 1)
 
 
 def lmda_schedule(lmda_length: int, min_lmda: float, max_lmda: float,

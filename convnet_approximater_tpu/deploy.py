@@ -36,6 +36,11 @@ from convnet_approximater_tpu.nn.layers import BatchNorm2d, Conv2d
 # to call conv_attr immediately followed by bn_attr
 FOLD_PATTERNS: Dict[str, List[Tuple[str, str]]] = {
     "DownSample": [("proj", "norm")],
+    # ResNet family (models/resnet.py): every conv is immediately followed
+    # by its BN, so the whole deploy surface folds to biased convs.
+    "ResNet": [("conv1", "bn1")],
+    "BasicBlock": [("conv1", "bn1"), ("conv2", "bn2")],
+    "Bottleneck": [("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")],
 }
 
 

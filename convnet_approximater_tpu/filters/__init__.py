@@ -1,3 +1,4 @@
 from .module_filter import FILTER, ModuleFilter, build_filter
 from .simple_conv_filter import SimpleConvFilter
 from .indices_filter import IndicesFilter
+from .kernel_size_filter import KernelSizeFilter

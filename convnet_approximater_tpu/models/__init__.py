@@ -2,6 +2,7 @@ from .switchable import MODEL, SwitchableModel, build_model
 from .alexnet import AlexNet
 from .mscan import MSCAN, MSCAN_Classifier
 from .vgg import VGG, VGG16
+from .resnet import ResNet, ResNet18, ResNet50
 
 # register the segmentation family in the MODEL registry (imported last to
 # avoid a cycle: segnext.py pulls from models.mscan / models.switchable).

@@ -21,7 +21,15 @@ def main():
                          "kernels wherever decomposition loses wall-clock")
     ap.add_argument("--eval-dataset", default=None, help="DATASET registry type, e.g. CIFAR10")
     ap.add_argument("--eval-root", default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax backend (e.g. cpu) — env vars alone "
+                         "are overridden by the container's platform pin")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from convnet_approximater_tpu.runner import ClassInference
     from convnet_approximater_tpu.utils import build_logger, init_cfg, update_cfg

@@ -119,3 +119,79 @@ def test_first_fc_flatten_permutation():
     np.testing.assert_allclose(y_ours, y_torch_order, rtol=1e-6)
     # later linears untouched (shape transposed only)
     assert tree["params"]["classifier"]["4"]["weight"].shape == (out, 4)
+
+
+def test_resnet_torchvision_checkpoint_roundtrip():
+    """A torchvision-topology ResNet-18 state_dict converts with the GENERIC
+    arch (no rename table) and reproduces torch's logits exactly — the
+    module naming contract models/resnet.py promises."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    from convnet_approximater_tpu.models import ResNet
+
+    tnn = torch.nn
+
+    class TBasic(tnn.Module):
+        def __init__(self, in_c, planes, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(in_c, planes, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.relu = tnn.ReLU()
+            self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.downsample = None
+            if stride != 1 or in_c != planes:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(in_c, planes, 1, stride, bias=False),
+                    tnn.BatchNorm2d(planes),
+                )
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            return self.relu(self.bn2(self.conv2(y)) + idt)
+
+    class TResNet18(tnn.Module):
+        def __init__(self, num_classes=13):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            in_c = 64
+            for i, planes in enumerate((64, 128, 256, 512)):
+                blocks = []
+                for j in range(2):
+                    blocks.append(TBasic(in_c, planes, 2 if (i > 0 and j == 0) else 1))
+                    in_c = planes
+                setattr(self, f"layer{i + 1}", tnn.Sequential(*blocks))
+            self.avgpool = tnn.AdaptiveAvgPool2d((1, 1))
+            self.fc = tnn.Linear(512, num_classes)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for n in ("layer1", "layer2", "layer3", "layer4"):
+                x = getattr(self, n)(x)
+            return self.fc(torch.flatten(self.avgpool(x), 1))
+
+    torch.manual_seed(0)
+    tm = TResNet18()
+    # non-trivial BN running stats: a couple of training-mode passes
+    tm.train()
+    with torch.no_grad():
+        for _ in range(2):
+            tm(torch.randn(4, 3, 64, 64))
+    tm.eval()
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    t2t = _load("torch_to_tpu.py")
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree = t2t.convert_state_dict(sd, "generic")
+
+    m = ResNet(depth=18, num_classes=13)
+    x_nhwc = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    y, _, _ = m.apply(tree["params"], x_nhwc, state=tree["state"])
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-5)

@@ -229,3 +229,23 @@ def test_export_serving_roundtrip(tmp_path):
     # bytes path too
     served2 = load_serving(data)
     assert jnp.max(jnp.abs(served2(params, x) - fwd(params, x))) < 1e-6
+
+
+def test_fold_batchnorm_resnet_whole_model():
+    """ResNet-18 folds ALL 20 conv->BN pairs (stem + blocks + downsample
+    Sequentials) and the folded eval forward matches exactly."""
+    from convnet_approximater_tpu.models import ResNet
+
+    model = ResNet(depth=18, num_classes=10)
+    params = model.init(KEY)
+    state = model.init_state()
+    _randomize_bn_state(state)
+    x = jax.random.normal(KEY, (2, 64, 64, 3))
+    y_ref, _, _ = model.apply(params, x, state=state, training=False)
+
+    variables = {"params": params, "state": state}
+    n = fold_batchnorm(model, variables)
+    assert n == 20
+    y, _, _ = model.apply(variables["params"], x,
+                          state=variables["state"], training=False)
+    assert jnp.max(jnp.abs(y - y_ref)) < 2e-4

@@ -6,7 +6,7 @@ import pytest
 
 from convnet_approximater_tpu.filters import IndicesFilter, SimpleConvFilter
 from convnet_approximater_tpu.layers import MSCA
-from convnet_approximater_tpu.models import AlexNet, MSCAN_Classifier, VGG, build_model
+from convnet_approximater_tpu.models import AlexNet, MSCAN_Classifier, ResNet, VGG, build_model
 from convnet_approximater_tpu.nn import Conv2d
 
 
@@ -96,3 +96,29 @@ def _flat(tree, prefix=""):
         else:
             out.append((key, v))
     return out
+
+
+def test_resnet_forward_and_register():
+    model = ResNet(depth=18, num_classes=10)
+    params = model.init(jax.random.key(0))
+    state = model.init_state()
+    x = jnp.ones((1, 64, 64, 3))
+    y, _, _ = model.apply(params, x, state=state)
+    assert y.shape == (1, 10)
+    # ResNet convs carry no bias (BN absorbs it), so the scheme-1 bias
+    # precondition filter is skipped; 1 stem + 16 block + 3 downsample convs.
+    model.register_switchable(Conv2d, [])
+    assert model.length_switchable == 20
+
+
+def test_resnet_bottleneck_forward():
+    model = ResNet(depth=50, num_classes=7)
+    params = model.init(jax.random.key(1))
+    state = model.init_state()
+    y, new_state, _ = model.apply(
+        params, jnp.ones((2, 32, 32, 3)), state=state, training=True,
+        rng=jax.random.key(2),
+    )
+    assert y.shape == (2, 7)
+    # BN running stats updated in training mode
+    assert not jnp.allclose(new_state["bn1"]["mean"], state["bn1"]["mean"])

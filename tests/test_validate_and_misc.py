@@ -177,3 +177,28 @@ hooks = [dict(type="InferenceTimeHook", priority=50,
     assert hook.capture_trace  # profile_args.capture implies a trace
     assert hook.table_group_by == ("op",) and hook.table_row_limit == 3
     assert (tmp_path / "work" / "traces").exists()
+
+
+def test_resnet_scheme1_pipeline(tmp_path):
+    """ResNet-18: KernelSizeFilter drops the 1x1 downsamples, IndicesFilter
+    keeps two block 3x3s, and the bias-less sources decompose cleanly (the
+    zero-bias carry in LowRankExpV1._fix_substitution)."""
+    cfg = tmp_path / "r.py"
+    cfg.write_text("""
+model = dict(type="ResNet", depth=18, num_classes=4)
+app = dict(type="LowRankExpV1", max_iter=0, min_lmda=0, max_lmda=0,
+           init_method="svd", lmda_length=1, num_bases=(4, 4), do_decomp=True)
+filters = [dict(type="KernelSizeFilter", min_kernel=2),
+           dict(type="IndicesFilter", indices=(2, 3))]
+hooks = []
+""")
+    init_cfg(str(cfg))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="r", seed=0)
+    runner = Runner()
+    runner.run()
+    assert runner.model.length_switchable == 2
+    import jax.numpy as jnp
+
+    y, _, _ = runner.model.apply(runner.variables["params"], jnp.ones((1, 64, 64, 3)),
+                                 state=runner.model.init_state())
+    assert y.shape == (1, 4)
