@@ -231,6 +231,26 @@ def test_export_serving_roundtrip(tmp_path):
     assert jnp.max(jnp.abs(served2(params, x) - fwd(params, x))) < 1e-6
 
 
+def test_fold_batchnorm_resnet_bottleneck_block():
+    """The Bottleneck fold pattern (conv1/2/3 -> bn1/2/3 plus the downsample
+    Sequential) folds exactly on a single block."""
+    from convnet_approximater_tpu.models.resnet import Bottleneck
+
+    block = Bottleneck(16, 8, stride=2)
+    params = block.init(KEY)
+    state = block.init_state()
+    _randomize_bn_state(state)
+    x = jax.random.normal(KEY, (2, 16, 16, 16))
+    y_ref, _, _ = block.apply(params, x, state=state, training=False)
+
+    variables = {"params": params, "state": state}
+    n = fold_batchnorm(block, variables)
+    assert n == 4  # conv1/2/3 + downsample proj
+    y, _, _ = block.apply(variables["params"], x,
+                          state=variables["state"], training=False)
+    assert jnp.max(jnp.abs(y - y_ref)) < 2e-4
+
+
 def test_fold_batchnorm_resnet_whole_model():
     """ResNet-18 folds ALL 20 conv->BN pairs (stem + blocks + downsample
     Sequentials) and the folded eval forward matches exactly."""
