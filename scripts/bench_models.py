@@ -92,8 +92,10 @@ def bench_vgg16(B):
     bases = (4,) * 12
     app = LowRankExpV1(num_bases=bases, max_iter=0, lmda_length=1, min_lmda=0,
                        max_lmda=0, init_method="svd", do_decomp=True)
+    # IndicesFilter is a 1-based cursor: positions 2..13 = convs 2-13
+    # (matches configs/vgg/low-rank-exp-v1_all_svd_vgg16.py)
     m2, v2 = run_pipeline(m2, v2, app,
-                          [SimpleConvFilter(), IndicesFilter(tuple(range(1, 13)))])
+                          [SimpleConvFilter(), IndicesFilter(tuple(range(2, 14)))])
     log("VGG-16 scheme-1 decomposed (M=4 bases, layers 2-13) f32:")
     t_dec = time_apply(m2, v2, x)
 
@@ -113,35 +115,40 @@ def bench_vgg16(B):
         f"({res['kept_decomposed']}/{len(res['layers'])} kept decomposed)")
 
 
-def bench_resnet18(B):
-    """ResNet-18 (beyond-reference family, models/resnet.py): dense f32,
+def bench_resnet(B, depth=18):
+    """ResNet (beyond-reference family, models/resnet.py): dense f32,
     BN-folded bf16 serving, and scheme-1 on the block 3x3s under the
     never-lose arbiter.  All block convs are bias-less (BN absorbs the
     bias) so the registration skips SimpleConvFilter and keys on kernel
-    size instead."""
+    size instead.  Both 18 (BasicBlock, 16 3x3s) and 50 (Bottleneck, 16
+    3x3s — one per block; the 1x1s carry most MACs and stay dense) have
+    exactly 16 scheme-1 candidates after the KernelSizeFilter drops the
+    7x7 stem."""
     from convnet_approximater_tpu.deploy import fold_batchnorm, never_lose_deploy
     from convnet_approximater_tpu.filters import KernelSizeFilter
     from convnet_approximater_tpu.models import ResNet
 
+    name = f"ResNet-{depth}"
     x = jax.random.normal(KEY, (B, 224, 224, 3))
 
     def build():
-        m = ResNet(depth=18, num_classes=1000)
+        m = ResNet(depth=depth, num_classes=1000)
         return m, {"params": m.init(KEY), "state": m.init_state()}
 
     model, variables = build()
-    log(f"ResNet-18 dense f32 (b={B}):")
+    log(f"{name} dense f32 (b={B}):")
     t_orig = time_apply(model, variables, x)
 
     m_s, v_s = build()
     n_folded = fold_batchnorm(m_s, v_s)
     v_sb = {"params": cast_floating(v_s["params"]), "state": v_s["state"]}
-    log(f"ResNet-18 BN-folded ({n_folded} pairs) bf16 serving:")
+    log(f"{name} BN-folded ({n_folded} pairs) bf16 serving:")
     t_serve = time_apply(m_s, v_sb, x.astype(jnp.bfloat16))
 
     m2, v2 = build()
-    # scheme-1 on the 16 block 3x3s (skip the 7x7 stem: index 1); M=4 for
-    # the same mixing-conv math as VGG (k=3 => M/9 overhead per conv).
+    # scheme-1 on the 16 block 3x3s (the 7x7 stem is dropped by
+    # max_kernel=5 BEFORE the IndicesFilter cursor sees it); M=4 for the
+    # same mixing-conv math as VGG (k=3 => M/9 overhead per conv).
     app = LowRankExpV1(num_bases=(4,) * 16, max_iter=0, lmda_length=1,
                        min_lmda=0, max_lmda=0, init_method="svd",
                        do_decomp=True)
@@ -149,15 +156,15 @@ def bench_resnet18(B):
         m2, v2, app,
         [KernelSizeFilter(min_kernel=2, max_kernel=5),
          IndicesFilter(tuple(range(1, 17)))])
-    log("ResNet-18 scheme-1 decomposed (M=4, block 3x3s) f32:")
+    log(f"{name} scheme-1 decomposed (M=4, block 3x3s) f32:")
     t_dec = time_apply(m2, v2, x)
 
     res = never_lose_deploy(m2, v2, x.shape, greedy=False, verbose=False)
     for row in res["layers"]:
         log(f"  [arbiter] {row['name']}: {row['kept']}")
-    log("ResNet-18 never-lose deploy surface f32:")
+    log(f"{name} never-lose deploy surface f32:")
     t_nl = time_apply(m2, v2, x)
-    log(f"ResNet-18 summary (b={B}): dense {t_orig*1e3:.2f} ms | serving "
+    log(f"{name} summary (b={B}): dense {t_orig*1e3:.2f} ms | serving "
         f"bf16+fold {t_serve*1e3:.2f} ms = {t_orig/t_serve:.3f}x "
         f"({B/t_serve:.0f} img/s) | decomposed {t_dec*1e3:.2f} ms = "
         f"{t_orig/t_dec:.3f}x | never-lose {t_nl*1e3:.2f} ms = "
@@ -205,7 +212,8 @@ def bench_segnext(B=16, hw=512):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="all",
-                    choices=["mscan-s", "vgg16", "resnet18", "segnext", "all"])
+                    choices=["mscan-s", "vgg16", "resnet18", "resnet50",
+                             "segnext", "all"])
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     log(f"devices: {jax.devices()}")
@@ -214,7 +222,9 @@ def main():
     if args.model in ("vgg16", "all"):
         bench_vgg16(args.batch)
     if args.model in ("resnet18", "all"):
-        bench_resnet18(args.batch)
+        bench_resnet(args.batch, depth=18)
+    if args.model in ("resnet50", "all"):
+        bench_resnet(args.batch, depth=50)
     if args.model in ("segnext", "all"):
         bench_segnext()
 
