@@ -295,13 +295,20 @@ def update_summary(epoch: int, train_metrics: dict, eval_metrics: dict, path: st
 @HOOK.register_module()
 class L2Reconstruct(Hook):
     def __init__(self, runner, priority, asym: bool = True, l2_weight: float = 1.0,
-                 cls_weight: float = 0.0, epoch_behavior=(), no_norm: bool = False,
+                 cls_weight: float = 0.0, kd_weight: float = 0.0,
+                 kd_temperature: float = 4.0, epoch_behavior=(), no_norm: bool = False,
                  dataset_args=None, optim_args=None, sche_args=None,
                  data_config=None, other_args=None):
         super().__init__(runner, priority)
         self.asym = asym
         self.l2_weight = l2_weight
         self.cls_weight = cls_weight
+        # logit distillation (beyond the reference, which recovers via L2
+        # feature reconstruction + CE only): soft-target KL against the
+        # original model's logits (Hinton et al. 2015).  The teacher forward
+        # already runs for the L2 taps, so KD reuses it at zero extra cost.
+        self.kd_weight = kd_weight
+        self.kd_temperature = kd_temperature
         self.epoch_behavior = list(epoch_behavior)
         self.no_norm = no_norm
         self.dataset_args = _combine(_default_dataset_args, dataset_args)
@@ -348,15 +355,18 @@ class L2Reconstruct(Hook):
         num_layers = model.length_switchable
         sub_names = model.switchable_names
 
-        # student: route (and optionally prune) to the new branch
+        # student: route (and optionally prune) to the new branch.  The old
+        # branch must survive in sym mode whenever a teacher signal is
+        # needed (L2 taps or KD logits).
+        need_teacher = (not self.no_norm) or self.kd_weight > 0
         for idx, sub in enumerate(model.switchable_modules()):
-            remove_old = self.no_norm or self.asym
+            remove_old = self.asym or not need_teacher
             sub.switch_new(remove_old=remove_old)
             if remove_old:
                 tree_get(runner.variables["params"], sub_names[idx]).pop("old", None)
             sub.capture = not self.no_norm
 
-        if self.asym and not self.no_norm:
+        if self.asym and need_teacher:
             self._build_teacher()
 
         # mesh + shardings: SPMD replaces DDP
@@ -535,6 +545,7 @@ class L2Reconstruct(Hook):
         sub_names = self.runner.model.switchable_names
         tap_keys = [f"{n}.out" for n in sub_names]
         l2w, clsw = self.l2_weight, self.cls_weight
+        kdw, kdT = float(self.kd_weight), float(self.kd_temperature)
         no_norm, asym = self.no_norm, self.asym
         amp = bool(self.other_args.amp)
 
@@ -559,23 +570,33 @@ class L2Reconstruct(Hook):
             new_state = _merge_state(state, ctx.state_out)
             ce = ce_fn(logits, labels)
             total_norm = jnp.float32(0.0)
-            if not no_norm:
+            if not no_norm or kdw > 0:
                 if asym:
                     t_ctx = Ctx(training=False, state=t_vars.get("state", {}))
-                    teacher(t_vars["params"], images, t_ctx)
-                    t_taps = t_ctx.taps
+                    t_logits = teacher(t_vars["params"], images, t_ctx)
                 else:
                     t_ctx = Ctx(training=False, state=state, force_branch="old")
-                    model(params_c, images, t_ctx)
-                    t_taps = t_ctx.taps
-                B = images.shape[0]
-                norm_vec = jnp.zeros((B,))
-                for key in tap_keys:
-                    diff = (ctx.taps[key] - jax.lax.stop_gradient(t_taps[key])
-                            ).astype(jnp.float32)
-                    norm_vec = norm_vec + jnp.linalg.norm(diff.reshape(B, -1), axis=1)
-                total_norm = jnp.mean(norm_vec / len(tap_keys))
+                    t_logits = model(params_c, images, t_ctx)
+                t_taps = t_ctx.taps
+                if not no_norm:
+                    B = images.shape[0]
+                    norm_vec = jnp.zeros((B,))
+                    for key in tap_keys:
+                        diff = (ctx.taps[key] - jax.lax.stop_gradient(t_taps[key])
+                                ).astype(jnp.float32)
+                        norm_vec = norm_vec + jnp.linalg.norm(diff.reshape(B, -1), axis=1)
+                    total_norm = jnp.mean(norm_vec / len(tap_keys))
             loss = l2w * total_norm + clsw * ce
+            if kdw > 0:
+                # soft-target KL at temperature T, scaled by T^2 so gradient
+                # magnitude is T-independent (Hinton et al. 2015)
+                t_log = jax.lax.stop_gradient(t_logits.astype(jnp.float32)) / kdT
+                s_log = logits / kdT
+                kd = jnp.mean(jnp.sum(
+                    jax.nn.softmax(t_log)
+                    * (jax.nn.log_softmax(t_log) - jax.nn.log_softmax(s_log)),
+                    axis=-1))
+                loss = loss + kdw * (kdT ** 2) * kd
             return loss, (ce, total_norm, new_state)
 
         # donate the updated-in-place trees (params/state/opt_state are

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Serving throughput vs batch size on the best bf16 config (v5e-1).
+"""Serving throughput/latency vs batch size on the best bf16 config (v5e-1).
 
 The headline runs b=64 (the reference's protocol); a serving deployment
-picks the throughput-optimal batch.  Sweeps 16..256 and reports ms/fwd,
-img/s, and p50 latency per image.
+picks the throughput-optimal batch (b=128 here) or the latency-optimal one
+(interactive serving: b=1..8).  Sweeps 1..256 and reports ms/fwd, img/s,
+and per-image latency.
 """
 
 import os
@@ -48,7 +49,7 @@ def main():
         return y
 
     jf = jax.jit(fwd)
-    for B in (16, 32, 64, 128, 256):
+    for B in (1, 2, 4, 8, 16, 32, 64, 128, 256):
         x = jax.random.normal(KEY, (B, 224, 224, 3)).astype(dtype)
         args = (variables["params"], variables["state"], x)
         float(jnp.sum(jf(*args).astype(jnp.float32)))  # compile this shape
