@@ -380,6 +380,51 @@ def rematerialize_dense(module, params: dict):
             new_p["bias"] = bias
         return conv, new_p
 
+    # DwSepRep targets: depthwise separable cascades merge back to one
+    # dense depthwise kernel, W_c = sum_j w2_j[:,c] (outer) w1_j[:,c] —
+    # exact only when the first convs are bias-free (else the merge needs
+    # border residuals; DwSepRep always builds first_bias=False).
+    from convnet_approximater_tpu.layers import CascadeConv, ParallelConv
+
+    def _merge_cascades(dim, pairs):
+        # pairs: [(cascade_params, kernel_size, padding)] with equal k
+        W = None
+        bias = None
+        for cp, k, pad in pairs:
+            if "bias" in cp["conv1"]:
+                return None
+            w1 = cp["conv1"]["weight"].astype(jnp.float32)  # (1,k,1,C)
+            w2 = cp["conv2"]["weight"].astype(jnp.float32)  # (k,1,1,C)
+            Wj = w2[:, 0, 0, :][:, None, :] * w1[0, :, 0, :][None, :, :]
+            W = Wj if W is None else W + Wj
+            b = cp["conv2"].get("bias")
+            if b is not None:
+                bias = b if bias is None else bias + b
+        dtype = pairs[0][0]["conv2"]["weight"].dtype
+        conv = Conv2d(dim, dim, (k, k), padding=pad, groups=dim,
+                      bias=bias is not None)
+        new_p = {"weight": W[:, :, None, :].astype(dtype)}
+        if bias is not None:
+            new_p["bias"] = bias.astype(dtype)
+        return conv, new_p
+
+    if isinstance(module, CascadeConv):
+        if module.conv1.stride != (1, 1) or module.conv2.stride != (1, 1):
+            return None
+        return _merge_cascades(
+            module.dim,
+            [(params, module.kernel_size, module.conv2.padding[0])])
+    if isinstance(module, ParallelConv):
+        branches = list(module.branches.named_children())
+        if not all(isinstance(b, CascadeConv) for _, b in branches):
+            return None  # identity branch (MSCA bank) — not a plain conv
+        ks = {b.kernel_size for _, b in branches}
+        if len(ks) != 1:
+            return None
+        pairs = [(params["branches"][n], b.kernel_size, b.conv2.padding[0])
+                 for n, b in branches]
+        return _merge_cascades(module.dim, pairs)
+
     return None
 
 

@@ -3,6 +3,7 @@ from .alexnet import AlexNet
 from .mscan import MSCAN, MSCAN_Classifier
 from .vgg import VGG, VGG16
 from .resnet import ResNet, ResNet18, ResNet50
+from .convnext import ConvNeXt, ConvNeXtTiny
 
 # register the segmentation family in the MODEL registry (imported last to
 # avoid a cycle: segnext.py pulls from models.mscan / models.switchable).

@@ -172,6 +172,53 @@ def bench_resnet(B, depth=18):
         f"kept decomposed)")
 
 
+def bench_convnext(B):
+    """ConvNeXt-T (beyond-reference family, models/convnext.py): the
+    depthwise-7x7 ConvNet.  DwSepRep rank-1 cuts each dwconv's taps
+    49 -> 14 and lowers the strips as banded-Toeplitz MXU contractions
+    (``strip_matmul=True``); the never-lose arbiter re-materializes any
+    layer where that loses.  No BN, so bf16 cast is the serving surface."""
+    from convnet_approximater_tpu.core import DwSepRep
+    from convnet_approximater_tpu.deploy import never_lose_deploy
+    from convnet_approximater_tpu.filters import DepthwiseConvFilter
+    from convnet_approximater_tpu.models import ConvNeXt
+
+    x = jax.random.normal(KEY, (B, 224, 224, 3))
+
+    def build():
+        m = ConvNeXt(arch="tiny", num_classes=1000)
+        return m, {"params": m.init(KEY)}
+
+    model, variables = build()
+    log(f"ConvNeXt-T dense f32 (b={B}):")
+    t_orig = time_apply(model, variables, x)
+    vb = {"params": cast_floating(variables["params"])}
+    log("ConvNeXt-T dense bf16:")
+    t_bf16 = time_apply(model, vb, x.astype(jnp.bfloat16))
+
+    for strip, tag in ((True, "strip-matmul"), (False, "lax-conv")):
+        m1, v1 = build()
+        m1, v1 = run_pipeline(m1, v1, DwSepRep(ranks=1, strip_matmul=strip),
+                              [DepthwiseConvFilter()])
+        log(f"ConvNeXt-T DwSepRep rank-1 ({tag}) f32:")
+        t1 = time_apply(m1, v1, x)
+        v1b = {"params": cast_floating(v1["params"])}
+        log(f"ConvNeXt-T DwSepRep rank-1 ({tag}) bf16:")
+        t1b = time_apply(m1, v1b, x.astype(jnp.bfloat16))
+        log(f"  -> {tag}: f32 {t_orig/t1:.3f}x | bf16 {t_bf16/t1b:.3f}x vs bf16 dense")
+
+    m2, v2 = build()
+    m2, v2 = run_pipeline(m2, v2, DwSepRep(ranks=1, strip_matmul=True),
+                          [DepthwiseConvFilter()])
+    res = never_lose_deploy(m2, v2, x.shape, greedy=False, verbose=False)
+    log("ConvNeXt-T never-lose deploy surface f32:")
+    t_nl = time_apply(m2, v2, x)
+    log(f"ConvNeXt-T summary (b={B}): dense {t_orig*1e3:.2f} ms | bf16 "
+        f"{t_bf16*1e3:.2f} ms ({B/t_bf16:.0f} img/s) | never-lose "
+        f"{t_nl*1e3:.2f} ms = {t_orig/t_nl:.3f}x "
+        f"({res['kept_decomposed']}/{len(res['layers'])} kept decomposed)")
+
+
 def bench_segnext(B=16, hw=512):
     """SegNeXt-T semantic segmentation at its native 512^2 (ADE20K crop):
     the attention share grows with spatial size, so msca-rep should convert
@@ -213,7 +260,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="all",
                     choices=["mscan-s", "vgg16", "resnet18", "resnet50",
-                             "segnext", "all"])
+                             "convnext", "segnext", "all"])
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     log(f"devices: {jax.devices()}")
@@ -225,6 +272,8 @@ def main():
         bench_resnet(args.batch, depth=18)
     if args.model in ("resnet50", "all"):
         bench_resnet(args.batch, depth=50)
+    if args.model in ("convnext", "all"):
+        bench_convnext(args.batch)
     if args.model in ("segnext", "all"):
         bench_segnext()
 
