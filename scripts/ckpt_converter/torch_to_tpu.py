@@ -126,6 +126,11 @@ def convert_state_dict(sd, arch: str, first_fc_shape=None):
     for key, v in sd.items():
         if arch == "mscan":
             key = _mscan_rename(key)
+        elif arch == "convnext" and key.endswith(".gamma"):
+            # official ConvNeXt keeps the layer scale as a bare tensor
+            # (``stages.s.i.gamma``); ours is a LayerScale leaf module
+            # (``...gamma.gamma``) — everything else maps generically
+            key += ".gamma"
         path, leaf = key.rsplit(".", 1)
         path = path.replace(".", "/")
         if leaf == "weight" and v.ndim == 4:
@@ -162,11 +167,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("src", help="torch checkpoint (.pth)")
     p.add_argument("dst", help="output .ckpt.npz")
-    p.add_argument("--arch", choices=("generic", "alexnet", "vgg", "mscan", "mscan-rep"),
+    p.add_argument("--arch", choices=("generic", "alexnet", "vgg", "mscan",
+                                      "mscan-rep", "convnext"),
                    default="generic",
                    help="mscan covers both original and fine-tuned re-parameterized "
                         "(rep_conv) checkpoints; mscan-rep is an alias. alexnet/vgg "
-                        "apply the CHW->HWC first-FC permutation automatically.")
+                        "apply the CHW->HWC first-FC permutation automatically. "
+                        "convnext maps the bare layer-scale gamma tensors.")
     p.add_argument("--first-fc-shape", type=int, nargs=3, metavar=("C", "H", "W"),
                    default=None,
                    help="pre-flatten feature shape for generic archs whose first "
@@ -176,7 +183,7 @@ def main():
     first_fc = tuple(args.first_fc_shape) if args.first_fc_shape else \
         _FIRST_FC_SHAPES.get(arch)
     sd = load_torch_state_dict(args.src)
-    tree = convert_state_dict(sd, "mscan" if arch == "mscan" else "generic",
+    tree = convert_state_dict(sd, arch if arch in ("mscan", "convnext") else "generic",
                               first_fc_shape=first_fc)
     save_model(tree, args.dst)
     print(f"wrote {args.dst}")

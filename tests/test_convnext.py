@@ -235,3 +235,125 @@ def test_dwsep_never_lose_keeps_winners():
     assert res["kept_decomposed"] == 5
     assert all(isinstance(m.get_switchable_module(i), ParallelConv)
                for i in range(m.length_switchable))
+
+
+def test_convnext_official_checkpoint_roundtrip():
+    """A state_dict with the OFFICIAL ConvNeXt naming (bare ``gamma``
+    tensors, Sequential downsample_layers/stages) converts with
+    ``--arch convnext`` and reproduces torch's logits."""
+    torch = pytest.importorskip("torch")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "ckpt_converter"))
+    import torch_to_tpu as t2t
+    from convnet_approximater_tpu.utils.serialize import load_into
+
+    tnn = torch.nn
+    depths, dims = (1, 1, 2, 1), (8, 12, 16, 24)
+
+    class TLNcf(tnn.Module):  # channels-first LayerNorm (official impl)
+        def __init__(self, dim):
+            super().__init__()
+            self.weight = tnn.Parameter(torch.ones(dim))
+            self.bias = tnn.Parameter(torch.zeros(dim))
+
+        def forward(self, x):
+            x = x.permute(0, 2, 3, 1)
+            x = torch.nn.functional.layer_norm(
+                x, x.shape[-1:], self.weight, self.bias, 1e-6)
+            return x.permute(0, 3, 1, 2)
+
+    class TBlock(tnn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.dwconv = tnn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+            self.norm = tnn.LayerNorm(dim, eps=1e-6)
+            self.pwconv1 = tnn.Linear(dim, 4 * dim)
+            self.act = tnn.GELU()
+            self.pwconv2 = tnn.Linear(4 * dim, dim)
+            self.gamma = tnn.Parameter(1e-2 * torch.ones(dim))
+
+        def forward(self, x):
+            inp = x
+            x = self.dwconv(x).permute(0, 2, 3, 1)
+            x = self.pwconv2(self.act(self.pwconv1(self.norm(x))))
+            return inp + (self.gamma * x).permute(0, 3, 1, 2)
+
+    class TConvNeXt(tnn.Module):
+        def __init__(self, num_classes=7):
+            super().__init__()
+            downs = [tnn.Sequential(tnn.Conv2d(3, dims[0], 4, stride=4),
+                                    TLNcf(dims[0]))]
+            for i in range(3):
+                downs.append(tnn.Sequential(
+                    TLNcf(dims[i]), tnn.Conv2d(dims[i], dims[i + 1], 2, stride=2)))
+            self.downsample_layers = tnn.ModuleList(downs)
+            self.stages = tnn.ModuleList(
+                [tnn.Sequential(*[TBlock(dims[i]) for _ in range(depths[i])])
+                 for i in range(4)])
+            self.norm = tnn.LayerNorm(dims[-1], eps=1e-6)
+            self.head = tnn.Linear(dims[-1], num_classes)
+
+        def forward(self, x):
+            for i in range(4):
+                x = self.downsample_layers[i](x)
+                x = self.stages[i](x)
+            return self.head(self.norm(x.mean([-2, -1])))
+
+    tm = TConvNeXt().eval()
+    for p in tm.parameters():  # non-trivial weights
+        with torch.no_grad():
+            p.add_(0.05 * torch.randn_like(p))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    tree = t2t.convert_state_dict(sd, "convnext")
+
+    m = ConvNeXt(num_classes=7, depths=depths, dims=dims, layer_scale=1e-2)
+    v = {"params": m.init(KEY)}
+    v = load_into(v, {"params": tree["params"]})
+
+    xn = np.random.RandomState(1).randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        yt = tm(torch.from_numpy(xn.transpose(0, 3, 1, 2))).numpy()
+    os.environ["CAT_EXACT_GELU"] = "1"
+    try:
+        yj = m(v["params"], jnp.asarray(xn), Ctx(training=False))
+    finally:
+        os.environ.pop("CAT_EXACT_GELU", None)
+    np.testing.assert_allclose(np.asarray(yj), yt, rtol=1e-4, atol=1e-5)
+
+
+def test_dwsep_finetune_reduces_l2_norm(tmp_path):
+    """DwSepRep works through the full L2Reconstruct recovery machinery:
+    the teacher rebuild re-runs initialize() after rewind() (the rank
+    cursor must reset), and training reduces the reconstruction norm."""
+    from convnet_approximater_tpu.runner import Runner
+    from convnet_approximater_tpu.utils import init_cfg, update_cfg
+
+    cfg_text = """
+model = dict(type="ConvNeXt", num_classes=4, depths=(1, 1, 1, 1),
+             dims=(8, 12, 16, 20))
+app = dict(type="DwSepRep", ranks=(1, 2, 1, 2), strip_matmul=False)
+filters = [dict(type="DepthwiseConvFilter")]
+hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
+    cls_weight=0.0,
+    dataset_args=dict(batch_size=8),
+    data_config=dict(image_size=(32, 32)),
+    optim_args=dict(opt="adamw", lr=5e-3, weight_decay=0.0),
+    sche_args=dict(epochs=3),
+    other_args=dict(num_classes=4, max_steps_per_epoch=3, max_eval_batches=1,
+                    log_interval=100, use_mesh=False),
+)]
+"""
+    p = tmp_path / "cnx_ft.py"
+    p.write_text(cfg_text)
+    init_cfg(str(p))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="cnx_ft", seed=0)
+    runner = Runner(skip_post=True)
+    runner.run()
+    csv = open(str(tmp_path / "work" / "summary.csv")).read().strip().split("\n")
+    header = csv[0].split(",")
+    norm_idx = header.index("train_norm")
+    norms = [float(r.split(",")[norm_idx]) for r in csv[1:]]
+    assert norms[-1] < norms[0]
