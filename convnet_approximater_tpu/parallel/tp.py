@@ -48,7 +48,21 @@ def mscan_tp_rules():
     ]
 
 
-_PRESETS = {"mscan": mscan_tp_rules}
+def convnext_tp_rules():
+    """Megatron MLP layout for ConvNeXt blocks: pwconv1 column-parallel
+    over the 4x hidden dim, pwconv2 row-parallel (psum on its output);
+    classifier head column-sharded.  The depthwise 7x7 and norms act on
+    the un-sharded block dim and stay replicated."""
+    return [
+        ("head/weight", P(None, MODEL_AXIS)),
+        ("head/bias", P(MODEL_AXIS)),
+        ("pwconv1/weight", P(None, MODEL_AXIS)),
+        ("pwconv1/bias", P(MODEL_AXIS)),
+        ("pwconv2/weight", P(MODEL_AXIS, None)),
+    ]
+
+
+_PRESETS = {"mscan": mscan_tp_rules, "convnext": convnext_tp_rules}
 
 
 def resolve_tp_rules(spec) -> list:

@@ -136,3 +136,46 @@ def test_spatial_sharding_matches_replicated():
     y_sp = jax.jit(fwd)(params, state, x_sp)
     np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_convnext_tp_forward_and_grads_match_replicated():
+    """The ConvNeXt megatron-MLP preset (column pwconv1 / row pwconv2 /
+    sharded head) must reproduce the replicated forward AND gradients on a
+    4x2 dp x tp mesh."""
+    from convnet_approximater_tpu.models import ConvNeXt
+    from convnet_approximater_tpu.parallel.tp import convnext_tp_rules
+
+    model = ConvNeXt(num_classes=16, depths=(1, 1, 1, 1), dims=(8, 12, 16, 24))
+    variables = {"params": model.init(jax.random.key(0))}
+    mesh = make_mesh(data=4, model=2)
+    x = jnp.asarray(np.random.RandomState(2).randn(8, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(np.arange(8) % 16)
+
+    def fwd(params, xx):
+        y, _, _ = model.apply(params, xx, training=False)
+        return y
+
+    def loss_fn(params, x, labels):
+        y = fwd(params, x)
+        one_hot = jax.nn.one_hot(labels, y.shape[-1])
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(y) * one_hot, axis=-1))
+
+    y_ref = jax.jit(fwd)(variables["params"], x)
+    g_ref = jax.jit(jax.grad(loss_fn))(variables["params"], x, labels)
+
+    p_sh = param_shardings(variables["params"], mesh, convnext_tp_rules())
+    params = jax.tree_util.tree_map(jax.device_put, variables["params"], p_sh)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    y_tp = jax.jit(fwd)(params, x_sh)
+    g_tp = jax.jit(jax.grad(loss_fn))(params, x_sh, labels)
+
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_tp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+    flat_specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s.spec, p_sh,
+                               is_leaf=lambda s: isinstance(s, NamedSharding)))
+    assert sum(spec != P() for spec in flat_specs) >= 13  # 4 blocks x 3 + head
