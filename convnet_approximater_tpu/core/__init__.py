@@ -1,5 +1,5 @@
 from .approximater import APP, Approximater, build_app
-from .low_rank_exp import LowRankExpV1, LowRankExpV2
+from .low_rank_exp import LowRankExpV1, LowRankExpV2, LowRankExpV3
 from .ffn_rep import FfnRep
 from .msca_rep import MscaProfile, MscaRep, MscaRepProfile
 from .dw_sep_rep import DwSepRep

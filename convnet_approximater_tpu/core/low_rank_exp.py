@@ -207,3 +207,67 @@ class LowRankExpV2(Approximater):
 
     def _postprocess(self, sub: Substitution, params: dict):
         pass
+
+
+@APP.register_module()
+class LowRankExpV3(Approximater):
+    """Channel-rank factorization (TPU extension, no reference counterpart):
+    W (N, C k^2) ~= A (N, r) @ B (r, C k^2), executed as a dense k x k conv
+    C -> r followed by a 1x1 conv r -> N.
+
+    Truncated SVD IS the Frobenius-optimal solve here (Eckart-Young), so
+    unlike scheme-1 there is no alternating solve to run — ``optimize`` is
+    closed-form and logs the retained PC energy.  Motivation: scheme-1's
+    grouped basis convs lose wall-clock on TPU at VGG/ResNet shapes (the
+    profiled grouped-conv wall, doc/perf-notes.md); V3's factors are both
+    dense MXU contractions, so the MAC cut (~r/N for C k^2 >> N) converts
+    to time.
+    """
+
+    _src_type = Conv2d
+    _tgt_type = "LowRankExpConvV3"
+
+    def __init__(self, num_bases, deploy: bool = False):
+        super().__init__(deploy=deploy)
+        self.num_bases = num_bases
+        self.curr = 0
+
+    def rewind(self):
+        self.curr = 0
+
+    def _get_tgt_args(self, src: Conv2d) -> Dict:
+        num_base = self.num_bases[self.curr]
+        self.curr += 1
+        return dict(
+            in_channels=src.in_channels,
+            out_channels=src.out_channels,
+            num_base=num_base,
+            kernel_size=src.kernel_size,
+            stride=src.stride,
+            padding=src.padding,
+        )
+
+    def _fix_substitution(self, sub: Substitution, params: dict):
+        old_bias = params["old"].get("bias")
+        params["new"]["mix_conv"]["bias"] = (
+            old_bias if old_bias is not None
+            else jnp.zeros_like(params["new"]["mix_conv"]["bias"]))
+
+    def optimize(self, sub: Substitution, params: dict):
+        logger = get_logger()
+        tgt = sub.new_module
+        W4 = hwio_to_oihw(params["old"]["weight"]).astype(jnp.float32)
+        N, C, kh, kw = W4.shape
+        r = tgt.num_base
+        A, B = solvers.svd_init(W4.reshape(N, C * kh * kw), r)
+        # basis_conv: (r, C, kh, kw) OIHW; mix_conv: (N, r, 1, 1)
+        params["new"]["basis_conv"]["weight"] = oihw_to_hwio(
+            B.reshape(r, C, kh, kw))
+        params["new"]["mix_conv"]["weight"] = oihw_to_hwio(A[:, :, None, None])
+        s = jnp.linalg.svd(W4.reshape(N, C * kh * kw), compute_uv=False)
+        lbd = s ** 2
+        pce = jnp.sum(lbd[:r]) / jnp.maximum(jnp.sum(lbd), 1e-30)
+        logger.info(f"PC Energy = {float(pce)}")
+
+    def _postprocess(self, sub: Substitution, params: dict):
+        pass

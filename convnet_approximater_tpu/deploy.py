@@ -361,6 +361,23 @@ def rematerialize_dense(module, params: dict):
             new_p["bias"] = bias
         return conv, new_p
 
+    from convnet_approximater_tpu.layers import LowRankExpConvV3
+
+    if isinstance(module, LowRankExpConvV3):
+        C, N = module.in_channels, module.out_channels
+        kh, kw = module.kernel_size
+        b_w = params["basis_conv"]["weight"].astype(jnp.float32)  # (kh,kw,C,r)
+        m_w = params["mix_conv"]["weight"].astype(jnp.float32)    # (1,1,r,N)
+        dtype = params["mix_conv"]["weight"].dtype
+        W = jnp.einsum("uvcr,rn->uvcn", b_w, m_w[0, 0])
+        bias = params["mix_conv"].get("bias")
+        conv = Conv2d(C, N, (kh, kw), stride=module.stride,
+                      padding=module.padding, bias=bias is not None)
+        new_p = {"weight": W.astype(dtype)}
+        if bias is not None:
+            new_p["bias"] = bias
+        return conv, new_p
+
     if isinstance(module, LowRankExpConvV2):
         if module.grouped:
             return None  # reference parity shape: no dense N-out equivalent

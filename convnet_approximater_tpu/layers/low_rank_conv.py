@@ -370,3 +370,36 @@ class LowRankExpConvV2(Module):
     def __call__(self, params, x, ctx: Ctx):
         x = self.child("v_conv", params, x, ctx)
         return self.child("h_conv", params, x, ctx)
+
+
+@LAYER.register_module()
+class LowRankExpConvV3(Module):
+    """Channel-rank factorization target (TPU extension, no reference
+    counterpart): dense k x k conv C -> r (``basis_conv``, bias-free) then
+    1x1 conv r -> N (``mix_conv``, bias carrier).
+
+    W[n,c,u,v] ~= sum_m A[n,m] B[m,c,u,v] — rank over the *output-channel*
+    dimension of the unfolded (N, C k^2) kernel matrix.  Unlike scheme-1's
+    grouped bases (V1) or the spatial split (V2), BOTH factors are dense
+    convs, i.e. pure MXU work: this sidesteps the grouped-conv wall that
+    makes V1 lose wall-clock on TPU (doc/perf-notes.md).  MACs per output
+    pixel: C k^2 r + r N  vs  C k^2 N — an ~r/N cut whenever C k^2 >> N.
+    """
+
+    def __init__(self, in_channels: int, out_channels: int, num_base: int,
+                 kernel_size, stride, padding):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.num_base = num_base
+        self.kernel_size = to_2tuple(kernel_size)
+        self.stride = to_2tuple(stride)
+        self.padding = to_2tuple(padding)
+        self.basis_conv = Conv2d(in_channels, num_base, self.kernel_size,
+                                 stride=self.stride, padding=self.padding,
+                                 bias=False)
+        self.mix_conv = Conv2d(num_base, out_channels, 1)
+
+    def __call__(self, params, x, ctx: Ctx):
+        x = self.child("basis_conv", params, x, ctx)
+        return self.child("mix_conv", params, x, ctx)

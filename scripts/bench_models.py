@@ -172,6 +172,65 @@ def bench_resnet(B, depth=18):
         f"kept decomposed)")
 
 
+def bench_v3(B):
+    """LowRankExpV3 (channel-rank: dense kxk C->r + 1x1 r->N) on VGG-16 and
+    ResNet-18 — the TPU answer to scheme-1's grouped-conv wall.  Expected
+    MAC ratio at r=N/2 ~ 0.56, at r=N/4 ~ 0.31."""
+    from convnet_approximater_tpu.core import LowRankExpV3
+    from convnet_approximater_tpu.deploy import never_lose_deploy
+    from convnet_approximater_tpu.filters import KernelSizeFilter
+    from convnet_approximater_tpu.models import ResNet
+
+    x = jax.random.normal(KEY, (B, 224, 224, 3))
+
+    vgg_N = (64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512)
+    for div in (2, 4):
+        model = VGG(depth=16, num_classes=1000)
+        variables = {"params": model.init(KEY)}
+        log(f"VGG-16 dense f32 (b={B}):")
+        t_orig = time_apply(model, variables, x)
+        m2 = VGG(depth=16, num_classes=1000)
+        v2 = {"params": m2.init(KEY)}
+        app = LowRankExpV3(num_bases=tuple(n // div for n in vgg_N))
+        m2, v2 = run_pipeline(m2, v2, app,
+                              [SimpleConvFilter(),
+                               IndicesFilter(tuple(range(2, 14)))])
+        log(f"VGG-16 V3 r=N/{div} f32:")
+        t_v3 = time_apply(m2, v2, x)
+        res = never_lose_deploy(m2, v2, x.shape, greedy=False, verbose=False)
+        log(f"VGG-16 V3 r=N/{div} never-lose surface:")
+        t_nl = time_apply(m2, v2, x)
+        log(f"VGG-16 V3 summary (r=N/{div}, b={B}): dense {t_orig*1e3:.2f} ms "
+            f"-> V3 {t_v3*1e3:.2f} ms = {t_orig/t_v3:.3f}x | never-lose "
+            f"{t_nl*1e3:.2f} ms = {t_orig/t_nl:.3f}x "
+            f"({res['kept_decomposed']}/{len(res['layers'])} kept)")
+
+    r18_N = (64,) * 4 + (128,) * 4 + (256,) * 4 + (512,) * 4
+
+    def build():
+        m = ResNet(depth=18, num_classes=1000)
+        return m, {"params": m.init(KEY), "state": m.init_state()}
+
+    model, variables = build()
+    log(f"ResNet-18 dense f32 (b={B}):")
+    t_orig = time_apply(model, variables, x)
+    m2, v2 = build()
+    app = LowRankExpV3(num_bases=tuple(n // 2 for n in r18_N))
+    m2, v2 = run_pipeline(
+        m2, v2, app,
+        [KernelSizeFilter(min_kernel=2, max_kernel=5),
+         IndicesFilter(tuple(range(1, 17)))])
+    log("ResNet-18 V3 r=N/2 f32:")
+    t_v3 = time_apply(m2, v2, x)
+    res = never_lose_deploy(m2, v2, x.shape, greedy=False, verbose=False)
+    log("ResNet-18 V3 never-lose surface:")
+    t_nl = time_apply(m2, v2, x)
+    log(f"ResNet-18 V3 summary (r=N/2, b={B}): dense {t_orig*1e3:.2f} ms -> "
+        f"V3 {t_v3*1e3:.2f} ms = {t_orig/t_v3:.3f}x | never-lose "
+        f"{t_nl*1e3:.2f} ms = {t_orig/t_nl:.3f}x "
+        f"({res['kept_decomposed']}/{len(res['layers'])} kept)")
+
+
 def bench_convnext(B):
     """ConvNeXt-T (beyond-reference family, models/convnext.py): the
     depthwise-7x7 ConvNet.  DwSepRep rank-1 cuts each dwconv's taps
@@ -260,7 +319,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="all",
                     choices=["mscan-s", "vgg16", "resnet18", "resnet50",
-                             "convnext", "segnext", "all"])
+                             "convnext", "v3", "segnext", "all"])
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     log(f"devices: {jax.devices()}")
@@ -274,6 +333,8 @@ def main():
         bench_resnet(args.batch, depth=50)
     if args.model in ("convnext", "all"):
         bench_convnext(args.batch)
+    if args.model in ("v3", "all"):
+        bench_v3(args.batch)
     if args.model in ("segnext", "all"):
         bench_segnext()
 

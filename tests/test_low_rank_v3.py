@@ -1,0 +1,117 @@
+"""LowRankExpV3: channel-rank factorization (dense basis conv + 1x1 mix)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_approximater_tpu.core import LowRankExpV3
+from convnet_approximater_tpu.deploy import rematerialize_dense
+from convnet_approximater_tpu.filters import IndicesFilter, SimpleConvFilter
+from convnet_approximater_tpu.layers import LowRankExpConvV3
+from convnet_approximater_tpu.nn import Conv2d, Ctx
+
+KEY = jax.random.key(0)
+
+
+def _solve(conv, params, r):
+    app = LowRankExpV3(num_bases=(r,))
+    sub, sp = app.initialize(conv, dict(params), KEY)
+    app.optimize(sub, sp)
+    return app.postprocess(sub, sp)
+
+
+def test_v3_full_rank_exact():
+    """r = min(N, C k^2) reproduces the conv exactly (SVD is lossless)."""
+    conv = Conv2d(5, 9, 3, padding=1)
+    params = conv.init(KEY)
+    x = jax.random.normal(KEY, (2, 12, 12, 5))
+    y0 = conv(params, x, Ctx(training=False))
+    tgt, tp = _solve(conv, params, 9)
+    assert isinstance(tgt, LowRankExpConvV3)
+    y = tgt(tp, x, Ctx(training=False))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_v3_monotone_error_and_param_cut():
+    """Error shrinks monotonically with rank; low rank cuts params."""
+    conv = Conv2d(8, 16, 3, padding=1)
+    params = conv.init(KEY)
+    x = jax.random.normal(jax.random.fold_in(KEY, 1), (2, 10, 10, 8))
+    y0 = conv(params, x, Ctx(training=False))
+    errs = []
+    for r in (2, 8, 16):
+        tgt, tp = _solve(conv, params, r)
+        yr = tgt(tp, x, Ctx(training=False))
+        errs.append(float(jnp.max(jnp.abs(yr - y0))))
+    assert errs[2] < 1e-4
+    assert errs[2] <= errs[1] <= errs[0]
+    tgt, tp = _solve(conv, params, 4)
+    n_lr = sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(tp))
+    n_dense = sum(int(np.prod(a.shape))
+                  for a in jax.tree_util.tree_leaves(dict(params)))
+    assert n_lr < n_dense  # 8*9*4 + 4*16 + 16 < 16*8*9 + 16
+
+
+def test_v3_stride_and_bias_carry():
+    """Stride lives on the basis conv; the source bias carries onto the
+    1x1 mix conv (zero for bias-less sources)."""
+    conv = Conv2d(4, 6, 5, stride=2, padding=2)
+    params = conv.init(KEY)
+    x = jax.random.normal(jax.random.fold_in(KEY, 2), (2, 16, 16, 4))
+    y0 = conv(params, x, Ctx(training=False))
+    tgt, tp = _solve(conv, params, 6)
+    y = tgt(tp, x, Ctx(training=False))
+    assert y.shape == y0.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(tp["mix_conv"]["bias"]),
+                                  np.asarray(params["bias"]))
+
+    nb = Conv2d(4, 6, 3, padding=1, bias=False)
+    nbp = nb.init(KEY)
+    tgt2, tp2 = _solve(nb, nbp, 3)
+    assert float(jnp.max(jnp.abs(tp2["mix_conv"]["bias"]))) == 0.0
+
+
+def test_v3_rematerialize_dense_exact():
+    """The never-lose arbiter can rebuild the exact dense kernel W = A.B."""
+    conv = Conv2d(6, 10, 3, padding=1)
+    params = conv.init(KEY)
+    x = jax.random.normal(jax.random.fold_in(KEY, 3), (2, 9, 9, 6))
+    tgt, tp = _solve(conv, params, 4)
+    y_lr = tgt(tp, x, Ctx(training=False))
+    dm, dp = rematerialize_dense(tgt, tp)
+    y_d = dm(dp, x, Ctx(training=False))
+    np.testing.assert_allclose(np.asarray(y_d), np.asarray(y_lr),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_v3_pipeline_config(tmp_path):
+    """Config-driven V3 through the full Runner (registry name, cursor,
+    checkpoint save) on AlexNet's conv stack."""
+    from convnet_approximater_tpu.runner import Runner
+    from convnet_approximater_tpu.utils import init_cfg, update_cfg
+
+    cfg_text = """
+model = dict(type="AlexNet", num_classes=10)
+app = dict(type="LowRankExpV3", num_bases=(32, 48, 64, 48))
+filters = [dict(type="SimpleConvFilter"),
+           dict(type="IndicesFilter", indices=(2, 3, 4, 5))]
+hooks = []
+"""
+    p = tmp_path / "v3.py"
+    p.write_text(cfg_text)
+    init_cfg(str(p))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="v3", seed=0)
+    runner = Runner()
+    runner.run()
+    assert runner.model.length_switchable == 4
+    mods = [runner.model.get_switchable_module(i) for i in range(4)]
+    assert all(isinstance(m, LowRankExpConvV3) for m in mods)
+    assert [m.num_base for m in mods] == [32, 48, 64, 48]
+    x = jax.random.normal(KEY, (2, 224, 224, 3))
+    y = runner.model(runner.variables["params"], x, Ctx(training=False))
+    assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
+    import os
+    assert any(f.endswith(".ckpt.npz") for f in os.listdir(tmp_path / "work"))
