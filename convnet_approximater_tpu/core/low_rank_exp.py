@@ -226,14 +226,31 @@ class LowRankExpV3(Approximater):
 
     _src_type = Conv2d
     _tgt_type = "LowRankExpConvV3"
+    # tells CalibrationHook which input statistic to stream: the whitened
+    # solve weights the FULL patch space, not scheme-2's vertical strips
+    calibration_stat = "patches"
 
-    def __init__(self, num_bases, deploy: bool = False):
+    def __init__(self, num_bases, data_driven: bool = False,
+                 ridge: float = 1e-6, deploy: bool = False):
         super().__init__(deploy=deploy)
         self.num_bases = num_bases
         self.curr = 0
+        self._opt_curr = 0
+        # data_driven=True + a CalibrationHook: minimize the RESPONSE error
+        # E||y - yhat||^2 = ||(A B - W) Sigma^(1/2)||_F^2 over the calibration
+        # input patch second moment Sigma, instead of the plain kernel
+        # Frobenius error.  Closed form: truncated SVD of W Sigma^(1/2),
+        # un-whitened back through Sigma^(-1/2) (eigenvalue-clipped).
+        self.data_driven = data_driven
+        self.ridge = ridge
+        self._xcov = {}
+
+    def set_calibration(self, index: int, xcov):
+        self._xcov[index] = xcov
 
     def rewind(self):
         self.curr = 0
+        self._opt_curr = 0
 
     def _get_tgt_args(self, src: Conv2d) -> Dict:
         num_base = self.num_bases[self.curr]
@@ -255,17 +272,34 @@ class LowRankExpV3(Approximater):
 
     def optimize(self, sub: Substitution, params: dict):
         logger = get_logger()
+        index = self._opt_curr
+        self._opt_curr += 1
         tgt = sub.new_module
         W4 = hwio_to_oihw(params["old"]["weight"]).astype(jnp.float32)
         N, C, kh, kw = W4.shape
         r = tgt.num_base
-        A, B = solvers.svd_init(W4.reshape(N, C * kh * kw), r)
+        W = W4.reshape(N, C * kh * kw)
+        xcov = self._xcov.get(index) if self.data_driven else None
+        if xcov is not None:
+            # whiten: Sigma = Q diag(lam) Q^T (PSD); clip tiny eigenvalues so
+            # the un-whitening stays bounded on rank-deficient calib sets
+            lam, Q = jnp.linalg.eigh(xcov.astype(jnp.float32))
+            lam = jnp.maximum(lam, self.ridge * jnp.max(lam))
+            half = Q * jnp.sqrt(lam)[None, :]            # Sigma^(1/2) = Q L^(1/2) Q^T (cols scaled)
+            inv_half = Q / jnp.sqrt(lam)[None, :]
+            u, s, vh = jnp.linalg.svd(W @ half @ Q.T, full_matrices=False)
+            A = u[:, :r]
+            B = (s[:r, None] * vh[:r]) @ Q @ inv_half.T  # un-whiten rows
+            lbd = s ** 2
+            logger.info("data-driven whitened solve "
+                        f"(xcov index {index}, D={C * kh * kw})")
+        else:
+            A, B = solvers.svd_init(W, r)
+            lbd = jnp.linalg.svd(W, compute_uv=False) ** 2
         # basis_conv: (r, C, kh, kw) OIHW; mix_conv: (N, r, 1, 1)
         params["new"]["basis_conv"]["weight"] = oihw_to_hwio(
             B.reshape(r, C, kh, kw))
         params["new"]["mix_conv"]["weight"] = oihw_to_hwio(A[:, :, None, None])
-        s = jnp.linalg.svd(W4.reshape(N, C * kh * kw), compute_uv=False)
-        lbd = s ** 2
         pce = jnp.sum(lbd[:r]) / jnp.maximum(jnp.sum(lbd), 1e-30)
         logger.info(f"PC Energy = {float(pce)}")
 

@@ -34,6 +34,21 @@ def strip_second_moment(x, kh: int):
     return (v.T @ v) / v.shape[0]
 
 
+def patch_second_moment(x, kh: int, kw: int):
+    """Second moment of FULL k x k patches: x (B, H, W, C) ->
+    Sigma (C*kh*kw, C*kh*kw), flat index (c, u, v) = c*kh*kw + u*kw + v —
+    the same order a (r, C, kh, kw) OIHW kernel flattens to, so
+    ``LowRankExpV3``'s whitened solve can weight its row space directly."""
+    B, H, W, C = x.shape
+    Ho, Wo = H - kh + 1, W - kw + 1
+    wins = jnp.stack(
+        [jnp.stack([x[:, i:i + Ho, j:j + Wo, :] for j in range(kw)], axis=3)
+         for i in range(kh)], axis=3)  # (B, Ho, Wo, kh, kw, C)
+    v = jnp.transpose(wins, (0, 1, 2, 5, 3, 4)).reshape(
+        B * Ho * Wo, C * kh * kw)
+    return (v.T @ v) / v.shape[0]
+
+
 @HOOK.register_module()
 class CalibrationHook(Hook):
     """Attach calibration second moments to a data-driven approximater."""
@@ -84,13 +99,18 @@ class CalibrationHook(Hook):
             if i >= self.num_batches:
                 break
             taps = fwd_j(runner.variables["params"], runner.variables["state"], images)
+            stat = getattr(app, "calibration_stat", "strips")
             for idx, name in enumerate(names):
                 key = f"{name}.in"
                 if key not in taps:
                     continue
                 src = subs[idx].old_module
                 kh = src.kernel_size[0] if hasattr(src, "kernel_size") else 1
-                sm = strip_second_moment(taps[key], kh)
+                if stat == "patches":
+                    kw = src.kernel_size[1] if hasattr(src, "kernel_size") else 1
+                    sm = patch_second_moment(taps[key], kh, kw)
+                else:
+                    sm = strip_second_moment(taps[key], kh)
                 moments[idx] = moments.get(idx, 0) + sm
             count += 1
         for idx, sm in moments.items():
