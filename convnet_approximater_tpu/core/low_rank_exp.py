@@ -230,10 +230,20 @@ class LowRankExpV3(Approximater):
     # solve weights the FULL patch space, not scheme-2's vertical strips
     calibration_stat = "patches"
 
-    def __init__(self, num_bases, data_driven: bool = False,
-                 ridge: float = 1e-6, deploy: bool = False):
+    def __init__(self, num_bases=None, energy: float = None,
+                 data_driven: bool = False, ridge: float = 1e-6,
+                 deploy: bool = False):
         super().__init__(deploy=deploy)
+        # per-layer rank: an explicit tuple cursor (num_bases), OR automatic
+        # rank selection — the smallest r retaining ``energy`` of the
+        # spectral energy of each layer's unfolded kernel (num_bases=None)
+        assert (num_bases is None) != (energy is None), \
+            "give exactly one of num_bases / energy"
+        if energy is not None:
+            assert 0.0 < energy <= 1.0
         self.num_bases = num_bases
+        self.energy = energy
+        self._auto_r = None
         self.curr = 0
         self._opt_curr = 0
         # data_driven=True + a CalibrationHook: minimize the RESPONSE error
@@ -252,9 +262,26 @@ class LowRankExpV3(Approximater):
         self.curr = 0
         self._opt_curr = 0
 
+    def initialize(self, src, src_params, rng=None):
+        if self.energy is not None:
+            # auto rank: smallest r with cumulative spectral energy >= tau
+            W4 = hwio_to_oihw(src_params["weight"]).astype(jnp.float32)
+            N = W4.shape[0]
+            s = jnp.linalg.svd(W4.reshape(N, -1), compute_uv=False)
+            lbd = s ** 2
+            cum = jnp.cumsum(lbd) / jnp.maximum(jnp.sum(lbd), 1e-30)
+            self._auto_r = int(jnp.searchsorted(cum, self.energy)) + 1
+            get_logger().info(
+                f"auto rank: {self._auto_r}/{int(s.shape[0])} "
+                f"(energy >= {self.energy})")
+        return super().initialize(src, src_params, rng)
+
     def _get_tgt_args(self, src: Conv2d) -> Dict:
-        num_base = self.num_bases[self.curr]
-        self.curr += 1
+        if self.energy is not None:
+            num_base = self._auto_r
+        else:
+            num_base = self.num_bases[self.curr]
+            self.curr += 1
         return dict(
             in_channels=src.in_channels,
             out_channels=src.out_channels,

@@ -205,6 +205,29 @@ def bench_v3(B):
             f"{t_nl*1e3:.2f} ms = {t_orig/t_nl:.3f}x "
             f"({res['kept_decomposed']}/{len(res['layers'])} kept)")
 
+    # AlexNet convs 2-5 (the reference's own scheme-1 targets): V3 at r=N/2
+    from convnet_approximater_tpu.models import AlexNet
+
+    model = AlexNet(num_classes=1000)
+    variables = {"params": model.init(KEY)}
+    log(f"AlexNet dense f32 (b={B}):")
+    t_orig = time_apply(model, variables, x)
+    m2 = AlexNet(num_classes=1000)
+    v2 = {"params": m2.init(KEY)}
+    app = LowRankExpV3(num_bases=(96, 192, 128, 128))
+    m2, v2 = run_pipeline(m2, v2, app,
+                          [SimpleConvFilter(),
+                           IndicesFilter(tuple(range(2, 6)))])
+    log("AlexNet V3 r=N/2 (convs 2-5) f32:")
+    t_v3 = time_apply(m2, v2, x)
+    res = never_lose_deploy(m2, v2, x.shape, greedy=True, verbose=False)
+    log("AlexNet V3 never-lose surface:")
+    t_nl = time_apply(m2, v2, x)
+    log(f"AlexNet V3 summary (r=N/2, b={B}): dense {t_orig*1e3:.2f} ms -> "
+        f"V3 {t_v3*1e3:.2f} ms = {t_orig/t_v3:.3f}x | never-lose "
+        f"{t_nl*1e3:.2f} ms = {t_orig/t_nl:.3f}x "
+        f"({res['kept_decomposed']}/{len(res['layers'])} kept)")
+
     r18_N = (64,) * 4 + (128,) * 4 + (256,) * 4 + (512,) * 4
 
     def build():

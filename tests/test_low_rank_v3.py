@@ -194,3 +194,38 @@ hooks = [dict(type="CalibrationHook", priority=30, num_batches=1,
                      jax.random.normal(KEY, (2, 16, 16, 3)),
                      Ctx(training=False))
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_v3_auto_rank_energy():
+    """energy=tau picks the smallest rank retaining tau of the spectrum:
+    tau=1.0 is exact full rank, smaller tau gives smaller ranks, and the
+    picked rank really does retain >= tau energy."""
+    conv = Conv2d(8, 16, 3, padding=1)
+    params = conv.init(KEY)
+    x = jax.random.normal(KEY, (2, 10, 10, 8))
+    y0 = conv(params, x, Ctx(training=False))
+
+    def run(energy):
+        app = LowRankExpV3(energy=energy)
+        sub, sp = app.initialize(conv, dict(params), KEY)
+        app.optimize(sub, sp)
+        return app.postprocess(sub, sp)
+
+    tgt_full, tp_full = run(1.0)
+    assert tgt_full.num_base == 16  # min(N, C k^2) = N here
+    y = tgt_full(tp_full, x, Ctx(training=False))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                               rtol=1e-4, atol=1e-5)
+
+    tgt_lo, _ = run(0.5)
+    tgt_hi, _ = run(0.9)
+    assert tgt_lo.num_base <= tgt_hi.num_base <= 16
+    assert tgt_lo.num_base >= 1
+
+    # retained energy of the picked rank really is >= tau
+    import numpy as onp
+    W = onp.asarray(params["weight"]).transpose(3, 2, 0, 1).reshape(16, -1)
+    s = onp.linalg.svd(W, compute_uv=False) ** 2
+    cum = onp.cumsum(s) / onp.sum(s)
+    assert cum[tgt_hi.num_base - 1] >= 0.9
+    assert tgt_hi.num_base == 1 or cum[tgt_hi.num_base - 2] < 0.9  # smallest such r
