@@ -167,4 +167,19 @@ class ClassInference(BaseRunner):
             logger = get_logger()
             for row in res["layers"]:
                 logger.info(f"[arbiter] {row['name']}: {row['kept']}")
+            # persist the decision table (a deploy artifact: which layers
+            # serve factored vs re-materialized, and the measured timings)
+            work_dir = get_cfg().get("work_dir") or "."
+            try:
+                import json
+                import os
+
+                with open(os.path.join(work_dir, "never_lose_decisions.json"),
+                          "w") as f:
+                    json.dump({k: v for k, v in res.items()}, f, indent=2,
+                              default=float)
+                logger.info(f"arbiter decisions -> "
+                            f"{work_dir}/never_lose_decisions.json")
+            except OSError as e:  # pragma: no cover - disk-full etc.
+                logger.warning(f"could not persist arbiter decisions: {e}")
             self._report("never-lose", model, new_vars)

@@ -99,3 +99,20 @@ def test_decomp_hook(tmp_path):
     name = runner.model.switchable_names[0]
     sp = tree_get(runner.variables["params"], name)
     assert "v_conv" in sp["s_conv"]
+
+
+def test_class_inference_never_lose_persists_decisions(tmp_path):
+    """The deploy comparator's arbiter path runs end-to-end on CPU and
+    persists the per-layer decision table to the work dir."""
+    import json
+
+    runner = _run(tmp_path, "[]")
+    ci = ClassInference(checkpoint=runner.output_path, batch_size=2,
+                        input_size=(16, 16, 3), never_lose=True)
+    ci.run()
+    path = tmp_path / "work" / "never_lose_decisions.json"
+    assert path.exists()
+    res = json.loads(path.read_text())
+    assert len(res["layers"]) == 1  # TinyNet's one substituted conv
+    assert res["layers"][0]["kept"] in ("dense", "decomposed")
+    assert res["t_decomposed"] > 0 and res["t_dense"] > 0
