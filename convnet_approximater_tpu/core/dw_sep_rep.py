@@ -41,16 +41,43 @@ class DwSepRep(Approximater):
     _src_type = "SimpleConv"
     _tgt_type = "SimpleConv"  # unused: tgt_type is rank-dependent (below)
 
-    def __init__(self, ranks=1, strip_matmul: bool = True,
-                 deploy: bool = False):
+    def __init__(self, ranks=None, energy: float = None,
+                 strip_matmul: bool = True, deploy: bool = False):
         super().__init__(deploy=deploy)
         # int: same rank everywhere; tuple: per-matched-layer cursor (the
-        # same convention as LowRankExpV1's num_bases)
-        self.ranks = ranks if isinstance(ranks, int) else tuple(ranks)
+        # same convention as LowRankExpV1's num_bases); OR energy=tau for
+        # automatic per-layer rank (smallest r whose mean retained
+        # per-channel spectral energy >= tau)
+        assert (ranks is None) != (energy is None), \
+            "give exactly one of ranks / energy"
+        if energy is not None:
+            assert 0.0 < energy <= 1.0
+        self.ranks = ranks if isinstance(ranks, (int, type(None))) \
+            else tuple(ranks)
+        self.energy = energy
+        self._auto_r = None
         self.strip_matmul = strip_matmul
         self._idx = 0
 
+    def initialize(self, src, src_params, rng=None):
+        if self.energy is not None:
+            import jax
+
+            w = _dw_to_c1hw(src_params["weight"]).astype(jnp.float32)
+            s = jnp.linalg.svd(w, compute_uv=False)  # (C, 1, k)
+            lbd = (s ** 2)[:, 0, :]
+            cum = jnp.cumsum(lbd, axis=1) / jnp.maximum(
+                jnp.sum(lbd, axis=1, keepdims=True), 1e-30)
+            mean_cum = jnp.mean(cum, axis=0)
+            self._auto_r = int(jnp.searchsorted(mean_cum, self.energy)) + 1
+            get_logger().info(
+                f"auto rank: {self._auto_r}/{int(mean_cum.shape[0])} "
+                f"(mean channel energy >= {self.energy})")
+        return super().initialize(src, src_params, rng)
+
     def _cur_rank(self) -> int:
+        if self.energy is not None:
+            return self._auto_r
         if isinstance(self.ranks, int):
             return self.ranks
         return self.ranks[self._idx]

@@ -357,3 +357,33 @@ hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
     norm_idx = header.index("train_norm")
     norms = [float(r.split(",")[norm_idx]) for r in csv[1:]]
     assert norms[-1] < norms[0]
+
+
+def test_dwsep_auto_rank_energy():
+    """energy=tau: tau=1.0 reproduces exactly (full rank); small tau gives
+    rank 1; ranks are monotone in tau."""
+    C, k = 6, 7
+    conv = Conv2d(C, C, k, padding=3, groups=C)
+    params = conv.init(KEY)
+    x = jax.random.normal(KEY, (2, 16, 16, C))
+    y0 = conv(params, x, Ctx(training=False))
+
+    def run(tau):
+        app = DwSepRep(energy=tau, strip_matmul=False)
+        sub, sp = app.initialize(conv, dict(params), KEY)
+        app.optimize(sub, sp)
+        return app.postprocess(sub, sp)
+
+    tgt, tp = run(1.0)
+    assert isinstance(tgt, ParallelConv)
+    assert len(list(tgt.branches.named_children())) == k
+    y = tgt(tp, x, Ctx(training=False))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                               rtol=1e-4, atol=1e-4)
+    tgt_lo, _ = run(0.3)
+    tgt_hi, _ = run(0.9)
+    r_lo = 1 if isinstance(tgt_lo, CascadeConv) else \
+        len(list(tgt_lo.branches.named_children()))
+    r_hi = 1 if isinstance(tgt_hi, CascadeConv) else \
+        len(list(tgt_hi.branches.named_children()))
+    assert 1 <= r_lo <= r_hi <= k
