@@ -35,13 +35,24 @@ class LowRankExpV1(Approximater):
     _src_type = Conv2d
     _tgt_type = "LowRankExpConvV1"
 
-    def __init__(self, num_bases, max_iter, lmda_length, min_lmda, max_lmda,
+    def __init__(self, num_bases=None, max_iter=0, lmda_length=1,
+                 min_lmda=0.0, max_lmda=0.0, energy: float = None,
                  init_method: str = "svd", inc_rate: float = 1.5,
                  do_decomp: bool = False, init_decomp: bool = False,
                  verbose: bool = False, epsilon: float = 1e-3,
                  deploy: bool = False):
         super().__init__(deploy=deploy)
+        # num_bases: explicit per-layer M cursor (reference semantics), OR
+        # energy=tau: smallest M retaining tau of the stacked-filter
+        # (N*C, d^2) spectral energy — the same auto-rank convention as
+        # LowRankExpV3 / DwSepRep
+        assert (num_bases is None) != (energy is None), \
+            "give exactly one of num_bases / energy"
+        if energy is not None:
+            assert 0.0 < energy <= 1.0
         self.num_bases = num_bases
+        self.energy = energy
+        self._auto_m = None
         self.curr = 0
         self.max_iter = max_iter
         assert max_lmda >= min_lmda >= 0.0
@@ -56,9 +67,25 @@ class LowRankExpV1(Approximater):
     def rewind(self):
         self.curr = 0
 
+    def initialize(self, src, src_params, rng=None):
+        if self.energy is not None:
+            W4 = hwio_to_oihw(src_params["weight"]).astype(jnp.float32)
+            N, C, d = W4.shape[:3]
+            s = jnp.linalg.svd(W4.reshape(N * C, -1), compute_uv=False)
+            lbd = s ** 2
+            cum = jnp.cumsum(lbd) / jnp.maximum(jnp.sum(lbd), 1e-30)
+            self._auto_m = int(jnp.searchsorted(cum, self.energy)) + 1
+            get_logger().info(
+                f"auto bases: {self._auto_m}/{int(s.shape[0])} "
+                f"(energy >= {self.energy})")
+        return super().initialize(src, src_params, rng)
+
     def _get_tgt_args(self, src: Conv2d) -> Dict:
-        num_base = self.num_bases[self.curr]
-        self.curr += 1
+        if self.energy is not None:
+            num_base = self._auto_m
+        else:
+            num_base = self.num_bases[self.curr]
+            self.curr += 1
         return dict(
             in_channels=src.in_channels,
             out_channels=src.out_channels,

@@ -229,3 +229,32 @@ def test_v3_auto_rank_energy():
     cum = onp.cumsum(s) / onp.sum(s)
     assert cum[tgt_hi.num_base - 1] >= 0.9
     assert tgt_hi.num_base == 1 or cum[tgt_hi.num_base - 2] < 0.9  # smallest such r
+
+
+def test_v1_auto_bases_energy():
+    """LowRankExpV1 shares the auto-rank convention: energy=1.0 gives the
+    full d^2 spectrum (exact at SVD init), smaller tau fewer bases."""
+    from convnet_approximater_tpu.core import LowRankExpV1
+    from convnet_approximater_tpu.layers import LowRankExpConvV1
+
+    conv = Conv2d(4, 6, 5, padding=2)
+    params = conv.init(KEY)
+    x = jax.random.normal(KEY, (2, 12, 12, 4))
+    y0 = conv(params, x, Ctx(training=False))
+
+    def run(tau):
+        app = LowRankExpV1(energy=tau, max_iter=0, lmda_length=1,
+                           min_lmda=0, max_lmda=0, init_method="svd")
+        sub, sp = app.initialize(conv, dict(params), KEY)
+        app.optimize(sub, sp)
+        return app.postprocess(sub, sp)
+
+    tgt, tp = run(1.0)
+    assert isinstance(tgt, LowRankExpConvV1)
+    assert tgt.num_base == 24  # full spectrum: min(N*C, d^2) = 24
+    y = tgt(tp, x, Ctx(training=False))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                               rtol=1e-3, atol=1e-4)
+    tgt_lo, _ = run(0.4)
+    tgt_hi, _ = run(0.9)
+    assert 1 <= tgt_lo.num_base <= tgt_hi.num_base <= 24
