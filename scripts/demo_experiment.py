@@ -40,6 +40,13 @@ def main():
                     help="cross-entropy epochs (reference protocol: 10)")
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--samples", type=int, default=512)
+    ap.add_argument("--app", default="v1", choices=("v1", "v3"),
+                    help="v1: reference scheme-1 (9-row matrix); v3: "
+                         "channel-rank factorization (5-row matrix — V3 "
+                         "has no separate decomposed form)")
+    ap.add_argument("--kd", action="store_true",
+                    help="add logit distillation (kd_weight=0.5, T=4) to "
+                         "the L2 recovery rows")
     ap.add_argument("--dataset", default=None)
     ap.add_argument("--data-root", default=None)
     ap.add_argument("--platform", default=None)
@@ -99,14 +106,19 @@ def main():
 
     # --- rows 2-9: pipeline configs ---------------------------------------
     def pipeline(hooks_py, tag, decomp):
+        if args.app == "v3":
+            app_py = (f"dict(type='LowRankExpV3', "
+                      f"num_bases={tuple(args.num_bases)})")
+        else:
+            app_py = (f"dict(type='LowRankExpV1', max_iter=0, min_lmda=0, "
+                      f"max_lmda=0, init_method='svd', lmda_length=1, "
+                      f"num_bases={tuple(args.num_bases)}, do_decomp={decomp})")
         cfg = os.path.join(args.work_dir, f"cfg_{tag}.py")
         with open(cfg, "w") as f:
             f.write(f"""
 model = dict(type="{args.model}", num_classes={args.num_classes},
              init_cfg=r"{base_ckpt}")
-app = dict(type="LowRankExpV1", max_iter=0, min_lmda=0, max_lmda=0,
-           init_method="svd", lmda_length=1,
-           num_bases={tuple(args.num_bases)}, do_decomp={decomp})
+app = {app_py}
 filters = [dict(type="SimpleConvFilter"),
            dict(type="IndicesFilter", indices={tuple(args.indices)})]
 hooks = {hooks_py}
@@ -127,19 +139,24 @@ hooks = {hooks_py}
 """
     # BASELINE.md protocol: L2 phase trains only substituted layers (the
     # default freeze), the CE phase trains everything (no_norm unfreezes)
+    kd_py = "kd_weight=0.5, kd_temperature=4.0, " if args.kd else ""
     l2_hook = ("dict(type='L2Reconstruct', priority=50, asym=True, "
-               "l2_weight=1.0, cls_weight=0.0," + ft_common(args.ft_epochs) + ")")
+               "l2_weight=1.0, cls_weight=0.0, " + kd_py
+               + ft_common(args.ft_epochs) + ")")
     ce_hook = ("dict(type='L2Reconstruct', priority=50, asym=True, no_norm=True, "
                "l2_weight=0.0, cls_weight=1.0," + ft_common(args.ce_epochs) + ")")
     # reference row numbering: 2-5 undecomposed, 6-9 spatially decomposed
-    for decomp, prefix in ((False, "approx"), (True, "decomp")):
+    # (V3 has no separate decomposed execution form: rows 2-5 only)
+    variants = ((False, "approx"), (True, "decomp")) if args.app == "v1" \
+        else ((False, "v3"),)
+    for decomp, prefix in variants:
         pipeline("[]", f"{prefix}_none", decomp)
         pipeline(f"[{l2_hook}]", f"{prefix}_l2", decomp)
         pipeline(f"[{l2_hook}, {ce_hook}]", f"{prefix}_l2ce", decomp)
         pipeline(f"[{ce_hook}]", f"{prefix}_ce", decomp)
 
     # --- table ------------------------------------------------------------
-    ref_rows = ["1", "2", "3", "4", "5", "6", "7", "8", "9"]
+    ref_rows = [str(i + 1) for i in range(len(rows))]
     print("\n=== experiment table (reference doc/low-rank-exp/low-rank-exp.md:39-49) ===")
     print(f"{'row':>3} | {'config':<14} | {'top-1 %':>8} | {'MACs (M)':>9} | {'params (M)':>10}")
     print("-" * 58)
