@@ -203,8 +203,38 @@ def bench_mscan():
     return t_orig / t_rep
 
 
+def wait_for_relay(max_wait_s: int = 900):
+    """The axon relay's remote-compile endpoint has gone down for 40min-3h
+    stretches (session log); a headline run launched into an outage would
+    crash instead of reporting.  Probe with a tiny FRESH-shape matmul (a
+    cached program would not exercise the compile tunnel) and wait up to
+    ``max_wait_s`` before giving up and letting the real error surface."""
+    if jax.default_backend() not in ("axon", "tpu"):
+        return
+    import random
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            n = random.randrange(257, 2049)
+            x = jnp.ones((n, n + 2))
+            float(jnp.sum(x @ x.T))
+            if attempt > 1:
+                log(f"relay back after {attempt} probes")
+            return
+        except Exception as e:
+            if time.time() > deadline:
+                log(f"relay still unreachable after {max_wait_s}s: {e}")
+                return
+            log(f"relay probe {attempt} failed; retrying in 60s")
+            time.sleep(60)
+
+
 def main():
     log(f"devices: {jax.devices()}")
+    wait_for_relay()
     ratio_mscan = bench_mscan()
     log(f"MSCAN-t d1-rep speedup: {ratio_mscan:.3f}x "
         f"(reference's decomposition speedup on its headline benchmark: "
