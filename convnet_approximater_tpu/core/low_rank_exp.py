@@ -304,6 +304,10 @@ class LowRankExpV3(Approximater):
         return super().initialize(src, src_params, rng)
 
     def _get_tgt_args(self, src: Conv2d) -> Dict:
+        assert src.groups == 1 and src.dilation == (1, 1), (
+            "LowRankExpV3 factorizes dense convs only (use SimpleConvFilter "
+            f"or KernelSizeFilter); got groups={src.groups} "
+            f"dilation={src.dilation}")
         if self.energy is not None:
             num_base = self._auto_r
         else:
