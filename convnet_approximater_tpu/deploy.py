@@ -20,6 +20,11 @@ Foldable sites are discovered two ways:
   is not discoverable from structure alone, so attribute-based modules
   opt in explicitly — e.g. MSCAN's ``DownSample`` runs ``proj`` then
   ``norm``).
+
+Either way the conv side is resolved through composites: a substituted /
+factored site (``Substitution``, LowRankExpConvV1/V2/V3, ``Sequential``
+tail) folds into the terminal conv(s) that actually produce its output —
+so a V3-decomposed ResNet still gets the BN-free bf16 serving surface.
 """
 
 from __future__ import annotations
@@ -42,6 +47,49 @@ FOLD_PATTERNS: Dict[str, List[Tuple[str, str]]] = {
     "BasicBlock": [("conv1", "bn1"), ("conv2", "bn2")],
     "Bottleneck": [("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")],
 }
+
+# class-name -> child attribute that produces the module's output, for
+# composite layers that end in a single linear conv.  Lets fold_batchnorm
+# fold BN *through* a substituted/factored conv site (e.g. a ResNet conv
+# replaced by LowRankExpConvV3: BN folds into the trailing 1x1 mix_conv,
+# enabling the BN-free bf16 serving surface on decomposed models).
+FOLD_TAILS: Dict[str, str] = {
+    "LowRankExpConvV1": "d_conv",   # grouped bases -> 1x1 mix (bias carrier)
+    "LowRankExpConvV2": "h_conv",   # vertical -> horizontal (bias carrier)
+    "LowRankExpConvV3": "mix_conv", # dense kxk basis -> 1x1 mix
+}
+
+
+def _terminal_convs(model, path: str):
+    """Resolve the module at ``path`` to the Conv2d(s) that produce its
+    output — the valid BN fold targets.  Follows composite low-rank layers
+    (``FOLD_TAILS``), ``Sequential`` tails, and BOTH live branches of a
+    ``Substitution`` (each branch feeds the same BN, so each must absorb
+    the fold for branch switching to stay exact).  Returns a list of dotted
+    paths, or ``None`` if any leaf is not a plain Conv2d."""
+    mod = model.get_submodule(path)
+    if isinstance(mod, Conv2d):
+        # exact class only: Conv2d subclasses with custom forward math
+        # (e.g. SpaceToDepthConv) still scale per out-channel, which is all
+        # the fold touches, so subclasses are fine too.
+        return [path]
+    name = type(mod).__name__
+    if name == "Substitution":
+        out = []
+        for branch in ("old", "new"):
+            if branch in mod._children:
+                sub = _terminal_convs(model, f"{path}.{branch}")
+                if sub is None:
+                    return None
+                out.extend(sub)
+        return out or None
+    tail = FOLD_TAILS.get(name)
+    if tail is not None and tail in mod._children:
+        return _terminal_convs(model, f"{path}.{tail}")
+    if isinstance(mod, Sequential) and mod._children:
+        last = list(mod._children)[-1]
+        return _terminal_convs(model, f"{path}.{last}")
+    return None
 
 
 def _get(tree, path):
@@ -95,36 +143,48 @@ def fold_batchnorm(model, variables: dict, verbose: bool = False) -> int:
         if isinstance(mod, Sequential):
             names = list(mod._children)
             for a, b in zip(names, names[1:]):
-                if isinstance(mod._children[a], Conv2d) and isinstance(
-                        mod._children[b], BatchNorm2d):
+                if isinstance(mod._children[b], BatchNorm2d):
                     pairs.append((sub(a), sub(b)))
         for conv_attr, bn_attr in FOLD_PATTERNS.get(type(mod).__name__, ()):
-            c = mod._children.get(conv_attr)
             n = mod._children.get(bn_attr)
-            if isinstance(c, Conv2d) and isinstance(n, BatchNorm2d):
+            if conv_attr in mod._children and isinstance(n, BatchNorm2d):
                 pairs.append((sub(conv_attr), sub(bn_attr)))
 
     n_folded = 0
-    for conv_path, bn_path in pairs:
-        conv = model.get_submodule(conv_path)
+    for site_path, bn_path in pairs:
+        conv_paths = _terminal_convs(model, site_path)
+        if conv_paths is None:
+            continue  # site doesn't end in a (set of) plain conv(s)
         bn = model.get_submodule(bn_path)
-        cp = _get(params, conv_path.split("."))
         bp = _get(params, bn_path.split("."))
         bs = _get(state, bn_path.split("."))
-        if cp is None or bp is None or bs is None:
+        if bp is None or bs is None:
             continue  # already folded / structurally stale
-        # (valid for any ``groups``: the HWIO kernel's last dim is always
-        # out_channels, and BN scales per output channel)
-        new_w, new_b = _fold_pair(conv, cp, bn, bp, bs)
-        cp["weight"] = new_w
-        cp["bias"] = new_b
-        conv.use_bias = True
+        n_features = bp["scale"].shape[0]
+        targets = []
+        for conv_path in conv_paths:
+            conv = model.get_submodule(conv_path)
+            cp = _get(params, conv_path.split("."))
+            if cp is None or cp["weight"].shape[-1] != n_features:
+                targets = None
+                break
+            targets.append((conv, cp))
+        if not targets:
+            continue
+        # every branch feeding the BN absorbs the same affine (valid for any
+        # ``groups``: the HWIO kernel's last dim is always out_channels, and
+        # BN scales per output channel)
+        for conv, cp in targets:
+            new_w, new_b = _fold_pair(conv, cp, bn, bp, bs)
+            cp["weight"] = new_w
+            cp["bias"] = new_b
+            conv.use_bias = True
         model.set_submodule(bn_path, Identity())
         _pop(params, bn_path.split("."))
         _pop(state, bn_path.split("."))
         n_folded += 1
         if verbose:
-            print(f"fold_batchnorm: {conv_path} <- {bn_path}")
+            print(f"fold_batchnorm: {' + '.join(conv_paths)} <- {bn_path}")
     return n_folded
 
 

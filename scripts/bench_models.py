@@ -254,6 +254,56 @@ def bench_v3(B):
         f"({res['kept_decomposed']}/{len(res['layers'])} kept)")
 
 
+def bench_v3_serving(B):
+    """V3 bf16 serving surface on ResNet-18/50: fold BN *through* the
+    decomposed sites (deploy.FOLD_TAILS resolves V3's 1x1 mix_conv), cast
+    bf16, and arbitrate per-layer at the serving dtype.  Baseline is the
+    dense BN-fold bf16 surface (the r3d serving numbers: 2.90 / 4.77 ms)."""
+    from convnet_approximater_tpu.core import LowRankExpV3
+    from convnet_approximater_tpu.deploy import fold_batchnorm, never_lose_deploy
+    from convnet_approximater_tpu.filters import KernelSizeFilter
+    from convnet_approximater_tpu.models import ResNet
+
+    x = jax.random.normal(KEY, (B, 224, 224, 3)).astype(jnp.bfloat16)
+    mids = {
+        18: (64,) * 4 + (128,) * 4 + (256,) * 4 + (512,) * 4,
+        50: (64,) * 3 + (128,) * 4 + (256,) * 6 + (512,) * 3,
+    }
+    for depth in (18, 50):
+        name = f"ResNet-{depth}"
+
+        def build():
+            m = ResNet(depth=depth, num_classes=1000)
+            return m, {"params": m.init(KEY), "state": m.init_state()}
+
+        m_d, v_d = build()
+        n_folded = fold_batchnorm(m_d, v_d)
+        v_db = {"params": cast_floating(v_d["params"]), "state": v_d["state"]}
+        log(f"{name} dense BN-fold ({n_folded}) bf16 serving (b={B}):")
+        t_dense = time_apply(m_d, v_db, x)
+
+        m2, v2 = build()
+        app = LowRankExpV3(num_bases=tuple(n // 2 for n in mids[depth]))
+        m2, v2 = run_pipeline(
+            m2, v2, app,
+            [KernelSizeFilter(min_kernel=2, max_kernel=5),
+             IndicesFilter(tuple(range(1, 17)))])
+        n2 = fold_batchnorm(m2, v2)
+        assert n2 == n_folded, (n2, n_folded)  # V3 sites fold through
+        v2["params"] = cast_floating(v2["params"])
+        log(f"{name} V3 r=N/2 BN-fold bf16 serving:")
+        t_v3 = time_apply(m2, v2, x)
+        res = never_lose_deploy(m2, v2, x.shape, dtype=jnp.bfloat16,
+                                greedy=(depth == 18), verbose=False)
+        log(f"{name} V3 never-lose bf16 surface:")
+        t_nl = time_apply(m2, v2, x)
+        log(f"{name} V3 serving summary (b={B}): dense+fold bf16 "
+            f"{t_dense*1e3:.2f} ms -> V3+fold {t_v3*1e3:.2f} ms = "
+            f"{t_dense/t_v3:.3f}x | never-lose {t_nl*1e3:.2f} ms = "
+            f"{t_dense/t_nl:.3f}x ({res['kept_decomposed']}/"
+            f"{len(res['layers'])} kept, {B/t_nl:.0f} img/s)")
+
+
 def bench_convnext(B):
     """ConvNeXt-T (beyond-reference family, models/convnext.py): the
     depthwise-7x7 ConvNet.  DwSepRep rank-1 cuts each dwconv's taps
@@ -289,16 +339,21 @@ def bench_convnext(B):
         t1b = time_apply(m1, v1b, x.astype(jnp.bfloat16))
         log(f"  -> {tag}: f32 {t_orig/t1:.3f}x | bf16 {t_bf16/t1b:.3f}x vs bf16 dense")
 
+    # never-lose on the measured-winning variant (lax-conv cascades) at the
+    # serving dtype (bf16 — ConvNeXt has no BN, the cast IS the surface)
     m2, v2 = build()
-    m2, v2 = run_pipeline(m2, v2, DwSepRep(ranks=1, strip_matmul=True),
+    m2, v2 = run_pipeline(m2, v2, DwSepRep(ranks=1, strip_matmul=False),
                           [DepthwiseConvFilter()])
-    res = never_lose_deploy(m2, v2, x.shape, greedy=False, verbose=False)
-    log("ConvNeXt-T never-lose deploy surface f32:")
-    t_nl = time_apply(m2, v2, x)
+    v2["params"] = cast_floating(v2["params"])
+    res = never_lose_deploy(m2, v2, x.shape, dtype=jnp.bfloat16,
+                            greedy=False, verbose=False)
+    log("ConvNeXt-T never-lose deploy surface bf16:")
+    t_nl = time_apply(m2, v2, x.astype(jnp.bfloat16))
     log(f"ConvNeXt-T summary (b={B}): dense {t_orig*1e3:.2f} ms | bf16 "
-        f"{t_bf16*1e3:.2f} ms ({B/t_bf16:.0f} img/s) | never-lose "
-        f"{t_nl*1e3:.2f} ms = {t_orig/t_nl:.3f}x "
-        f"({res['kept_decomposed']}/{len(res['layers'])} kept decomposed)")
+        f"{t_bf16*1e3:.2f} ms ({B/t_bf16:.0f} img/s) | never-lose bf16 "
+        f"{t_nl*1e3:.2f} ms = {t_bf16/t_nl:.3f}x vs bf16 dense "
+        f"({res['kept_decomposed']}/{len(res['layers'])} kept decomposed, "
+        f"{B/t_nl:.0f} img/s)")
 
 
 def bench_segnext(B=16, hw=512):
@@ -342,7 +397,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="all",
                     choices=["mscan-s", "vgg16", "resnet18", "resnet50",
-                             "convnext", "v3", "segnext", "all"])
+                             "convnext", "v3", "v3-serving", "segnext", "all"])
     ap.add_argument("--batch", type=int, default=64)
     args = ap.parse_args()
     log(f"devices: {jax.devices()}")
@@ -358,6 +413,8 @@ def main():
         bench_convnext(args.batch)
     if args.model in ("v3", "all"):
         bench_v3(args.batch)
+    if args.model in ("v3-serving", "all"):
+        bench_v3_serving(args.batch)
     if args.model in ("segnext", "all"):
         bench_segnext()
 

@@ -269,3 +269,69 @@ def test_fold_batchnorm_resnet_whole_model():
     y, _, _ = model.apply(variables["params"], x,
                           state=variables["state"], training=False)
     assert jnp.max(jnp.abs(y - y_ref)) < 2e-4
+
+
+def test_fold_batchnorm_through_v3_resnet():
+    """BN folds THROUGH a V3-decomposed conv site into its 1x1 mix_conv
+    (deploy.FOLD_TAILS), so decomposed ResNets keep the BN-free serving
+    surface.  Exactness vs the decomposed-but-unfolded forward."""
+    from convnet_approximater_tpu.core import LowRankExpV3
+    from convnet_approximater_tpu.filters import KernelSizeFilter
+    from convnet_approximater_tpu.layers import LowRankExpConvV3
+    from convnet_approximater_tpu.models import ResNet
+
+    model = ResNet(depth=18, num_classes=10)
+    variables = {"params": model.init(KEY), "state": model.init_state()}
+    _randomize_bn_state(variables["state"])
+    app = LowRankExpV3(num_bases=(32,) * 16, deploy=True)
+    model.register_switchable(app.src_type, [KernelSizeFilter(min_kernel=2, max_kernel=5)])
+    assert model.length_switchable == 16
+    for idx in range(model.length_switchable):
+        from convnet_approximater_tpu.utils.serialize import tree_get
+        name = model.switchable_names[idx]
+        src = model.get_switchable_module(idx)
+        sub, sp = app.initialize(src, tree_get(variables["params"], name), KEY)
+        model.set_switchable_module(idx, sub, variables, {"params": sp})
+
+    x = jax.random.normal(KEY, (2, 64, 64, 3))
+    y_ref, _, _ = model.apply(variables["params"], x,
+                              state=variables["state"], training=False)
+    n = fold_batchnorm(model, variables)
+    assert n == 20  # every pair still folds, 16 of them through V3 tails
+    # the V3 mix convs now carry the folded bias
+    n_v3 = 0
+    for _, mod in model.named_modules():
+        if isinstance(mod, LowRankExpConvV3):
+            assert mod.mix_conv.use_bias
+            n_v3 += 1
+    assert n_v3 == 16
+    y, _, _ = model.apply(variables["params"], x,
+                          state=variables["state"], training=False)
+    assert jnp.max(jnp.abs(y - y_ref)) < 2e-4
+
+
+def test_fold_batchnorm_substitution_both_branches():
+    """A live Substitution feeding a BN absorbs the fold into BOTH branch
+    terminal convs, so old/new branch switching stays exact after the fold."""
+    from convnet_approximater_tpu.layers import LowRankExpConvV3, Substitution
+    from convnet_approximater_tpu.nn.module import Ctx
+
+    old = nn.Conv2d(3, 8, 3, padding=1, bias=False)
+    new = LowRankExpConvV3(3, 8, num_base=4, kernel_size=3, stride=1, padding=1)
+    model = nn.Sequential(Substitution(old, new), nn.BatchNorm2d(8))
+    params = model.init(KEY)
+    state = model.init_state()
+    _randomize_bn_state(state)
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+
+    def fwd(branch):
+        ctx = Ctx(training=False, state=state, force_branch=branch)
+        return model(params, x, ctx)
+
+    y_old_ref, y_new_ref = fwd("old"), fwd("new")
+    variables = {"params": params, "state": state}
+    n = fold_batchnorm(model, variables)
+    assert n == 1
+    params, state = variables["params"], variables["state"]
+    assert jnp.max(jnp.abs(fwd("old") - y_old_ref)) < 2e-4
+    assert jnp.max(jnp.abs(fwd("new") - y_new_ref)) < 2e-4
