@@ -4,10 +4,13 @@ _base_ = ["../_base_/models/convnext/convnext-t.py"]
 # (18 dwconvs in ConvNeXt-T; the 4x4 stem and 2x2 downsample convs are
 # rejected by DepthwiseConvFilter).  k^2 -> 2k taps per output element
 # (3.5x MAC cut on the dwconvs); logs retained PC energy per layer.
+# strip_matmul stays off: measured on v5e-1, the lax-conv cascades win at
+# ConvNeXt's square-7x7 shapes (1.39x bf16) while the Toeplitz strip
+# lowering loses (doc/perf-notes.md "ConvNeXt-T DwSepRep").
 app = dict(
     type="DwSepRep",
     ranks=1,
-    strip_matmul=True,
+    strip_matmul=False,
 )
 
 filters = [

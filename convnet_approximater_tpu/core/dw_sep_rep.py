@@ -12,10 +12,14 @@ depthwise conv (ConvNeXt's 7x7 ``dwconv`` being the motivating target):
         conv (taps s_j * u_j), depthwise over the same C channels.
 
 MAC math: k^2 -> 2kr per output element, so rank 1 on k=7 is a 3.5x cut
-and even rank 3 still wins 49 -> 42.  TPU angle: the (1,k)/(k,1) strips
-are exactly what ``ops/conv.py::strip_conv_matmul`` lowers onto the MXU
-as banded-Toeplitz contractions (``strip_matmul=True``, rank-1 target),
-escaping the VPU-bound depthwise emitter.
+and even rank 3 still wins 49 -> 42.  TPU angle, MEASURED (v5e-1, b=64,
+doc/perf-notes.md "ConvNeXt-T DwSepRep"): XLA's native depthwise emitter
+handles the (1,7)/(7,1) strips well — rank-1 lax-conv cascades run
+ConvNeXt-T at 1.12x f32 / **1.39x bf16** vs dense, while the
+banded-Toeplitz MXU lowering (``strip_matmul=True``) LOSES there (0.89x /
+0.95x: its gather overhead x18 blocks outweighs the MXU win at square-7x7
+shapes).  The strip lowering wins for MSCAN's long 1xk/kx1 cascades
+(k up to 21) — hence opt-in here, default off.
 
 The solve is exact at full rank (r = k) and logs the retained PC energy
 otherwise; accuracy recovery runs through the standard ``L2Reconstruct``
@@ -42,7 +46,7 @@ class DwSepRep(Approximater):
     _tgt_type = "SimpleConv"  # unused: tgt_type is rank-dependent (below)
 
     def __init__(self, ranks=None, energy: float = None,
-                 strip_matmul: bool = True, deploy: bool = False):
+                 strip_matmul: bool = False, deploy: bool = False):
         super().__init__(deploy=deploy)
         # int: same rank everywhere; tuple: per-matched-layer cursor (the
         # same convention as LowRankExpV1's num_bases); OR energy=tau for
