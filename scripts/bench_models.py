@@ -265,11 +265,38 @@ def bench_v3_serving(B):
     from convnet_approximater_tpu.models import ResNet
 
     x = jax.random.normal(KEY, (B, 224, 224, 3)).astype(jnp.bfloat16)
+
+    # VGG-16 first (no BN — the bf16 cast IS the serving surface); V3 at
+    # r=N/4, the f32 crossover winner (perf-notes "LowRankExpV3 on TPU").
+    vgg_N = (64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512)
+    m_v, v_v = VGG(depth=16, num_classes=1000), None
+    v_v = {"params": cast_floating(m_v.init(KEY))}
+    log(f"VGG-16 dense bf16 serving (b={B}):")
+    t_vd = time_apply(m_v, v_v, x)
+    m_v2 = VGG(depth=16, num_classes=1000)
+    v_v2 = {"params": m_v2.init(KEY)}
+    from convnet_approximater_tpu.core import LowRankExpV3 as _V3
+    m_v2, v_v2 = run_pipeline(
+        m_v2, v_v2, _V3(num_bases=tuple(n // 4 for n in vgg_N)),
+        [SimpleConvFilter(), IndicesFilter(tuple(range(2, 14)))])
+    v_v2["params"] = cast_floating(v_v2["params"])
+    log("VGG-16 V3 r=N/4 bf16 serving:")
+    t_vv = time_apply(m_v2, v_v2, x)
+    res_v = never_lose_deploy(m_v2, v_v2, x.shape, dtype=jnp.bfloat16,
+                              greedy=False, verbose=False)
+    log("VGG-16 V3 never-lose bf16 surface:")
+    t_vn = time_apply(m_v2, v_v2, x)
+    log(f"VGG-16 V3 serving summary (r=N/4, b={B}): dense bf16 "
+        f"{t_vd*1e3:.2f} ms -> V3 {t_vv*1e3:.2f} ms = {t_vd/t_vv:.3f}x | "
+        f"never-lose {t_vn*1e3:.2f} ms = {t_vd/t_vn:.3f}x "
+        f"({res_v['kept_decomposed']}/{len(res_v['layers'])} kept, "
+        f"{B/t_vn:.0f} img/s)")
+
     mids = {
         18: (64,) * 4 + (128,) * 4 + (256,) * 4 + (512,) * 4,
         50: (64,) * 3 + (128,) * 4 + (256,) * 6 + (512,) * 3,
     }
-    for depth in (18, 50):
+    for depth, div in ((18, 2), (18, 4), (50, 2)):
         name = f"ResNet-{depth}"
 
         def build():
@@ -283,7 +310,7 @@ def bench_v3_serving(B):
         t_dense = time_apply(m_d, v_db, x)
 
         m2, v2 = build()
-        app = LowRankExpV3(num_bases=tuple(n // 2 for n in mids[depth]))
+        app = LowRankExpV3(num_bases=tuple(n // div for n in mids[depth]))
         m2, v2 = run_pipeline(
             m2, v2, app,
             [KernelSizeFilter(min_kernel=2, max_kernel=5),
@@ -291,13 +318,13 @@ def bench_v3_serving(B):
         n2 = fold_batchnorm(m2, v2)
         assert n2 == n_folded, (n2, n_folded)  # V3 sites fold through
         v2["params"] = cast_floating(v2["params"])
-        log(f"{name} V3 r=N/2 BN-fold bf16 serving:")
+        log(f"{name} V3 r=N/{div} BN-fold bf16 serving:")
         t_v3 = time_apply(m2, v2, x)
         res = never_lose_deploy(m2, v2, x.shape, dtype=jnp.bfloat16,
                                 greedy=(depth == 18), verbose=False)
         log(f"{name} V3 never-lose bf16 surface:")
         t_nl = time_apply(m2, v2, x)
-        log(f"{name} V3 serving summary (b={B}): dense+fold bf16 "
+        log(f"{name} V3 serving summary (r=N/{div}, b={B}): dense+fold bf16 "
             f"{t_dense*1e3:.2f} ms -> V3+fold {t_v3*1e3:.2f} ms = "
             f"{t_dense/t_v3:.3f}x | never-lose {t_nl*1e3:.2f} ms = "
             f"{t_dense/t_nl:.3f}x ({res['kept_decomposed']}/"

@@ -36,6 +36,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--depth", type=int, default=50)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--v3", type=int, default=0, metavar="DIV",
+                    help="first decompose the block 3x3s with LowRankExpV3 "
+                         "at r=N/DIV (BN folds through the factors), then "
+                         "quantize — the compressed+quantized serving stack")
     args = ap.parse_args()
     B = args.batch
     name = f"ResNet-{args.depth}"
@@ -45,6 +49,24 @@ def main():
 
     model = ResNet(depth=args.depth, num_classes=1000)
     variables = {"params": model.init(KEY), "state": model.init_state()}
+    if args.v3:
+        from bench import run_pipeline
+        from convnet_approximater_tpu.core import LowRankExpV3
+        from convnet_approximater_tpu.filters import (
+            IndicesFilter,
+            KernelSizeFilter,
+        )
+
+        mids = {
+            18: (64,) * 4 + (128,) * 4 + (256,) * 4 + (512,) * 4,
+            50: (64,) * 3 + (128,) * 4 + (256,) * 6 + (512,) * 3,
+        }[args.depth]
+        app = LowRankExpV3(num_bases=tuple(n // args.v3 for n in mids))
+        model, variables = run_pipeline(
+            model, variables, app,
+            [KernelSizeFilter(min_kernel=2, max_kernel=5),
+             IndicesFilter(tuple(range(1, 17)))])
+        name += f" V3 r=N/{args.v3}"
     n = fold_batchnorm(model, variables)
     variables["params"] = cast_floating(variables["params"])
     log(f"{name} BN-fold ({n}) bf16 serving baseline (b={B}):")
