@@ -29,6 +29,7 @@ import convnet_approximater_tpu.nn as nn
 from convnet_approximater_tpu.layers import DropPath
 from convnet_approximater_tpu.nn import Ctx, Module, ModuleList
 
+from .stage_exec import BlockStageExec
 from .switchable import MODEL, SwitchableModel
 
 
@@ -81,11 +82,16 @@ _ARCHS = {
 
 
 @MODEL.register_module()
-class ConvNeXt(SwitchableModel):
+class ConvNeXt(BlockStageExec, SwitchableModel):
     def __init__(self, arch: str = "tiny", num_classes: int = 1000,
                  drop_path_rate: float = 0.0, layer_scale: float = 1e-6,
-                 depths=None, dims=None, init_cfg=None):
+                 depths=None, dims=None, init_cfg=None,
+                 scan_blocks: str = "auto", remat: bool = False):
         super().__init__(init_cfg=init_cfg)
+        # scan/pipeline engine knobs (models/stage_exec.py) — ConvNeXt-S/B
+        # carry 27-block stage 3s, the worst unrolled-compile offenders
+        self.scan_blocks = scan_blocks
+        self.remat = remat
         if depths is None or dims is None:
             depths, dims = _ARCHS[arch]
         depths, dims = tuple(depths), tuple(dims)
@@ -115,7 +121,9 @@ class ConvNeXt(SwitchableModel):
             with ctx.scope("downsample_layers"):
                 x = self.downsample_layers.child(str(i), dp, x, ctx)
             with ctx.scope("stages"):
-                x = self.stages.child(str(i), sp, x, ctx)
+                with ctx.scope(str(i)):
+                    x = self._exec_stage(self.stages[int(i)], sp.get(str(i), {}),
+                                         x, ctx)
         x = x.mean(axis=(1, 2))
         x = self.child("norm", params, x, ctx)
         return self.child("head", params, x, ctx)

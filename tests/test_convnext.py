@@ -387,3 +387,31 @@ def test_dwsep_auto_rank_energy():
     r_hi = 1 if isinstance(tgt_hi, CascadeConv) else \
         len(list(tgt_hi.branches.named_children()))
     assert 1 <= r_lo <= r_hi <= k
+
+
+def test_convnext_scan_engine_parity():
+    """The shared stage engine (models/stage_exec.py): scan-over-blocks
+    forward and grads are exact vs the unrolled Sequential."""
+    import jax
+
+    m_off = ConvNeXt(arch="tiny", num_classes=10, scan_blocks="off",
+                     drop_path_rate=0.1)
+    p = m_off.init(KEY)
+    x = jax.random.normal(KEY, (2, 64, 64, 3))
+    m_scan = ConvNeXt(arch="tiny", num_classes=10, scan_blocks="auto",
+                      drop_path_rate=0.1)
+    y_off, _, _ = m_off.apply(p, x, training=False)
+    y_scan, _, _ = m_scan.apply(p, x, training=False)
+    assert jnp.max(jnp.abs(y_off - y_scan)) == 0.0
+
+    def loss(pp, mdl):
+        y, _, _ = mdl.apply(pp, x, training=False)
+        return jnp.sum(y ** 2)
+
+    g1 = jax.grad(loss)(p, m_off)
+    g2 = jax.grad(loss)(p, m_scan)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        assert jnp.max(jnp.abs(a - b)) < 1e-5
+    # training path runs (per-block drop-path rates thread through the scan)
+    yt, _, _ = m_scan.apply(p, x, training=True, rng=jax.random.PRNGKey(3))
+    assert bool(jnp.isfinite(yt).all())

@@ -260,3 +260,52 @@ def test_class_inference_pipeline_wiring():
     ci.pipeline_parallel = 3  # doesn't divide the 8 CPU devices
     with pytest.raises(ValueError, match="divide"):
         ci._maybe_pipeline(model)
+
+
+def test_convnext_pipeline_matches_scan_forward():
+    """ConvNeXt shares the stage engine (models/stage_exec.py): a custom
+    depths=(1,1,4,2) ConvNeXt pipelines its 4-block stage over pp=4 and
+    must equal the scan-over-blocks forward."""
+    from convnet_approximater_tpu.models import ConvNeXt
+
+    model = ConvNeXt(depths=(1, 1, 4, 2), dims=(8, 16, 24, 32),
+                     num_classes=16, drop_path_rate=0.1)
+    params = model.init(jax.random.key(0))
+    x = jnp.asarray(np.random.RandomState(5).randn(8, 32, 32, 3).astype(np.float32))
+
+    def fwd(params, x):
+        y, _, _ = model.apply(params, x, training=False)
+        return y
+
+    y_scan = jax.jit(fwd)(params, x)
+    mesh = make_mesh(data=2, model=4)
+    model.enable_pipeline(mesh)  # stage 3 (4 blocks) pipelines; others fall back
+    y_pp = jax.jit(fwd)(params, x)
+    model.enable_pipeline(None)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_scan),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_convnext_pipeline_train_grads_match_scan():
+    """Grads THROUGH the pipelined ConvNeXt stage (M=1) equal the scan's."""
+    from convnet_approximater_tpu.models import ConvNeXt
+
+    model = ConvNeXt(depths=(1, 1, 4, 1), dims=(8, 16, 24, 32),
+                     num_classes=16)
+    params = model.init(jax.random.key(0))
+    x = jnp.asarray(np.random.RandomState(6).randn(8, 32, 32, 3).astype(np.float32))
+
+    def loss(p):
+        y, _, _ = model.apply(p, x, training=False)
+        return jnp.sum(y ** 2)
+
+    g_scan = jax.jit(jax.grad(loss))(params)
+    mesh = make_mesh(data=2, model=4)
+    model.enable_pipeline(mesh, num_microbatches=1)
+    g_pp = jax.jit(jax.grad(loss))(params)
+    model.enable_pipeline(None)
+    flat1 = jax.tree_util.tree_leaves(g_scan)
+    flat2 = jax.tree_util.tree_leaves(g_pp)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
