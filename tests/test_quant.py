@@ -114,3 +114,39 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
     assert loaded["params"]["0"]["weight_q"].dtype == jnp.int8
     y1, _, _ = model.apply(loaded["params"], x, training=False)
     assert jnp.max(jnp.abs(y1 - y0)) == 0
+
+
+def test_quantize_v3_decomposed_resnet_block():
+    """int8 PTQ composes with V3 decomposition + BN fold-through: the
+    quantizer finds V3's basis/mix child convs (both groups==1), and the
+    quantized forward tracks the folded float forward.  (The TPU
+    measurement says don't stack for SPEED — exp_int8_resnet --v3 — but
+    the composition must stay correct for compressed+quantized ckpts.)"""
+    from convnet_approximater_tpu.core import LowRankExpV3
+    from convnet_approximater_tpu.filters import KernelSizeFilter
+    from convnet_approximater_tpu.models import ResNet
+    from convnet_approximater_tpu.utils.serialize import tree_get
+
+    model = ResNet(depth=18, num_classes=10)
+    variables = {"params": model.init(KEY), "state": model.init_state()}
+    app = LowRankExpV3(num_bases=(32,) * 16, deploy=True)
+    model.register_switchable(app.src_type,
+                              [KernelSizeFilter(min_kernel=2, max_kernel=5)])
+    for idx in range(model.length_switchable):
+        name = model.switchable_names[idx]
+        src = model.get_switchable_module(idx)
+        sub, sp = app.initialize(src, tree_get(variables["params"], name), KEY)
+        model.set_switchable_module(idx, sub, variables, {"params": sp})
+    n = fold_batchnorm(model, variables)
+    assert n == 20
+
+    x = jax.random.normal(KEY, (2, 64, 64, 3))
+    y_f, _, _ = model.apply(variables["params"], x,
+                            state=variables["state"], training=False)
+    nq = quantize_int8(model, variables, _calib_batches((2, 64, 64, 3)))
+    # 16 V3 sites x 2 child convs + stem + 4 downsample projs + fc-adjacent
+    assert nq >= 16 * 2
+    y_q, _, _ = model.apply(variables["params"], x,
+                            state=variables["state"], training=False)
+    rel = float(jnp.max(jnp.abs(y_q - y_f)) / (jnp.max(jnp.abs(y_f)) + 1e-9))
+    assert rel < 0.12, rel
