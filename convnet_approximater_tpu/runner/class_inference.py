@@ -37,7 +37,8 @@ class ClassInference(BaseRunner):
                  do_decomp: bool = False, eval_cfg=None, rng=None,
                  exact_gelu: bool = True, dtype: str = "float32",
                  fold_bn=None, never_lose: bool = False,
-                 s2d_stem: bool = False, pipeline_parallel: int = 1):
+                 s2d_stem: bool = False, pipeline_parallel: int = 1,
+                 quantize: str = None):
         import os
 
         if exact_gelu and not os.environ.get("CAT_FAST_GELU"):
@@ -62,6 +63,14 @@ class ClassInference(BaseRunner):
         # for models too deep for one chip's HBM; eval-only, model must
         # expose backbone.enable_pipeline (MSCAN family)
         self.pipeline_parallel = int(pipeline_parallel)
+        # 'int8': PTQ the approximated serving surface (deploy.quantize_int8
+        # after the BN fold).  Measured a real win on dense-conv families
+        # (ResNet-18 1.60x / -50 1.25x vs bf16) and a loss on MSCAN
+        # (fusion-split) — doc/perf-notes.md.  Calibrates on the eval
+        # dataset when one is configured, else on synthetic batches.
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize={quantize!r} (expected None or 'int8')")
+        self.quantize = quantize
         self.eval_cfg = eval_cfg or {}
         self.rng = rng if rng is not None else jax.random.key(cfg.seed or 0)
 
@@ -89,6 +98,32 @@ class ClassInference(BaseRunner):
         if n % pp:
             raise ValueError(f"pipeline_parallel={pp} doesn't divide {n} devices")
         backbone.enable_pipeline(make_mesh(data=n // pp, model=pp))
+
+    def _calib_batches(self, num_batches: int = 4, batch: int = 8):
+        """Calibration inputs for int8 PTQ: real eval batches when the
+        eval_cfg names a dataset (the representative-data PTQ protocol),
+        synthetic normals otherwise (still exercises the scales end to
+        end; accuracy-grade calibration needs real data)."""
+        import jax.numpy as jnp
+
+        if self.eval_cfg.get("dataset"):
+            from convnet_approximater_tpu.data import Loader, build_dataset
+
+            ds = build_dataset(dict(self.eval_cfg["dataset"]),
+                               split=self.eval_cfg.get("split", "validation"))
+            loader = Loader(ds, batch_size=batch, shuffle=False,
+                            image_size=self.input_size[:2])
+            out = []
+            for i, (x, _) in enumerate(loader):
+                if i >= num_batches:
+                    break
+                out.append(jnp.asarray(x).astype(self.dtype))
+            if out:
+                return out
+        return [jax.random.normal(
+                    jax.random.fold_in(self.rng, i),
+                    (batch,) + self.input_size).astype(self.dtype) * 0.8
+                for i in range(num_batches)]
 
     def _report(self, tag, model, variables):
         import jax.numpy as jnp
@@ -183,3 +218,20 @@ class ClassInference(BaseRunner):
             except OSError as e:  # pragma: no cover - disk-full etc.
                 logger.warning(f"could not persist arbiter decisions: {e}")
             self._report("never-lose", model, new_vars)
+
+        if self.quantize == "int8":
+            import jax.numpy as jnp
+
+            from convnet_approximater_tpu.deploy import (
+                fold_batchnorm,
+                quantize_int8,
+            )
+            from convnet_approximater_tpu.utils import cast_floating
+
+            fold_batchnorm(model, new_vars)  # idempotent
+            if self.dtype != jnp.float32:
+                new_vars = {"params": cast_floating(new_vars["params"], self.dtype),
+                            "state": new_vars.get("state", {})}
+            nq = quantize_int8(model, new_vars, self._calib_batches())
+            get_logger().info(f"quantize_int8: {nq} convs quantized")
+            self._report("int8", model, new_vars)

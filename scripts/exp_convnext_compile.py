@@ -19,10 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# NO persistent compile cache: the A/B is the compile itself
 import jax.numpy as jnp
 
 from bench import KEY, log, time_apply
+
+# NO persistent compile cache: the A/B is the compile itself (bench's
+# import enables it; undo that here so re-runs stay honest)
+jax.config.update("jax_compilation_cache_dir", None)
 from convnet_approximater_tpu.models import ConvNeXt
 
 

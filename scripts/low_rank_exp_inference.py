@@ -20,6 +20,12 @@ def main():
                     help="per-layer deploy arbiter: re-materialize dense "
                          "kernels wherever decomposition loses wall-clock")
     ap.add_argument("--eval-dataset", default=None, help="DATASET registry type, e.g. CIFAR10")
+    ap.add_argument("--dtype", default="float32",
+                    help="serving dtype (bfloat16 = measured best surface)")
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="PTQ the approximated surface after the BN fold "
+                         "(measured: wins on dense-conv families, "
+                         "doc/perf-notes.md)")
     ap.add_argument("--eval-root", default=None)
     ap.add_argument("--platform", default=None,
                     help="force a jax backend (e.g. cpu) — env vars alone "
@@ -50,6 +56,8 @@ def main():
         do_decomp=args.decomp,
         eval_cfg=eval_cfg,
         never_lose=args.never_lose,
+        dtype=args.dtype,
+        quantize=args.quantize,
     ).run()
 
 

@@ -116,3 +116,20 @@ def test_class_inference_never_lose_persists_decisions(tmp_path):
     assert len(res["layers"]) == 1  # TinyNet's one substituted conv
     assert res["layers"][0]["kept"] in ("dense", "decomposed")
     assert res["t_decomposed"] > 0 and res["t_dense"] > 0
+
+
+def test_class_inference_int8_serving(tmp_path):
+    """quantize='int8' PTQs the approximated surface end to end (fold ->
+    cast -> calibrate -> QuantConv2d rewrite -> report)."""
+    from convnet_approximater_tpu.layers.quant import QuantConv2d
+
+    runner = _run(tmp_path, "[]")
+    ci = ClassInference(checkpoint=runner.output_path, batch_size=2,
+                        input_size=(16, 16, 3), dtype="bfloat16",
+                        quantize="int8")
+    ci.run()
+    quantized = [m for _, m in ci.new_model.named_modules()
+                 if isinstance(m, QuantConv2d)]
+    assert quantized, "no convs were quantized"
+    with pytest.raises(ValueError):
+        ClassInference(checkpoint=runner.output_path, quantize="int4")
