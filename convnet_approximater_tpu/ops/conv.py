@@ -282,18 +282,29 @@ def max_pool2d(x, kernel_size, stride=None, padding=0):
 
 
 def avg_pool2d(x, kernel_size, stride=None, padding=0):
+    """Average pooling (count_include_pad=True, torch's default).
+
+    NOT lowered via ``lax.reduce_window``+add: the axon relay rejects that
+    op's linearization ("Linearization failed to produce known values for
+    all output primals" under grad — measured r3f; ``lax.max`` windows are
+    fine).  Non-overlapping unpadded windows (every use in this framework's
+    models) are a reshape+mean; the general overlapping/padded case lowers
+    to a constant-kernel depthwise conv, differentiable everywhere."""
     k = _pair(kernel_size)
     s = _pair(stride if stride is not None else kernel_size)
     pads = _pad_pairs(padding)
-    summed = lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        lax.add,
-        window_dimensions=(1, k[0], k[1], 1),
-        window_strides=(1, s[0], s[1], 1),
-        padding=((0, 0), pads[0], pads[1], (0, 0)),
+    B, H, W, C = x.shape
+    if (s == k and pads == ((0, 0), (0, 0))
+            and H % k[0] == 0 and W % k[1] == 0):
+        return x.reshape(B, H // k[0], k[0], W // k[1], k[1], C).mean(axis=(2, 4))
+    w = jnp.full((k[0], k[1], 1, C), 1.0 / (k[0] * k[1]), x.dtype)
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=s,
+        padding=(pads[0], pads[1]),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
     )
-    return summed / (k[0] * k[1])
 
 
 def adaptive_avg_pool2d(x, output_size):

@@ -70,7 +70,10 @@ def param_shardings(params: dict, mesh: Mesh, tp_rules: Sequence[tuple] = ()) ->
     """Shardings for a param tree: replicated by default, with optional
     tensor-parallel rules ``(path_suffix, PartitionSpec)`` matched against the
     '/'-joined flat path (e.g. ``("head/weight", P(None, MODEL_AXIS))`` to
-    column-shard the classifier).
+    column-shard the classifier).  A ``^``-prefixed rule matches the FULL
+    path only — use it to pin a root-level param whose name is a suffix of
+    deeper ones (e.g. ResNet's stem ``^conv1/weight`` vs the blocks'
+    ``layerN/i/conv1/weight``).  First matching rule wins.
 
     A rule that matches no param is almost always a typo'd path (the model
     would silently train fully replicated); it is reported with a warning so
@@ -84,7 +87,8 @@ def param_shardings(params: dict, mesh: Mesh, tp_rules: Sequence[tuple] = ()) ->
     for key in flat:
         spec = P()
         for i, (suffix, rule_spec) in enumerate(tp_rules):
-            if key.endswith(suffix):
+            if (key == suffix[1:] if suffix.startswith("^")
+                    else key.endswith(suffix)):
                 spec = rule_spec
                 used[i] = True
                 break

@@ -62,7 +62,28 @@ def convnext_tp_rules():
     ]
 
 
-_PRESETS = {"mscan": mscan_tp_rules, "convnext": convnext_tp_rules}
+def resnet_tp_rules():
+    """Megatron-style pairing inside every residual block: conv1
+    column-parallel (out-channel shard; bn1's affine follows), conv2
+    row-parallel (in-channel shard — XLA inserts the psum on its output).
+    Bottleneck's conv3, the downsample projs, and the stem stay replicated
+    (3-ch input / residual-add alignment); the ``fc`` head column-shards.
+    The ``^`` rule pins the root stem whose name is a suffix of the block
+    convs' paths."""
+    return [
+        ("^conv1/weight", P()),  # stem: 7x7 on 3 channels — replicate
+        ("^bn1/scale", P()), ("^bn1/bias", P()),  # stem bn follows
+        ("conv1/weight", P(None, None, None, MODEL_AXIS)),
+        ("bn1/scale", P(MODEL_AXIS)),
+        ("bn1/bias", P(MODEL_AXIS)),
+        ("conv2/weight", P(None, None, MODEL_AXIS, None)),
+        ("fc/weight", P(None, MODEL_AXIS)),
+        ("fc/bias", P(MODEL_AXIS)),
+    ]
+
+
+_PRESETS = {"mscan": mscan_tp_rules, "convnext": convnext_tp_rules,
+            "resnet": resnet_tp_rules}
 
 
 def resolve_tp_rules(spec) -> list:

@@ -179,3 +179,56 @@ def test_convnext_tp_forward_and_grads_match_replicated():
         jax.tree_util.tree_map(lambda s: s.spec, p_sh,
                                is_leaf=lambda s: isinstance(s, NamedSharding)))
     assert sum(spec != P() for spec in flat_specs) >= 13  # 4 blocks x 3 + head
+
+
+def test_resnet_tp_forward_and_grads_match_replicated():
+    """The ResNet preset (block conv1 column / conv2 row, ^-pinned stem,
+    sharded fc head) reproduces the replicated forward AND gradients —
+    with BN running stats in play — on a 4x2 dp x tp mesh."""
+    from convnet_approximater_tpu.models import ResNet
+    from convnet_approximater_tpu.parallel.tp import resnet_tp_rules
+
+    model = ResNet(depth=18, num_classes=16)
+    variables = {"params": model.init(jax.random.key(0)),
+                 "state": model.init_state()}
+    mesh = make_mesh(data=4, model=2)
+    x = jnp.asarray(np.random.RandomState(3).randn(8, 32, 32, 3).astype(np.float32))
+    labels = jnp.asarray(np.arange(8) % 16)
+
+    def fwd(params, state, xx):
+        y, _, _ = model.apply(params, xx, state=state, training=False)
+        return y
+
+    def loss_fn(params, state, x, labels):
+        y = fwd(params, state, x)
+        one_hot = jax.nn.one_hot(labels, y.shape[-1])
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(y) * one_hot, axis=-1))
+
+    state = variables["state"]
+    y_ref = jax.jit(fwd)(variables["params"], state, x)
+    g_ref = jax.jit(jax.grad(loss_fn))(variables["params"], state, x, labels)
+
+    rules = resnet_tp_rules()
+    p_sh = param_shardings(variables["params"], mesh, rules)
+    params = jax.tree_util.tree_map(jax.device_put, variables["params"], p_sh)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    y_tp = jax.jit(fwd)(params, state, x_sh)
+    g_tp = jax.jit(jax.grad(loss_fn))(params, state, x_sh, labels)
+
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_tp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
+    # the ^-pinned stem params stayed replicated; the 16 block conv1/2
+    # pairs + bn1 affines + head are sharded
+    from convnet_approximater_tpu.utils.serialize import flatten_tree
+
+    flat_sh = flatten_tree(p_sh)
+    assert flat_sh["conv1/weight"].spec == P()
+    assert flat_sh["bn1/scale"].spec == P()
+    assert flat_sh["layer1/0/conv1/weight"].spec == P(None, None, None, "model")
+    assert flat_sh["layer1/0/conv2/weight"].spec == P(None, None, "model", None)
+    n_sharded = sum(s.spec != P() for s in flat_sh.values())
+    assert n_sharded >= 16 * 2 + 2  # conv pairs + fc

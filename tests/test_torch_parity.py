@@ -249,3 +249,30 @@ def test_strip_matmul_env_dispatch(monkeypatch):
     y_off = C.conv2d(x, w21, None, padding=(10, 0), groups=4)
     np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,k,s,p", [
+    ((2, 8, 8, 4), 2, None, 0),       # non-overlap: reshape-mean path
+    ((2, 9, 9, 3), 3, 2, 1),          # overlapping + padded: conv path
+    ((2, 13, 13, 5), (3, 2), (2, 3), 0),
+])
+def test_avg_pool_matches_torch_and_differentiates(shape, k, s, p):
+    """avg_pool2d torch parity on both lowerings (reshape-mean /
+    depthwise-conv).  The conv lowering exists because the axon relay
+    rejects reduce_window+add linearization under grad (r3f) — so also
+    assert the op differentiates."""
+    import torch.nn.functional as F
+
+    x = np.random.RandomState(11).randn(*shape).astype(np.float32)
+    from convnet_approximater_tpu.ops.conv import avg_pool2d
+
+    y = np.asarray(avg_pool2d(jnp.asarray(x), k, stride=s, padding=p))
+    kt = k if isinstance(k, tuple) else (k, k)
+    st = s if s is not None else kt
+    st = st if isinstance(st, tuple) else (st, st)
+    yt = F.avg_pool2d(torch.from_numpy(x).permute(0, 3, 1, 2), kt, st, p)
+    np.testing.assert_allclose(y, yt.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-5, atol=1e-6)
+    g = jax.grad(lambda a: jnp.sum(avg_pool2d(a, k, stride=s, padding=p)))(
+        jnp.asarray(x))
+    assert g.shape == x.shape and bool(jnp.isfinite(g).all())
