@@ -101,11 +101,15 @@ def main():
     if args.model in ("convnext", "all"):
         from convnet_approximater_tpu.models import ConvNeXt
 
+        # b=64 f32 fwd+bwd activations OOM a single v5e-1 (measured r3f);
+        # remat=True checkpoints each scanned block on the backward pass —
+        # activation memory O(1) in depth for one extra forward per block
         def build():
-            m = ConvNeXt(arch="tiny", num_classes=1000, drop_path_rate=0.1)
+            m = ConvNeXt(arch="tiny", num_classes=1000, drop_path_rate=0.1,
+                         remat=True)
             return m, {"params": m.init(KEY)}
 
-        bench("ConvNeXt-T", build)
+        bench("ConvNeXt-T (remat)", build)
 
 
 if __name__ == "__main__":
