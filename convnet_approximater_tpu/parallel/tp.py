@@ -82,8 +82,32 @@ def resnet_tp_rules():
     ]
 
 
+def _classifier_megatron(fc1: str, fc2: str, head: str):
+    """Column fc1 / row fc2 (psum on its output) / column head — the
+    textbook megatron MLP split, where VGG/AlexNet keep ~90% of their
+    params (VGG-16: 123.6M of 138M live in the fc stack)."""
+    return [
+        (f"classifier/{fc1}/weight", P(None, MODEL_AXIS)),
+        (f"classifier/{fc1}/bias", P(MODEL_AXIS)),
+        (f"classifier/{fc2}/weight", P(MODEL_AXIS, None)),
+        (f"classifier/{head}/weight", P(None, MODEL_AXIS)),
+        (f"classifier/{head}/bias", P(MODEL_AXIS)),
+    ]
+
+
+def vgg_tp_rules():
+    """VGG classifier Linears sit at Sequential slots 0/3/6."""
+    return _classifier_megatron("0", "3", "6")
+
+
+def alexnet_tp_rules():
+    """AlexNet classifier Linears sit at Sequential slots 1/4/6."""
+    return _classifier_megatron("1", "4", "6")
+
+
 _PRESETS = {"mscan": mscan_tp_rules, "convnext": convnext_tp_rules,
-            "resnet": resnet_tp_rules}
+            "resnet": resnet_tp_rules, "vgg": vgg_tp_rules,
+            "alexnet": alexnet_tp_rules}
 
 
 def resolve_tp_rules(spec) -> list:

@@ -232,3 +232,47 @@ def test_resnet_tp_forward_and_grads_match_replicated():
     assert flat_sh["layer1/0/conv2/weight"].spec == P(None, None, "model", None)
     n_sharded = sum(s.spec != P() for s in flat_sh.values())
     assert n_sharded >= 16 * 2 + 2  # conv pairs + fc
+
+
+@pytest.mark.parametrize("family", ["vgg", "alexnet"])
+def test_classifier_megatron_tp_matches_replicated(family):
+    """The fc-stack megatron presets (column fc1 / row fc2 / column head —
+    where VGG/AlexNet keep ~90% of their params) reproduce the replicated
+    forward and gradients on a 4x2 dp x tp mesh."""
+    from convnet_approximater_tpu.parallel.tp import resolve_tp_rules
+
+    if family == "vgg":
+        from convnet_approximater_tpu.models import VGG
+
+        model = VGG(depth=11, num_classes=16)
+    else:
+        from convnet_approximater_tpu.models import AlexNet
+
+        model = AlexNet(num_classes=16)
+    variables = {"params": model.init(jax.random.key(0))}
+    mesh = make_mesh(data=4, model=2)
+    x = jnp.asarray(np.random.RandomState(4).randn(8, 224, 224, 3)
+                    .astype(np.float32))
+    labels = jnp.asarray(np.arange(8) % 16)
+
+    def fwd(params, xx):
+        y, _, _ = model.apply(params, xx, training=False)
+        return y
+
+    def loss_fn(params, x, labels):
+        y = fwd(params, x)
+        one_hot = jax.nn.one_hot(labels, y.shape[-1])
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(y) * one_hot, axis=-1))
+
+    y_ref = jax.jit(fwd)(variables["params"], x)
+    g_ref = jax.jit(jax.grad(loss_fn))(variables["params"], x, labels)
+    p_sh = param_shardings(variables["params"], mesh, resolve_tp_rules(family))
+    params = jax.tree_util.tree_map(jax.device_put, variables["params"], p_sh)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    np.testing.assert_allclose(np.asarray(jax.jit(fwd)(params, x_sh)),
+                               np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+    g_tp = jax.jit(jax.grad(loss_fn))(params, x_sh, labels)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_tp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-5)
