@@ -214,7 +214,7 @@ def enable_pw_matmul(model, verbose: bool = False) -> int:
 
 
 def quantize_int8(model, variables: dict, calib_batches, filter_fn=None,
-                  verbose: bool = False) -> int:
+                  linears: bool = True, verbose: bool = False) -> int:
     """int8 post-training quantization of every dense conv (serving only).
 
     Two phases (see ``layers/quant.py`` for the scheme and the measured
@@ -231,18 +231,23 @@ def quantize_int8(model, variables: dict, calib_batches, filter_fn=None,
        pairing the structure edit with the param-tree edit as always.
 
     Call AFTER ``fold_batchnorm`` (folding rewrites conv weights).  Only
-    ``groups == 1`` convs quantize; ``filter_fn(path, conv) -> bool``
-    narrows the set further.  Returns the number of convs quantized.
+    ``groups == 1`` convs quantize; ``linears=True`` (default) also
+    rewrites every ``Linear`` to ``QuantLinear`` (the fc-heavy families'
+    MACs live there); ``filter_fn(path, module) -> bool`` narrows the set
+    further.  Returns the number of modules quantized.
     """
-    from convnet_approximater_tpu.layers.quant import QuantConv2d
+    from convnet_approximater_tpu.layers.quant import QuantConv2d, QuantLinear
+    from convnet_approximater_tpu.nn.layers import Linear
 
     params = variables["params"]
     state = variables.get("state", {})
 
     targets = []
     for path, mod in list(model.named_modules()):
-        if (isinstance(mod, Conv2d) and mod.groups == 1
-                and (filter_fn is None or filter_fn(path, mod))):
+        ok = (isinstance(mod, Conv2d) and mod.groups == 1
+              and type(mod) is not QuantConv2d) \
+            or (linears and type(mod) is Linear)
+        if ok and (filter_fn is None or filter_fn(path, mod)):
             targets.append((path, mod))
     if not targets:
         return 0
@@ -282,7 +287,10 @@ def quantize_int8(model, variables: dict, calib_batches, filter_fn=None,
         if cp is None or "weight" not in cp:
             continue  # structurally stale (e.g. replaced by an earlier pass)
         act_scale = max(absmax[path], 1e-12) / 127.0
-        qmod, qparams = QuantConv2d.from_conv(conv, cp, act_scale)
+        if isinstance(conv, Conv2d):
+            qmod, qparams = QuantConv2d.from_conv(conv, cp, act_scale)
+        else:
+            qmod, qparams = QuantLinear.from_linear(conv, cp, act_scale)
         model.set_submodule(path, qmod)
         parent = _get(params, path.split(".")[:-1])
         parent[path.split(".")[-1]] = qparams

@@ -105,3 +105,63 @@ class QuantConv2d(Module):
         if "bias" in params:
             y = y + params["bias"].astype(jnp.float32)
         return y.astype(x.dtype)
+
+
+def quantize_linear_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(in, out) weight -> (int8 weight, f32 per-out-feature scale)."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=0)
+    scale = jnp.maximum(absmax, 1e-12) / INT8_MAX
+    w_q = jnp.clip(jnp.round(w32 / scale), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return w_q, scale
+
+
+class QuantLinear(Module):
+    """Serving-form int8 Linear (same scheme as :class:`QuantConv2d`):
+    per-out-feature int8 weights, calibrated static per-tensor input scale,
+    int32 MXU accumulation, fused dequant+bias epilogue.  Covers the
+    fc-heavy families (VGG/AlexNet classifier stacks) and ConvNeXt's
+    pwconv MLPs, where the Linears carry the MACs."""
+
+    def __init__(self, in_features: int, out_features: int, bias: bool = True):
+        super().__init__()
+        self.in_features = in_features
+        self.out_features = out_features
+        self.use_bias = bias
+
+    @classmethod
+    def from_linear(cls, lin, lin_params: dict,
+                    act_scale) -> Tuple["QuantLinear", dict]:
+        mod = cls(lin.in_features, lin.out_features,
+                  bias="bias" in lin_params)
+        w_q, w_scale = quantize_linear_weight(lin_params["weight"])
+        params = {
+            "weight_q": w_q,
+            "w_scale": w_scale,
+            "act_scale": jnp.asarray(act_scale, jnp.float32).reshape(()),
+        }
+        if "bias" in lin_params:
+            params["bias"] = lin_params["bias"].astype(jnp.float32)
+        return mod, params
+
+    def init_params(self, rng):  # pragma: no cover - deploy-built only
+        raise NotImplementedError(
+            "QuantLinear is built from a trained Linear via "
+            "deploy.quantize_int8, not initialized from scratch")
+
+    def __call__(self, params, x, ctx: Ctx):
+        if ctx.training:
+            raise RuntimeError("QuantLinear is inference-only (serving PTQ)")
+        import jax.lax as lax
+
+        a_scale = params["act_scale"].astype(jnp.float32)
+        x_q = quantize_activation(x, a_scale)
+        y32 = lax.dot_general(
+            x_q, params["weight_q"],
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y32.astype(jnp.float32) * (a_scale * params["w_scale"].astype(jnp.float32))
+        if "bias" in params:
+            y = y + params["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)

@@ -113,6 +113,7 @@ class Linear(Module):
         self.in_features = in_features
         self.out_features = out_features
         self.use_bias = bias
+        self._calib = False  # int8 PTQ calibration tap (deploy.quantize_int8)
 
     def init_params(self, rng):
         k1, k2 = jax.random.split(rng)
@@ -122,6 +123,8 @@ class Linear(Module):
         return params
 
     def __call__(self, params, x, ctx: Ctx):
+        if self._calib:
+            ctx.tap("in_absmax", jnp.max(jnp.abs(x.astype(jnp.float32))))
         y = x @ params["weight"]
         if self.use_bias:
             y = y + params["bias"]

@@ -150,3 +150,31 @@ def test_quantize_v3_decomposed_resnet_block():
                             state=variables["state"], training=False)
     rel = float(jnp.max(jnp.abs(y_q - y_f)) / (jnp.max(jnp.abs(y_f)) + 1e-9))
     assert rel < 0.12, rel
+
+
+def test_quantize_linear_fc_stack():
+    """linears=True rewrites the fc-heavy classifier to QuantLinear: VGG-11's
+    3 classifier Linears quantize alongside its 8 convs, the quantized
+    forward tracks the float logits, and training is refused."""
+    from convnet_approximater_tpu.layers.quant import QuantLinear
+    from convnet_approximater_tpu.models import VGG
+    from convnet_approximater_tpu.nn.module import Ctx
+
+    model = VGG(depth=11, num_classes=10)
+    variables = {"params": model.init(KEY)}
+    x = jax.random.normal(KEY, (2, 64, 64, 3))
+    y_f, _, _ = model.apply(variables["params"], x, training=False)
+    nq = quantize_int8(model, variables, _calib_batches((2, 64, 64, 3)))
+    qlin = [m for _, m in model.named_modules() if isinstance(m, QuantLinear)]
+    assert len(qlin) == 3 and nq == 8 + 3
+    y_q, _, _ = model.apply(variables["params"], x, training=False)
+    rel = float(jnp.max(jnp.abs(y_q - y_f)) / (jnp.max(jnp.abs(y_f)) + 1e-9))
+    assert rel < 0.12, rel
+    with pytest.raises(RuntimeError):
+        model.apply(variables["params"], x, training=True)
+
+    # linears=False keeps the fc stack dense
+    m2 = VGG(depth=11, num_classes=10)
+    v2 = {"params": m2.init(KEY)}
+    nq2 = quantize_int8(m2, v2, _calib_batches((2, 64, 64, 3)), linears=False)
+    assert nq2 == 8
