@@ -244,8 +244,10 @@ def quantize_int8(model, variables: dict, calib_batches, filter_fn=None,
 
     targets = []
     for path, mod in list(model.named_modules()):
-        ok = (isinstance(mod, Conv2d) and mod.groups == 1
-              and type(mod) is not QuantConv2d) \
+        # exact types only: Conv2d subclasses with custom forward math
+        # (SpaceToDepthConv's block reshape) would lose it under the
+        # generic QuantConv2d rewrite
+        ok = (type(mod) is Conv2d and mod.groups == 1) \
             or (linears and type(mod) is Linear)
         if ok and (filter_fn is None or filter_fn(path, mod)):
             targets.append((path, mod))
