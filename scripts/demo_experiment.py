@@ -44,6 +44,11 @@ def main():
                     help="v1: reference scheme-1 (9-row matrix); v3: "
                          "channel-rank factorization (5-row matrix — V3 "
                          "has no separate decomposed form)")
+    ap.add_argument("--int8", action="store_true",
+                    help="also evaluate the trained original under int8 PTQ "
+                         "(fold -> calibrate on real batches -> quantize) — "
+                         "the accuracy-preservation row for the serving "
+                         "surface the TPU benches ship")
     ap.add_argument("--kd", action="store_true",
                     help="add logit distillation (kd_weight=0.5, T=4) to "
                          "the L2 recovery rows")
@@ -103,6 +108,25 @@ def main():
     )).train()
     base_ckpt = os.path.join(args.work_dir, "baseline", "model_best.ckpt.npz")
     rows.append(evaluate(model, variables, "original"))
+
+    if args.int8:
+        import jax.tree_util as jtu
+
+        from convnet_approximater_tpu.data import Loader, build_dataset
+        from convnet_approximater_tpu.deploy import fold_batchnorm, quantize_int8
+
+        qm = build_model(dict(type=args.model, num_classes=args.num_classes))
+        qv = jtu.tree_map(lambda a: a, variables)
+        fold_batchnorm(qm, qv)
+        loader = Loader(build_dataset(dict(ds_cfg), split=eval_split),
+                        batch_size=args.batch_size, image_size=size)
+        calib = []
+        for xb, _ in loader:
+            calib.append(jax.numpy.asarray(xb))
+            if len(calib) >= 4:
+                break
+        nq = quantize_int8(qm, qv, calib)
+        rows.append(evaluate(qm, qv, f"original int8 ({nq} mod)"))
 
     # --- rows 2-9: pipeline configs ---------------------------------------
     def pipeline(hooks_py, tag, decomp):
