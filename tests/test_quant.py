@@ -178,3 +178,26 @@ def test_quantize_linear_fc_stack():
     v2 = {"params": m2.init(KEY)}
     nq2 = quantize_int8(m2, v2, _calib_batches((2, 64, 64, 3)), linears=False)
     assert nq2 == 8
+
+
+def test_export_serving_int8_model(tmp_path):
+    """The int8 serving surface exports to a StableHLO artifact and
+    reproduces exactly from the file — int8 leaves survive jax.export."""
+    from convnet_approximater_tpu.deploy import export_serving, load_serving
+
+    model = nn.Sequential(nn.Conv2d(3, 8, 3, padding=1), nn.GELU(),
+                          nn.Conv2d(8, 4, 1))
+    variables = {"params": model.init(KEY), "state": {}}
+    quantize_int8(model, variables, _calib_batches((1, 8, 8, 3), n=1))
+    x = jax.random.normal(KEY, (1, 8, 8, 3))
+
+    def fwd(p, xx):
+        y, _, _ = model.apply(p, xx, training=False)
+        return y
+
+    path = str(tmp_path / "int8.stablehlo")
+    export_serving(fwd, (variables["params"], x), path=path)
+    served = load_serving(path)
+    # fp fusion-order noise only (int8 math itself is exact)
+    assert jnp.max(jnp.abs(served(variables["params"], x)
+                           - fwd(variables["params"], x))) < 1e-6
