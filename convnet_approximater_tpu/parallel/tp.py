@@ -12,12 +12,14 @@ code path, config-wired).
 Config surface (``other_args`` for L2Reconstruct, top-level for TrainHelper):
 
 * ``model_parallel: int`` — size of the model axis (1 = pure DP).
-* ``tp_rules`` — ``"mscan"`` (the megatron-style MSCAN preset), ``None``
-  (same as ``"mscan"`` when ``model_parallel > 1``), or an explicit list of
-  ``(path_suffix, spec_tuple)`` pairs where ``spec_tuple`` entries are axis
-  names or ``None``, e.g. ``[("head/weight", (None, "model"))]`` — plain
-  tuples so rules can live in .py/.yaml config files without importing
-  ``PartitionSpec``.
+* ``tp_rules`` — a preset name covering every model family
+  (``"mscan"`` / ``"convnext"`` / ``"resnet"`` / ``"vgg"`` / ``"alexnet"``),
+  ``None`` (same as ``"mscan"`` when ``model_parallel > 1``), or an explicit
+  list of ``(path_suffix, spec_tuple)`` pairs where ``spec_tuple`` entries
+  are axis names or ``None``, e.g. ``[("head/weight", (None, "model"))]`` —
+  plain tuples so rules can live in .py/.yaml config files without importing
+  ``PartitionSpec``.  A ``^``-prefixed suffix matches the full path only
+  (see ``parallel/mesh.py::param_shardings``).
 """
 
 from __future__ import annotations
