@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""One-command serving export: config + checkpoint -> StableHLO artifact.
+
+Builds the approximated model in deploy mode, applies the serving surface
+stack in the canonical order (doc/serving.md: never-lose arbitration ->
+BN fold -> dtype cast -> int8 PTQ), AOT-exports the forward with
+``deploy.export_serving``, and verifies the artifact reproduces the live
+forward before writing it.
+
+Usage:
+  python scripts/export_model.py --config <cfg> --checkpoint <ckpt.npz> \
+      --out model.stablehlo [--batch 64] [--dtype bfloat16] \
+      [--quantize int8] [--never-lose] [--platform cpu]
+
+The artifact replays with ``deploy.load_serving(path)(params, x)``; the
+matching params are saved next to it as ``<out>.params.npz``.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--input-size", type=int, nargs=3, default=(224, 224, 3))
+    ap.add_argument("--quantize", default=None, choices=["int8"])
+    ap.add_argument("--never-lose", action="store_true")
+    ap.add_argument("--no-fold-bn", action="store_true")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from convnet_approximater_tpu.core import build_app
+    from convnet_approximater_tpu.deploy import (
+        export_serving,
+        fold_batchnorm,
+        never_lose_deploy,
+        quantize_int8,
+    )
+    from convnet_approximater_tpu.filters import build_filter
+    from convnet_approximater_tpu.layers.substitution import Substitution  # noqa
+    from convnet_approximater_tpu.models import build_model
+    from convnet_approximater_tpu.utils import (
+        build_logger, cast_floating, get_cfg, init_cfg, update_cfg,
+    )
+    from convnet_approximater_tpu.utils.serialize import (
+        load_model, save_model, tree_get,
+    )
+
+    logger = build_logger()
+    init_cfg(args.config)
+    update_cfg(checkpoint=args.checkpoint)
+    cfg = get_cfg()
+    dtype = jnp.dtype(args.dtype)
+    rng = jax.random.key(cfg.seed or 0)
+
+    # deploy-mode build: bare target layers at the substituted sites
+    app = build_app(cfg.app, deploy=True)
+    filters = [build_filter(f) for f in cfg.filters] if cfg.filters else []
+    model = build_model(cfg.model)
+    model.register_switchable(app.src_type, filters)
+    variables = {"params": model.init(rng), "state": model.init_state()}
+    for idx in range(model.length_switchable):
+        name = model.switchable_names[idx]
+        src = model.get_switchable_module(idx)
+        tgt, tgt_params = app.initialize(
+            src, tree_get(variables["params"], name), rng)
+        model.set_switchable_module(idx, tgt, variables, {"params": tgt_params})
+    variables = load_model(variables, args.checkpoint)
+
+    shape = (args.batch,) + tuple(args.input_size)
+    if args.never_lose:
+        res = never_lose_deploy(model, variables, shape, dtype=dtype)
+        logger.info(f"never-lose: {res['kept_decomposed']}/"
+                    f"{len(res['layers'])} kept decomposed")
+    if not args.no_fold_bn:
+        n = fold_batchnorm(model, variables)
+        logger.info(f"fold_batchnorm: {n} pairs")
+    if dtype != jnp.float32:
+        variables = {"params": cast_floating(variables["params"], dtype),
+                     "state": variables.get("state", {})}
+    if args.quantize == "int8":
+        calib = [jax.random.normal(jax.random.fold_in(rng, i),
+                                   (8,) + tuple(args.input_size)).astype(dtype)
+                 for i in range(4)]
+        nq = quantize_int8(model, variables, calib)
+        logger.info(f"quantize_int8: {nq} modules (synthetic calibration — "
+                    f"pass real batches through deploy.quantize_int8 for "
+                    f"accuracy-grade scales)")
+
+    params, state = variables["params"], variables.get("state", {})
+
+    def fwd(p, x):
+        y, _, _ = model.apply(p, x, state=state, training=False)
+        return y
+
+    x = jax.random.normal(rng, shape).astype(dtype)
+    export_serving(fwd, (params, x), path=args.out)
+    from convnet_approximater_tpu.deploy import load_serving
+
+    y_live = fwd(params, x)
+    y_art = load_serving(args.out)(params, x)
+    err = float(jnp.max(jnp.abs(y_art.astype(jnp.float32)
+                                - y_live.astype(jnp.float32))))
+    assert err < 1e-3, f"artifact mismatch: {err}"
+    save_model(variables, args.out + ".params.npz")
+    logger.info(f"exported {args.out} (+ .params.npz), artifact max err "
+                f"{err:.2e} vs live forward, batch {args.batch}, "
+                f"dtype {dtype.name}")
+
+
+if __name__ == "__main__":
+    main()
