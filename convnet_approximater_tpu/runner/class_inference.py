@@ -84,7 +84,11 @@ class ClassInference(BaseRunner):
     def _maybe_pipeline(self, model):
         if self.pipeline_parallel <= 1:
             return
+        # MSCAN-family models carry the stage engine on .backbone;
+        # ConvNeXt carries it on the model itself (models/stage_exec.py)
         backbone = getattr(model, "backbone", None)
+        if not hasattr(backbone, "enable_pipeline"):
+            backbone = model
         if not hasattr(backbone, "enable_pipeline"):
             get_logger().warning(
                 f"pipeline_parallel={self.pipeline_parallel}: "

@@ -257,6 +257,14 @@ def test_class_inference_pipeline_wiring():
 
     ci._maybe_pipeline(NoBackbone())  # warns, no raise
 
+    # ConvNeXt carries the stage engine on the model itself
+    from convnet_approximater_tpu.models import ConvNeXt
+
+    cm = ConvNeXt(depths=(1, 1, 2, 1), dims=(8, 16, 24, 32), num_classes=16)
+    ci._maybe_pipeline(cm)
+    assert cm._pipeline is not None and cm._pipeline[0].shape["model"] == 2
+    cm.enable_pipeline(None)
+
     ci.pipeline_parallel = 3  # doesn't divide the 8 CPU devices
     with pytest.raises(ValueError, match="divide"):
         ci._maybe_pipeline(model)
