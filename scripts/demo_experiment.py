@@ -138,13 +138,23 @@ def main():
                       f"max_lmda=0, init_method='svd', lmda_length=1, "
                       f"num_bases={tuple(args.num_bases)}, do_decomp={decomp})")
         cfg = os.path.join(args.work_dir, f"cfg_{tag}.py")
+        # ResNet block convs are bias-less (BN absorbs the bias), so
+        # SimpleConvFilter rejects them — key on kernel size instead,
+        # mirroring the bench/config convention for the family
+        if args.model.startswith("ResNet"):
+            filters_py = ("[dict(type='KernelSizeFilter', min_kernel=2, "
+                          "max_kernel=5), dict(type='IndicesFilter', "
+                          f"indices={tuple(args.indices)})]")
+        else:
+            filters_py = ("[dict(type='SimpleConvFilter'), "
+                          f"dict(type='IndicesFilter', "
+                          f"indices={tuple(args.indices)})]")
         with open(cfg, "w") as f:
             f.write(f"""
 model = dict(type="{args.model}", num_classes={args.num_classes},
              init_cfg=r"{base_ckpt}")
 app = {app_py}
-filters = [dict(type="SimpleConvFilter"),
-           dict(type="IndicesFilter", indices={tuple(args.indices)})]
+filters = {filters_py}
 hooks = {hooks_py}
 """)
         init_cfg(cfg)
