@@ -655,7 +655,8 @@ def compile_serving(fn, *example_args):
     return compiled, put
 
 
-def export_serving(fn, example_args, path=None, platforms=None):
+def export_serving(fn, example_args, path=None, platforms=None,
+                   symbolic_batch: bool = False):
     """Serialize a serving forward to a portable StableHLO artifact.
 
     ``jax.export`` traces ``fn`` once (static shapes — the serving contract
@@ -671,11 +672,23 @@ def export_serving(fn, example_args, path=None, platforms=None):
       path: optional file to write the serialized bytes to.
       platforms: lowering platforms, e.g. ``("tpu", "cpu")`` for an artifact
         that runs on both; default = current backend only.
+      symbolic_batch: when True, the LAST example arg (the input batch) is
+        exported with a symbolic leading dim — ONE artifact serves any
+        batch size (shape-polymorphic StableHLO; XLA still specializes at
+        first call per concrete size, cheap under the persistent cache).
 
     Returns the serialized ``bytes``.
     """
     from jax import export as jax_export
 
+    if symbolic_batch:
+        b = jax_export.symbolic_shape("b")[0]
+        example_args = tuple(example_args)
+        spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), example_args)
+        x = spec[-1]  # the input batch must be a bare array, not a pytree
+        spec = spec[:-1] + (jax.ShapeDtypeStruct((b,) + x.shape[1:], x.dtype),)
+        example_args = spec
     exp = jax_export.export(jax.jit(fn), platforms=platforms)(*example_args)
     data = exp.serialize()
     if path is not None:

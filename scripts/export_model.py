@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--quantize", default=None, choices=["int8"])
     ap.add_argument("--never-lose", action="store_true")
     ap.add_argument("--no-fold-bn", action="store_true")
+    ap.add_argument("--symbolic-batch", action="store_true",
+                    help="export with a symbolic leading dim: one artifact "
+                         "serves any batch size")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -109,7 +112,8 @@ def main():
         return y
 
     x = jax.random.normal(rng, shape).astype(dtype)
-    export_serving(fwd, (params, x), path=args.out)
+    export_serving(fwd, (params, x), path=args.out,
+                   symbolic_batch=args.symbolic_batch)
     from convnet_approximater_tpu.deploy import load_serving
 
     y_live = fwd(params, x)

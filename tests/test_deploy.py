@@ -335,3 +335,24 @@ def test_fold_batchnorm_substitution_both_branches():
     params, state = variables["params"], variables["state"]
     assert jnp.max(jnp.abs(fwd("old") - y_old_ref)) < 2e-4
     assert jnp.max(jnp.abs(fwd("new") - y_new_ref)) < 2e-4
+
+
+def test_export_serving_symbolic_batch(tmp_path):
+    """symbolic_batch=True: one artifact serves any batch size."""
+    from convnet_approximater_tpu.deploy import export_serving, load_serving
+
+    m = nn.Sequential(nn.Conv2d(3, 8, 3, padding=1), nn.GELU(),
+                      nn.Conv2d(8, 4, 1))
+    params = m.init(KEY)
+
+    def fwd(p, x):
+        y, _, _ = m.apply(p, x, training=False)
+        return y
+
+    x0 = jax.random.normal(KEY, (2, 16, 16, 3))
+    path = str(tmp_path / "poly.stablehlo")
+    export_serving(fwd, (params, x0), path=path, symbolic_batch=True)
+    served = load_serving(path)
+    for B in (1, 2, 8):
+        x = jax.random.normal(jax.random.fold_in(KEY, B), (B, 16, 16, 3))
+        assert jnp.max(jnp.abs(served(params, x) - fwd(params, x))) < 1e-6
