@@ -53,6 +53,12 @@ _default_train_cfg = dict(
     use_mesh=True,
     model_parallel=1,  # model-axis size; >1 shards params per tp_rules
     tp_rules=None,  # "mscan" preset / explicit (suffix, axes) list (parallel/tp.py)
+    # GPipe block pipelining over the model axis (parallel/pp.py): >1 runs
+    # each scannable stage's blocks across pipeline_parallel devices —
+    # training included (per-block BN state + drop-path ride the stack).
+    # Mutually exclusive with model_parallel>1 (both use the model axis).
+    pipeline_parallel=1,
+    pipeline_microbatches=None,  # default: = pipeline depth
     max_steps_per_epoch=None,
     max_eval_batches=None,
     amp=False,  # bf16 compute / f32 master params (see hooks/finetune.py)
@@ -101,9 +107,24 @@ class TrainHelper:
             from convnet_approximater_tpu.parallel import shard_variables
 
             mp = int(cfg.model_parallel or 1)
-            mesh = make_mesh(model=mp)
+            pp = int(cfg.pipeline_parallel or 1)
+            if mp > 1 and pp > 1:
+                raise ValueError("model_parallel and pipeline_parallel both "
+                                 ">1: they share the mesh's model axis")
+            mesh = make_mesh(model=max(mp, pp))
             data_sh = batch_sharding(mesh)
             self.variables = shard_variables(self.variables, mesh, mp, cfg.tp_rules)
+            if pp > 1:
+                carrier = getattr(model, "backbone", None)
+                if not hasattr(carrier, "enable_pipeline"):
+                    carrier = model
+                if hasattr(carrier, "enable_pipeline"):
+                    carrier.enable_pipeline(
+                        mesh, num_microbatches=cfg.pipeline_microbatches)
+                else:
+                    get_logger().warning(
+                        f"pipeline_parallel={pp}: {type(model).__name__} has "
+                        f"no pipeline-capable stage engine — ignored")
 
         size = tuple(cfg.image_size)
         if cfg.dataset:

@@ -75,3 +75,36 @@ def test_train_helper_grad_accum_matches_full_batch(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(h_full.variables["params"]),
                     jax.tree_util.tree_leaves(h_acc.variables["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_train_helper_pipeline_parallel_matches_dp(tmp_path):
+    """pipeline_parallel=4 (GPipe over the scanned 4-block stage, M=1)
+    trains to the same params as the pure-DP run — deterministic setup
+    (no drop-path/dropout), same data order."""
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+
+    def run(name, **over):
+        model = MSCAN_Classifier(
+            num_channels=(8, 12, 16, 20), num_blocks=(1, 1, 4, 1),
+            exp_ratios=(2, 2, 2, 2), num_classes=4)
+        variables = {"params": model.init(jax.random.key(0)),
+                     "state": model.init_state()}
+        # sgd: adamw's 1/sqrt(v) at step 1-2 amplifies fp-level grad noise
+        # into ~1e-2 param drift, swamping the parity being tested
+        cfg = dict(batch_size=16, image_size=(32, 32), num_classes=4,
+                   epochs=1, lr=5e-3, sched=None, log_interval=100,
+                   opt="sgd", momentum=0.0,
+                   max_steps_per_epoch=2, max_eval_batches=1,
+                   work_dir=str(tmp_path / name))
+        cfg.update(over)
+        helper = TrainHelper(model, variables, cfg)
+        helper.train()
+        return model, helper.variables
+
+    m_dp, v_dp = run("dp")
+    m_pp, v_pp = run("pp", pipeline_parallel=4, pipeline_microbatches=1)
+    assert m_pp.backbone._pipeline is not None  # the engine engaged
+    for a, b in zip(jax.tree_util.tree_leaves(v_dp["params"]),
+                    jax.tree_util.tree_leaves(v_pp["params"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
