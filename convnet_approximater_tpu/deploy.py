@@ -719,3 +719,28 @@ def load_serving(path_or_bytes):
         with open(data, "rb") as f:
             data = f.read()
     return _jax.jit(jax_export.deserialize(bytearray(data)).call)
+
+
+def pad_batch(fn, min_batch: int = 2):
+    """Serving wrapper: run sub-``min_batch`` inputs at ``min_batch``.
+
+    b=1 hits degenerate batch tiling on the v5e (the batch dim can't fill
+    sublanes): measured (r3f, b=1 direct vs padded-to-2) MSCAN-t best
+    serving 2.51 -> 1.79 ms (-29%) and ResNet-50 int8 1.21 -> ~0.60 ms
+    (b=2 runs 2x faster than b=1).  The wrapper tiles the input batch up
+    to ``min_batch`` rows and slices the outputs back; the last positional
+    argument is the input batch.  Shape dispatch happens host-side, so
+    each distinct batch size still compiles once (persistent cache).
+    """
+
+    def wrapped(*args):
+        x = args[-1]
+        b = x.shape[0]
+        if b >= min_batch:
+            return fn(*args)
+        reps = -(-min_batch // b)
+        xp = jnp.concatenate([x] * reps, axis=0)[:min_batch]
+        y = fn(*args[:-1], xp)
+        return jax.tree_util.tree_map(lambda a: a[:b], y)
+
+    return wrapped

@@ -356,3 +356,30 @@ def test_export_serving_symbolic_batch(tmp_path):
     for B in (1, 2, 8):
         x = jax.random.normal(jax.random.fold_in(KEY, B), (B, 16, 16, 3))
         assert jnp.max(jnp.abs(served(params, x) - fwd(params, x))) < 1e-6
+
+
+def test_pad_batch_wrapper():
+    """pad_batch: sub-min batches run padded and slice back exactly;
+    >=min batches pass through untouched."""
+    from convnet_approximater_tpu.deploy import pad_batch
+
+    m = nn.Sequential(nn.Conv2d(3, 8, 3, padding=1), nn.GELU(),
+                      nn.Conv2d(8, 4, 1))
+    params = m.init(KEY)
+
+    calls = []
+
+    def fwd(p, x):
+        calls.append(x.shape[0])
+        y, _, _ = m.apply(p, x, training=False)
+        return y.mean(axis=(1, 2))
+
+    served = pad_batch(fwd, min_batch=4)
+    x1 = jax.random.normal(KEY, (1, 16, 16, 3))
+    y1 = served(params, x1)
+    assert y1.shape[0] == 1 and calls[-1] == 4
+    assert jnp.max(jnp.abs(y1 - fwd(params, x1)[:1])) < 1e-6
+    x3 = jax.random.normal(KEY, (3, 16, 16, 3))
+    assert served(params, x3).shape[0] == 3 and calls[-1] == 4
+    x8 = jax.random.normal(KEY, (8, 16, 16, 3))
+    assert served(params, x8).shape[0] == 8 and calls[-1] == 8
