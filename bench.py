@@ -260,3 +260,12 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ResNet block-3x3 mid-channel widths, in the order KernelSizeFilter(2..5)
+# + IndicesFilter(range(1, 17)) enumerates them — shared by the V3 bench
+# sections and exp_int8_resnet so the rank tables can't drift (r3f review).
+RESNET_BLOCK_MIDS = {
+    18: (64,) * 4 + (128,) * 4 + (256,) * 4 + (512,) * 4,
+    50: (64,) * 3 + (128,) * 4 + (256,) * 6 + (512,) * 3,
+}

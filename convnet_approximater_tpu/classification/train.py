@@ -115,10 +115,12 @@ class TrainHelper:
             data_sh = batch_sharding(mesh)
             self.variables = shard_variables(self.variables, mesh, mp, cfg.tp_rules)
             if pp > 1:
-                carrier = getattr(model, "backbone", None)
-                if not hasattr(carrier, "enable_pipeline"):
-                    carrier = model
-                if hasattr(carrier, "enable_pipeline"):
+                from convnet_approximater_tpu.models.stage_exec import (
+                    resolve_pipeline_carrier,
+                )
+
+                carrier = resolve_pipeline_carrier(model)
+                if carrier is not None:
                     carrier.enable_pipeline(
                         mesh, num_microbatches=cfg.pipeline_microbatches)
                 else:

@@ -228,3 +228,16 @@ class BlockStageExec:
                 return self._pipeline_stage(stage, stage_params, x, ctx)
             return self._scan_stage(stage, stage_params, x, ctx)
         return stage(stage_params, x, ctx)
+
+
+def resolve_pipeline_carrier(model):
+    """The module carrying this stage engine: ``model.backbone`` for the
+    MSCAN family, the model itself for ConvNeXt-style models, else None.
+    Shared by ClassInference and TrainHelper so carrier discovery can't
+    drift between the serving and training paths."""
+    backbone = getattr(model, "backbone", None)
+    if hasattr(backbone, "enable_pipeline"):
+        return backbone
+    if hasattr(model, "enable_pipeline"):
+        return model
+    return None

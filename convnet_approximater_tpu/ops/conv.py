@@ -297,9 +297,13 @@ def avg_pool2d(x, kernel_size, stride=None, padding=0):
     if (s == k and pads == ((0, 0), (0, 0))
             and H % k[0] == 0 and W % k[1] == 0):
         return x.reshape(B, H // k[0], k[0], W // k[1], k[1], C).mean(axis=(2, 4))
-    w = jnp.full((k[0], k[1], 1, C), 1.0 / (k[0] * k[1]), x.dtype)
+    # integer inputs: the mean-kernel would round to zeros — compute in f32
+    # (matches both the reshape-mean path and the old sum/true-divide,
+    # which also returned float)
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    w = jnp.full((k[0], k[1], 1, C), 1.0 / (k[0] * k[1]), dtype)
     return lax.conv_general_dilated(
-        x, w,
+        x.astype(dtype), w,
         window_strides=s,
         padding=(pads[0], pads[1]),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -84,12 +84,12 @@ class ClassInference(BaseRunner):
     def _maybe_pipeline(self, model):
         if self.pipeline_parallel <= 1:
             return
-        # MSCAN-family models carry the stage engine on .backbone;
-        # ConvNeXt carries it on the model itself (models/stage_exec.py)
-        backbone = getattr(model, "backbone", None)
-        if not hasattr(backbone, "enable_pipeline"):
-            backbone = model
-        if not hasattr(backbone, "enable_pipeline"):
+        from convnet_approximater_tpu.models.stage_exec import (
+            resolve_pipeline_carrier,
+        )
+
+        backbone = resolve_pipeline_carrier(model)
+        if backbone is None:
             get_logger().warning(
                 f"pipeline_parallel={self.pipeline_parallel}: "
                 f"{type(model).__name__} has no pipeline-capable backbone — ignored"
@@ -129,7 +129,7 @@ class ClassInference(BaseRunner):
                     (batch,) + self.input_size).astype(self.dtype) * 0.8
                 for i in range(num_batches)]
 
-    def _report(self, tag, model, variables):
+    def _report(self, tag, model, variables, cast=True):
         import jax.numpy as jnp
 
         logger = get_logger()
@@ -148,10 +148,11 @@ class ClassInference(BaseRunner):
 
             space_to_depth_stem(model, variables)  # idempotent (type-gated)
         if self.dtype != jnp.float32:
-            from convnet_approximater_tpu.utils import cast_floating
+            if cast:
+                from convnet_approximater_tpu.utils import cast_floating
 
-            variables = {"params": cast_floating(variables["params"], self.dtype),
-                         "state": variables.get("state", {})}
+                variables = {"params": cast_floating(variables["params"], self.dtype),
+                             "state": variables.get("state", {})}
             tag = f"{tag}/{self.dtype.name}"
         shape = (self.batch_size,) + self.input_size
         _, _, times = time_forward(model, variables, shape, num_iters=10, warmup=3,
@@ -230,12 +231,26 @@ class ClassInference(BaseRunner):
                 fold_batchnorm,
                 quantize_int8,
             )
+            from convnet_approximater_tpu.models.stage_exec import (
+                resolve_pipeline_carrier,
+            )
             from convnet_approximater_tpu.utils import cast_floating
 
             fold_batchnorm(model, new_vars)  # idempotent
             if self.dtype != jnp.float32:
                 new_vars = {"params": cast_floating(new_vars["params"], self.dtype),
                             "state": new_vars.get("state", {})}
+            # calibration taps cannot escape a pipelined stage
+            # (models/stage_exec.py) — run calibration unpipelined, then
+            # restore (quantized blocks stay structurally uniform)
+            carrier = resolve_pipeline_carrier(model) \
+                if self.pipeline_parallel > 1 else None
+            if carrier is not None:
+                carrier.enable_pipeline(None)
             nq = quantize_int8(model, new_vars, self._calib_batches())
+            if carrier is not None:
+                self._maybe_pipeline(model)
             get_logger().info(f"quantize_int8: {nq} convs quantized")
-            self._report("int8", model, new_vars)
+            # the surface was already cast pre-quantize; a re-cast in
+            # _report would degrade the f32 w_scale/act_scale leaves
+            self._report("int8", model, new_vars, cast=False)

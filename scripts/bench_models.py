@@ -269,15 +269,14 @@ def bench_v3_serving(B):
     # VGG-16 first (no BN — the bf16 cast IS the serving surface); V3 at
     # r=N/4, the f32 crossover winner (perf-notes "LowRankExpV3 on TPU").
     vgg_N = (64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512)
-    m_v, v_v = VGG(depth=16, num_classes=1000), None
+    m_v = VGG(depth=16, num_classes=1000)
     v_v = {"params": cast_floating(m_v.init(KEY))}
     log(f"VGG-16 dense bf16 serving (b={B}):")
     t_vd = time_apply(m_v, v_v, x)
     m_v2 = VGG(depth=16, num_classes=1000)
     v_v2 = {"params": m_v2.init(KEY)}
-    from convnet_approximater_tpu.core import LowRankExpV3 as _V3
     m_v2, v_v2 = run_pipeline(
-        m_v2, v_v2, _V3(num_bases=tuple(n // 4 for n in vgg_N)),
+        m_v2, v_v2, LowRankExpV3(num_bases=tuple(n // 4 for n in vgg_N)),
         [SimpleConvFilter(), IndicesFilter(tuple(range(2, 14)))])
     v_v2["params"] = cast_floating(v_v2["params"])
     log("VGG-16 V3 r=N/4 bf16 serving:")
@@ -292,10 +291,8 @@ def bench_v3_serving(B):
         f"({res_v['kept_decomposed']}/{len(res_v['layers'])} kept, "
         f"{B/t_vn:.0f} img/s)")
 
-    mids = {
-        18: (64,) * 4 + (128,) * 4 + (256,) * 4 + (512,) * 4,
-        50: (64,) * 3 + (128,) * 4 + (256,) * 6 + (512,) * 3,
-    }
+    from bench import RESNET_BLOCK_MIDS as mids
+
     for depth, div in ((18, 2), (18, 4), (50, 2)):
         name = f"ResNet-{depth}"
 

@@ -57,10 +57,9 @@ def main():
             KernelSizeFilter,
         )
 
-        mids = {
-            18: (64,) * 4 + (128,) * 4 + (256,) * 4 + (512,) * 4,
-            50: (64,) * 3 + (128,) * 4 + (256,) * 6 + (512,) * 3,
-        }[args.depth]
+        from bench import RESNET_BLOCK_MIDS
+
+        mids = RESNET_BLOCK_MIDS[args.depth]
         app = LowRankExpV3(num_bases=tuple(n // args.v3 for n in mids))
         model, variables = run_pipeline(
             model, variables, app,
