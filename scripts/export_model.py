@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--symbolic-batch", action="store_true",
                     help="export with a symbolic leading dim: one artifact "
                          "serves any batch size")
+    ap.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms for a portable "
+                         "artifact, e.g. 'tpu,cpu' (default: current backend)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -112,8 +115,9 @@ def main():
         return y
 
     x = jax.random.normal(rng, shape).astype(dtype)
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
     export_serving(fwd, (params, x), path=args.out,
-                   symbolic_batch=args.symbolic_batch)
+                   symbolic_batch=args.symbolic_batch, platforms=platforms)
     from convnet_approximater_tpu.deploy import load_serving
 
     y_live = fwd(params, x)
