@@ -21,6 +21,17 @@ from .logger import get_logger
 
 SEP = "/"
 
+# numpy's npz container cannot represent the accelerator-only dtypes
+# (they pickle to raw void records and lose their identity on reload) —
+# store them bit-cast to a same-width integer with a ``::name`` key marker
+# and view them back at load (ml_dtypes provides the numpy-side dtypes).
+_EXOTIC_DTYPES = {
+    "bfloat16": np.uint16,
+    "float8_e4m3fn": np.uint8,
+    "float8_e5m2": np.uint8,
+}
+_DTYPE_MARK = "::"
+
 
 def flatten_tree(tree: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
     out = {}
@@ -59,6 +70,15 @@ def save_model(variables: Dict[str, Any], path: str):
     the two formats are drop-in interchangeable through ``load_ckpt``."""
     flat = flatten_tree(variables)
     flat = {k: np.asarray(v) for k, v in flat.items()}
+    if not str(path).endswith(ORBAX_SUFFIX):  # orbax stores dtypes natively
+        marked = {}
+        for k, v in flat.items():
+            name = v.dtype.name
+            if name in _EXOTIC_DTYPES:
+                marked[f"{k}{_DTYPE_MARK}{name}"] = v.view(_EXOTIC_DTYPES[name])
+            else:
+                marked[k] = v
+        flat = marked
     if str(path).endswith(ORBAX_SUFFIX):
         return _save_orbax(flat, path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -102,7 +122,15 @@ def load_ckpt(path: str) -> Dict[str, Any]:
     if os.path.isdir(path) or str(path).endswith(ORBAX_SUFFIX):
         return _load_orbax(path)
     with np.load(path, allow_pickle=False) as data:
-        flat = {k: data[k] for k in data.files}
+        flat = {}
+        for k in data.files:
+            if _DTYPE_MARK in k:
+                import ml_dtypes
+
+                key, dname = k.rsplit(_DTYPE_MARK, 1)
+                flat[key] = data[k].view(getattr(ml_dtypes, dname))
+            else:
+                flat[k] = data[k]
     return unflatten_tree(flat)
 
 

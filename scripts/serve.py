@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Generic serving loop for exported artifacts — any model family.
+
+Consumes what ``scripts/export_model.py`` produces (a StableHLO artifact +
+its ``.params.npz``) and drives the same steady-state pipelined loop as
+``serve_mscan.py``: C++ thread-pooled host batch prep feeding a jitted
+device forward, requests double-buffered, one scalar readback per batch.
+Sub-``--min-batch`` requests run through ``deploy.pad_batch`` (batch-1
+tiling is degenerate on v5e — doc/serving.md).
+
+Usage:
+  python scripts/export_model.py --config <cfg> --checkpoint <ckpt> \
+      --out model.stablehlo [--quantize int8] [--symbolic-batch]
+  python scripts/serve.py --artifact model.stablehlo [--batch 64]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", required=True)
+    ap.add_argument("--params", default=None,
+                    help="default: <artifact>.params.npz")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batches", type=int, default=32)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--min-batch", type=int, default=2,
+                    help="pad smaller requests up (deploy.pad_batch)")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cat_jax_cache"))
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convnet_approximater_tpu.data import Loader, Synthetic
+    from convnet_approximater_tpu.deploy import load_serving, pad_batch
+    from convnet_approximater_tpu.utils.serialize import load_ckpt
+
+    served_fn = load_serving(args.artifact)
+    variables = load_ckpt(args.params or args.artifact + ".params.npz")
+    params = variables["params"]
+    # the exported fn closed over its state; only params ride as an arg
+    dt = None
+    for leaf in jax.tree_util.tree_leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating) and leaf.ndim >= 2:
+            dt = leaf.dtype
+            break
+    dt = dt or jnp.float32
+
+    fwd = pad_batch(lambda x: served_fn(params, x), args.min_batch)
+
+    size = (args.image_size, args.image_size)
+    ds = Synthetic(max(args.batch * 4, 64), size + (3,), 1000)
+    loader = Loader(ds, args.batch, shuffle=False, drop_last=True,
+                    dtype=np.float32)
+
+    x0 = jnp.zeros((args.batch,) + size + (3,), dt)
+    t0 = time.time()
+    jax.block_until_ready(fwd(x0))
+    print(f"artifact load + compile + first batch: {time.time() - t0:.1f}s",
+          flush=True)
+
+    served, preds = 0, None
+    t0 = time.time()
+    i = 0
+    while i < args.batches:
+        for images, _ in loader:
+            if i >= args.batches:
+                break
+            preds = fwd(jnp.asarray(images).astype(dt))
+            served += images.shape[0]
+            i += 1
+    float(jnp.sum(preds.astype(jnp.float32)))  # drain
+    dt_s = time.time() - t0
+    print(f"served {served} images in {dt_s:.3f}s = {served / dt_s:.0f} img/s "
+          f"end-to-end (batch {args.batch}, {jnp.dtype(dt).name})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

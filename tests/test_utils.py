@@ -138,3 +138,27 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     # overwrite works (orbax refuses to clobber without the rm)
     save_model(tree, path)
     assert load_ckpt(path)["params"]["conv"]["bias"].shape == (4,)
+
+
+def test_checkpoint_bf16_roundtrip(tmp_path):
+    """npz checkpoints preserve accelerator-only dtypes (bf16 serving
+    surfaces, int8 quantized weights) bit-exactly — npz alone would degrade
+    bf16 to raw void records (the ::dtype key-marker scheme)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convnet_approximater_tpu.utils.serialize import load_ckpt, save_model
+
+    tree = {"params": {
+        "w_bf16": jnp.arange(6, dtype=jnp.bfloat16).reshape(2, 3) * 0.5,
+        "w_f32": jnp.ones((2,), jnp.float32),
+        "w_int8": jnp.asarray([-3, 7], jnp.int8),
+    }}
+    path = str(tmp_path / "mixed.ckpt.npz")
+    save_model(tree, path)
+    back = load_ckpt(path)["params"]
+    assert back["w_bf16"].dtype == jnp.bfloat16
+    assert np.array_equal(np.asarray(back["w_bf16"], np.float32),
+                          np.asarray(tree["params"]["w_bf16"], np.float32))
+    assert back["w_f32"].dtype == np.float32
+    assert back["w_int8"].dtype == np.int8
