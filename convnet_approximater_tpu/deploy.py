@@ -145,10 +145,13 @@ def fold_batchnorm(model, variables: dict, verbose: bool = False) -> int:
             for a, b in zip(names, names[1:]):
                 if isinstance(mod._children[b], BatchNorm2d):
                     pairs.append((sub(a), sub(b)))
-        for conv_attr, bn_attr in FOLD_PATTERNS.get(type(mod).__name__, ()):
-            n = mod._children.get(bn_attr)
-            if conv_attr in mod._children and isinstance(n, BatchNorm2d):
-                pairs.append((sub(conv_attr), sub(bn_attr)))
+        # walk the MRO so subclasses inherit their family's patterns
+        # (ResNet50's stem conv1/bn1 registers under "ResNet")
+        for klass in type(mod).__mro__:
+            for conv_attr, bn_attr in FOLD_PATTERNS.get(klass.__name__, ()):
+                n = mod._children.get(bn_attr)
+                if conv_attr in mod._children and isinstance(n, BatchNorm2d):
+                    pairs.append((sub(conv_attr), sub(bn_attr)))
 
     n_folded = 0
     for site_path, bn_path in pairs:

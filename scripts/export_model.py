@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--checkpoint", default=None,
+                    help="omit for a random-init artifact (perf/serving "
+                         "demos only — logged loudly)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16")
@@ -69,7 +71,8 @@ def main():
 
     logger = build_logger()
     init_cfg(args.config)
-    update_cfg(checkpoint=args.checkpoint)
+    if args.checkpoint:
+        update_cfg(checkpoint=args.checkpoint)
     cfg = get_cfg()
     dtype = jnp.dtype(args.dtype)
     rng = jax.random.key(cfg.seed or 0)
@@ -86,7 +89,11 @@ def main():
         tgt, tgt_params = app.initialize(
             src, tree_get(variables["params"], name), rng)
         model.set_switchable_module(idx, tgt, variables, {"params": tgt_params})
-    variables = load_model(variables, args.checkpoint)
+    if args.checkpoint:
+        variables = load_model(variables, args.checkpoint)
+    else:
+        logger.warning("no --checkpoint: exporting RANDOM-INIT weights "
+                       "(perf/serving demo artifact, not a trained model)")
 
     shape = (args.batch,) + tuple(args.input_size)
     if args.never_lose:

@@ -383,3 +383,22 @@ def test_pad_batch_wrapper():
     assert served(params, x3).shape[0] == 3 and calls[-1] == 4
     x8 = jax.random.normal(KEY, (8, 16, 16, 3))
     assert served(params, x8).shape[0] == 8 and calls[-1] == 8
+
+
+def test_fold_batchnorm_resnet_subclass_stem():
+    """Registry subclasses (ResNet50 etc.) inherit the family FOLD_PATTERNS
+    via the MRO walk — the stem conv1/bn1 must fold too (53 pairs on a
+    Bottleneck-50, not 52)."""
+    from convnet_approximater_tpu.models.resnet import ResNet50
+
+    model = ResNet50(num_classes=10)
+    variables = {"params": model.init(KEY), "state": model.init_state()}
+    _randomize_bn_state(variables["state"])
+    x = jax.random.normal(KEY, (1, 64, 64, 3))
+    y_ref, _, _ = model.apply(variables["params"], x,
+                              state=variables["state"], training=False)
+    n = fold_batchnorm(model, variables)
+    assert n == 53
+    y, _, _ = model.apply(variables["params"], x,
+                          state=variables["state"], training=False)
+    assert jnp.max(jnp.abs(y - y_ref)) < 3e-4
