@@ -721,7 +721,14 @@ def load_serving(path_or_bytes):
     if not isinstance(data, (bytes, bytearray)):
         with open(data, "rb") as f:
             data = f.read()
-    return _jax.jit(jax_export.deserialize(bytearray(data)).call)
+    exp = jax_export.deserialize(bytearray(data))
+    fn = _jax.jit(exp.call)
+    # expose the exported calling convention: servers need the input
+    # dtype/shape contract (e.g. an int8-quantized tree keeps no >=2-D
+    # float leaves to infer the activation dtype from)
+    fn.in_avals = exp.in_avals
+    fn.out_avals = exp.out_avals
+    return fn
 
 
 def pad_batch(fn, min_batch: int = 2):

@@ -52,13 +52,9 @@ def main():
     served_fn = load_serving(args.artifact)
     variables = load_ckpt(args.params or args.artifact + ".params.npz")
     params = variables["params"]
-    # the exported fn closed over its state; only params ride as an arg
-    dt = None
-    for leaf in jax.tree_util.tree_leaves(params):
-        if jnp.issubdtype(leaf.dtype, jnp.floating) and leaf.ndim >= 2:
-            dt = leaf.dtype
-            break
-    dt = dt or jnp.float32
+    # the exported calling convention records the input contract (the last
+    # in_aval is the batch) — no dtype guessing from the param tree
+    dt = served_fn.in_avals[-1].dtype
 
     fwd = pad_batch(lambda x: served_fn(params, x), args.min_batch)
 
@@ -73,6 +69,13 @@ def main():
     print(f"artifact load + compile + first batch: {time.time() - t0:.1f}s",
           flush=True)
 
+    # cast on the HOST before the transfer: a bf16 batch ships half the
+    # bytes, which matters wherever ingestion is bandwidth-bound (the axon
+    # relay tunnel here; DCN-fed serving pools in general)
+    import ml_dtypes
+
+    host_dt = ml_dtypes.bfloat16 if dt == jnp.bfloat16 else np.dtype(dt)
+
     served, preds = 0, None
     t0 = time.time()
     i = 0
@@ -80,7 +83,7 @@ def main():
         for images, _ in loader:
             if i >= args.batches:
                 break
-            preds = fwd(jnp.asarray(images).astype(dt))
+            preds = fwd(jnp.asarray(np.asarray(images).astype(host_dt)))
             served += images.shape[0]
             i += 1
     float(jnp.sum(preds.astype(jnp.float32)))  # drain
