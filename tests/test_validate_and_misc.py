@@ -202,3 +202,29 @@ hooks = []
     y, _, _ = runner.model.apply(runner.variables["params"], jnp.ones((1, 64, 64, 3)),
                                  state=runner.model.init_state())
     assert y.shape == (1, 4)
+
+
+def test_export_and_serve_cli_roundtrip(tmp_path):
+    """The deployment CLI pair end to end: export_model (checkpoint-less
+    perf artifact, Dummy app) -> serve.py drives it (pad_batch + host
+    bf16 cast + pipelined loop)."""
+    import subprocess
+    import sys
+
+    art = str(tmp_path / "m.stablehlo")
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "scripts/export_model.py",
+         "--config", "configs/low-rank-exp/dummy_alexnet.py",
+         "--out", art, "--batch", "2", "--input-size", "64", "64", "3",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "exported" in r.stderr + r.stdout
+    r2 = subprocess.run(
+        [sys.executable, "scripts/serve.py", "--artifact", art,
+         "--batch", "2", "--batches", "3", "--image-size", "64",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "img/s end-to-end" in r2.stdout
