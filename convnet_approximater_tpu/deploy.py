@@ -734,13 +734,15 @@ def load_serving(path_or_bytes):
 def pad_batch(fn, min_batch: int = 2):
     """Serving wrapper: run sub-``min_batch`` inputs at ``min_batch``.
 
-    b=1 hits degenerate batch tiling on the v5e (the batch dim can't fill
-    sublanes): measured (r3f, b=1 direct vs padded-to-2) MSCAN-t best
+    b=1 can hit degenerate batch tiling on the v5e (the batch dim can't
+    fill sublanes): measured (r3f, b=1 direct vs padded-to-2) MSCAN-t best
     serving 2.51 -> 1.79 ms (-29%) and ResNet-50 int8 1.21 -> ~0.60 ms
-    (b=2 runs 2x faster than b=1).  The wrapper tiles the input batch up
-    to ``min_batch`` rows and slices the outputs back; the last positional
-    argument is the input batch.  Shape dispatch happens host-side, so
-    each distinct batch size still compiles once (persistent cache).
+    (b=2 runs 2x faster than b=1).  It is MODEL-DEPENDENT — ResNet-18
+    int8 shows NO penalty (0.451 ms at b=1) — so probe the surface before
+    enabling.  The wrapper tiles the input batch up to ``min_batch`` rows
+    and slices the outputs back; the last positional argument is the input
+    batch.  Shape dispatch happens host-side, so each distinct batch size
+    still compiles once (persistent cache).
     """
 
     def wrapped(*args):
