@@ -124,10 +124,10 @@ def load_ckpt(path: str) -> Dict[str, Any]:
     with np.load(path, allow_pickle=False) as data:
         flat = {}
         for k in data.files:
-            if _DTYPE_MARK in k:
+            key, _, dname = k.rpartition(_DTYPE_MARK)
+            if key and dname in _EXOTIC_DTYPES:  # only names we ever write
                 import ml_dtypes
 
-                key, dname = k.rsplit(_DTYPE_MARK, 1)
                 flat[key] = data[k].view(getattr(ml_dtypes, dname))
             else:
                 flat[k] = data[k]

@@ -56,10 +56,23 @@ def main():
 
     served_fn = load_serving(args.artifact)
     variables = load_ckpt(args.params or args.artifact + ".params.npz")
-    params = variables["params"]
+    # device-resident weights ONCE: numpy trees would re-ship the whole
+    # param set host->device on EVERY call (review r3f — dominates the
+    # batch bytes on bandwidth-bound links)
+    params = jax.device_put(variables["params"])
     # the exported calling convention records the input contract (the last
-    # in_aval is the batch) — no dtype guessing from the param tree
-    dt = served_fn.in_avals[-1].dtype
+    # in_aval is the batch) — derive dtype AND geometry from it
+    x_aval = served_fn.in_avals[-1]
+    dt = x_aval.dtype
+    if isinstance(x_aval.shape[1], int):
+        if (args.image_size, args.image_size) != tuple(x_aval.shape[1:3]):
+            print(f"note: artifact expects {x_aval.shape[1:3]} inputs — "
+                  f"overriding --image-size {args.image_size}", flush=True)
+        args.image_size = int(x_aval.shape[1])
+    if isinstance(x_aval.shape[0], int) and args.batch != x_aval.shape[0]:
+        print(f"note: artifact is batch-static at {x_aval.shape[0]} — "
+              f"overriding --batch {args.batch}", flush=True)
+        args.batch = int(x_aval.shape[0])
 
     if args.ship_uint8:
         from convnet_approximater_tpu.data.datasets import (
@@ -86,15 +99,17 @@ def main():
     ds = Synthetic(max(args.batch * 4, 64), size + (3,), 1000)
     if args.ship_uint8:
         pool = np.asarray(ds.images, np.uint8)
-
-        def loader():
-            for i in range(0, len(pool) - args.batch + 1, args.batch):
-                yield pool[i:i + args.batch], None
-
-        loader = list(loader())
+        loader = [(pool[i:i + args.batch], None)
+                  for i in range(0, len(pool) - args.batch + 1, args.batch)]
     else:
+        # host cast rides the Loader's prefetch thread (a bf16 batch ships
+        # half the bytes of f32 — matters wherever ingestion is
+        # bandwidth-bound: the relay tunnel here, DCN-fed pools generally)
+        import ml_dtypes
+
+        host_dt = ml_dtypes.bfloat16 if dt == jnp.bfloat16 else np.dtype(dt)
         loader = Loader(ds, args.batch, shuffle=False, drop_last=True,
-                        dtype=np.float32)
+                        dtype=host_dt)
 
     x0 = jnp.zeros((args.batch,) + size + (3,),
                    jnp.uint8 if args.ship_uint8 else dt)
@@ -103,17 +118,6 @@ def main():
     print(f"artifact load + compile + first batch: {time.time() - t0:.1f}s",
           flush=True)
 
-    # cast on the HOST before the transfer: a bf16 batch ships half the
-    # bytes, which matters wherever ingestion is bandwidth-bound (the axon
-    # relay tunnel here; DCN-fed serving pools in general)
-    import ml_dtypes
-
-    if args.ship_uint8:
-        host_dt = np.uint8
-    elif dt == jnp.bfloat16:
-        host_dt = ml_dtypes.bfloat16
-    else:
-        host_dt = np.dtype(dt)
 
     served, preds = 0, None
     t0 = time.time()
@@ -122,7 +126,7 @@ def main():
         for images, _ in loader:
             if i >= args.batches:
                 break
-            preds = fwd(jnp.asarray(np.asarray(images).astype(host_dt)))
+            preds = fwd(jnp.asarray(images))
             served += images.shape[0]
             i += 1
     float(jnp.sum(preds.astype(jnp.float32)))  # drain

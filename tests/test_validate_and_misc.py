@@ -211,18 +211,22 @@ def test_export_and_serve_cli_roundtrip(tmp_path):
     import subprocess
     import sys
 
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     art = str(tmp_path / "m.stablehlo")
-    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
-        [sys.executable, "scripts/export_model.py",
-         "--config", "configs/low-rank-exp/dummy_alexnet.py",
+        [sys.executable, os.path.join(root, "scripts/export_model.py"),
+         "--config", os.path.join(root, "configs/low-rank-exp/dummy_alexnet.py"),
          "--out", art, "--batch", "2", "--input-size", "64", "64", "3",
          "--platform", "cpu"],
         capture_output=True, text=True, timeout=420, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "exported" in r.stderr + r.stdout
     r2 = subprocess.run(
-        [sys.executable, "scripts/serve.py", "--artifact", art,
+        [sys.executable, os.path.join(root, "scripts/serve.py"),
+         "--artifact", art,
          "--batch", "2", "--batches", "3", "--image-size", "64",
          "--platform", "cpu"],
         capture_output=True, text=True, timeout=420, env=env)
