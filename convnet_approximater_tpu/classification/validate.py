@@ -178,7 +178,10 @@ class ValidateHelper:
     def validate(self) -> dict:
         logger = get_logger()
         model, variables = self._resolve()
-        params, state = variables["params"], variables.get("state", {})
+        # device-resident once: checkpoint-loaded numpy leaves would
+        # re-transfer per eval batch (review r3f)
+        params = jax.device_put(variables["params"])
+        state = jax.device_put(variables.get("state", {}))
 
         sharding = None
         if self.cfg.use_mesh and len(jax.devices()) > 1:

@@ -42,7 +42,12 @@ def time_forward(model, variables, input_shape, num_iters=10, warmup=3, dtype=jn
 
     fn = jax.jit(fwd)
     x = jnp.ones(input_shape, dtype)
-    params, state = variables["params"], variables.get("state", {})
+    # checkpoint-loaded trees carry host numpy leaves, which a jitted call
+    # re-transfers EVERY iteration — device_put once so the measurement is
+    # the forward, not the H2D re-upload (review r3f; dominated on the
+    # bandwidth-bound relay)
+    params = jax.device_put(variables["params"])
+    state = jax.device_put(variables.get("state", {}))
 
     def run(n):
         t0 = time.perf_counter()
