@@ -178,15 +178,19 @@ class ValidateHelper:
     def validate(self) -> dict:
         logger = get_logger()
         model, variables = self._resolve()
-        # device-resident once: checkpoint-loaded numpy leaves would
-        # re-transfer per eval batch (review r3f)
-        params = jax.device_put(variables["params"])
-        state = jax.device_put(variables.get("state", {}))
-
         sharding = None
+        mesh = None
         if self.cfg.use_mesh and len(jax.devices()) > 1:
             mesh = make_mesh()
             sharding = batch_sharding(mesh)
+        # device-resident once (replicated over the mesh when there is one,
+        # in a single transfer): checkpoint-loaded numpy leaves would
+        # re-transfer per eval batch (review r3f)
+        from convnet_approximater_tpu.utils import device_resident
+
+        params, state = device_resident(
+            {"params": variables["params"],
+             "state": variables.get("state", {})}, mesh=mesh)
 
         param_dt = serving_dtype(params)
         amp = bool(self.cfg.amp)

@@ -42,12 +42,11 @@ def time_forward(model, variables, input_shape, num_iters=10, warmup=3, dtype=jn
 
     fn = jax.jit(fwd)
     x = jnp.ones(input_shape, dtype)
-    # checkpoint-loaded trees carry host numpy leaves, which a jitted call
-    # re-transfers EVERY iteration — device_put once so the measurement is
-    # the forward, not the H2D re-upload (review r3f; dominated on the
-    # bandwidth-bound relay)
-    params = jax.device_put(variables["params"])
-    state = jax.device_put(variables.get("state", {}))
+    # device-resident once: the measurement must be the forward, not a
+    # per-iteration host->device re-upload of numpy checkpoint leaves
+    from convnet_approximater_tpu.utils import device_resident
+
+    params, state = device_resident(variables)
 
     def run(n):
         t0 = time.perf_counter()
@@ -100,9 +99,14 @@ class InferenceTimeHook(Hook):
             model, variables, self.input_size, self.num_iters, self.warmup, self.dtype
         )
         if self.capture_trace:
+            from convnet_approximater_tpu.utils import device_resident
+
+            # device-resident for the traced call too, or the trace tables
+            # attribute the time to the H2D re-upload instead of the model
+            params, state = device_resident(variables)
             trace_dir = os.path.join(self.runner.cfg.work_dir or ".", "traces")
             with jax.profiler.trace(trace_dir):
-                r = fn(variables["params"], variables.get("state", {}), x)
+                r = fn(params, state, x)
                 float(jnp.sum(r))
             logger.info(f"device trace captured to {trace_dir} (view with xprof/tensorboard)")
             from convnet_approximater_tpu.utils.trace import summarize_trace

@@ -39,3 +39,25 @@ def is_method_overridden(method: str, base_class: type, derived) -> bool:
     base_method = getattr(base_class, method)
     derived_method = getattr(type(derived) if not isinstance(derived, type) else derived, method)
     return derived_method is not base_method
+
+
+def device_resident(variables, mesh=None):
+    """``(params, state)`` placed on device ONCE.
+
+    Checkpoint-loaded trees carry host numpy leaves, and a jitted call
+    re-transfers those host->device on EVERY invocation — on a
+    bandwidth-bound link (the axon relay; DCN-fed pools) the re-upload
+    dominates the compute being timed/served (review r3f, three call
+    sites).  With ``mesh`` the trees land replicated over it in one
+    transfer (instead of device-0 then a reshard on first use).
+    """
+    import jax
+
+    if mesh is not None:
+        from convnet_approximater_tpu.parallel.mesh import replicate
+
+        out = replicate({"params": variables["params"],
+                         "state": variables.get("state", {})}, mesh)
+        return out["params"], out["state"]
+    return (jax.device_put(variables["params"]),
+            jax.device_put(variables.get("state", {})))
