@@ -743,6 +743,10 @@ def pad_batch(fn, min_batch: int = 2):
     and slices the outputs back; the last positional argument is the input
     batch.  Shape dispatch happens host-side, so each distinct batch size
     still compiles once (persistent cache).
+
+    Contract: every output leaf must carry the batch as its leading dim
+    (the standard serving forward). Batch-free aux leaves (scalars, state)
+    would otherwise be silently truncated — asserted per leaf.
     """
 
     def wrapped(*args):
@@ -753,6 +757,16 @@ def pad_batch(fn, min_batch: int = 2):
         reps = -(-min_batch // b)
         xp = jnp.concatenate([x] * reps, axis=0)[:min_batch]
         y = fn(*args[:-1], xp)
-        return jax.tree_util.tree_map(lambda a: a[:b], y)
+
+        def _slice(a):
+            if getattr(a, "ndim", 0) < 1 or a.shape[0] != min_batch:
+                raise ValueError(
+                    f"pad_batch: output leaf of shape "
+                    f"{getattr(a, 'shape', ())} has no leading batch dim "
+                    f"== {min_batch}; pad_batch only wraps forwards whose "
+                    f"outputs are all batch-major")
+            return a[:b]
+
+        return jax.tree_util.tree_map(_slice, y)
 
     return wrapped

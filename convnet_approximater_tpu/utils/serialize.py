@@ -73,6 +73,13 @@ def save_model(variables: Dict[str, Any], path: str):
     if not str(path).endswith(ORBAX_SUFFIX):  # orbax stores dtypes natively
         marked = {}
         for k, v in flat.items():
+            # a param key containing the marker would make load_ckpt's
+            # rpartition mis-fire and silently bit-reinterpret the array —
+            # refuse rather than corrupt (no real tree produces such keys)
+            if _DTYPE_MARK in k:
+                raise ValueError(
+                    f"param key {k!r} contains the reserved dtype marker "
+                    f"{_DTYPE_MARK!r}; rename the module/param")
             name = v.dtype.name
             if name in _EXOTIC_DTYPES:
                 marked[f"{k}{_DTYPE_MARK}{name}"] = v.view(_EXOTIC_DTYPES[name])

@@ -43,6 +43,13 @@ def main():
                     help="comma-separated lowering platforms for a portable "
                          "artifact, e.g. 'tpu,cpu' (default: current backend)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--norm-mean", type=float, nargs=3,
+                    default=(0.485, 0.456, 0.406),
+                    help="preprocessing mean recorded in the .meta.json "
+                         "sidecar (the artifact itself expects normalized "
+                         "inputs; servers read this to normalize raw bytes)")
+    ap.add_argument("--norm-std", type=float, nargs=3,
+                    default=(0.229, 0.224, 0.225))
     args = ap.parse_args()
 
     if args.platform:
@@ -83,11 +90,16 @@ def main():
     model = build_model(cfg.model)
     model.register_switchable(app.src_type, filters)
     variables = {"params": model.init(rng), "state": model.init_state()}
+    from convnet_approximater_tpu.nn.module import _stable_fold
+
     for idx in range(model.length_switchable):
         name = model.switchable_names[idx]
         src = model.get_switchable_module(idx)
+        # per-site rng fold (matches ClassInference): a shared key would
+        # give identical weights to same-shaped sites in random-init
+        # artifacts, and XLA may CSE identical constants — skewing timings
         tgt, tgt_params = app.initialize(
-            src, tree_get(variables["params"], name), rng)
+            src, tree_get(variables["params"], name), _stable_fold(rng, name))
         model.set_switchable_module(idx, tgt, variables, {"params": tgt_params})
     if args.checkpoint:
         variables = load_model(variables, args.checkpoint)
@@ -133,6 +145,18 @@ def main():
                                 - y_live.astype(jnp.float32))))
     assert err < 1e-3, f"artifact mismatch: {err}"
     save_model(variables, args.out + ".params.npz")
+    # preprocessing contract sidecar (ADVICE r3): the aval records only
+    # shape/dtype — record what the inputs MEAN so serve.py can't silently
+    # feed an artifact trained under different normalization
+    import json
+
+    with open(args.out + ".meta.json", "w") as f:
+        json.dump({"preprocessing": "normalized",
+                   "note": "inputs are mean/std-normalized NHWC float; "
+                           "--ship-uint8 servers must apply the recorded "
+                           "mean/std before the artifact",
+                   "mean": list(args.norm_mean), "std": list(args.norm_std),
+                   "quantize": args.quantize, "dtype": dtype.name}, f)
     logger.info(f"exported {args.out} (+ .params.npz), artifact max err "
                 f"{err:.2e} vs live forward, batch {args.batch}, "
                 f"dtype {dtype.name}")

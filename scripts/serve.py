@@ -80,11 +80,27 @@ def main():
             IMAGENET_DEFAULT_STD,
         )
 
+        # preprocessing contract: prefer the exporter's .meta.json sidecar
+        # (ADVICE r3 — the aval records only shape/dtype, not what the
+        # floats MEAN); fall back to ImageNet defaults with a warning
+        import json
+
+        meta_path = args.artifact + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            norm_mean, norm_std = meta["mean"], meta["std"]
+        else:
+            print(f"warning: no {meta_path} — assuming ImageNet mean/std "
+                  f"normalization (re-export with scripts/export_model.py "
+                  f"to record the real contract)", flush=True)
+            norm_mean, norm_std = IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD
+
         # on-device normalize: the artifact expects normalized `dt` inputs,
         # so compose (u8 - mean)/std (in the 0..255 range) in front of it —
         # one jit, the cast/normalize fuses into the transfer epilogue
-        mean = jnp.asarray(IMAGENET_DEFAULT_MEAN, jnp.float32) * 255.0
-        std = jnp.asarray(IMAGENET_DEFAULT_STD, jnp.float32) * 255.0
+        mean = jnp.asarray(norm_mean, jnp.float32) * 255.0
+        std = jnp.asarray(norm_std, jnp.float32) * 255.0
 
         @jax.jit
         def _fwd_u8(p, x_u8):

@@ -402,3 +402,18 @@ def test_fold_batchnorm_resnet_subclass_stem():
     y, _, _ = model.apply(variables["params"], x,
                           state=variables["state"], training=False)
     assert jnp.max(jnp.abs(y - y_ref)) < 3e-4
+
+
+def test_pad_batch_rejects_batchfree_leaves():
+    """pad_batch refuses forwards whose outputs carry batch-free aux
+    leaves (they would be silently truncated by the slice-back)."""
+    import pytest
+
+    from convnet_approximater_tpu.deploy import pad_batch
+
+    def fwd(x):
+        return {"logits": x * 2.0, "aux_scalar": jnp.float32(1.0)}
+
+    served = pad_batch(fwd, min_batch=4)
+    with pytest.raises(ValueError, match="no leading batch dim"):
+        served(jnp.ones((1, 3)))

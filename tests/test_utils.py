@@ -162,3 +162,17 @@ def test_checkpoint_bf16_roundtrip(tmp_path):
                           np.asarray(tree["params"]["w_bf16"], np.float32))
     assert back["w_f32"].dtype == np.float32
     assert back["w_int8"].dtype == np.int8
+
+
+def test_save_model_rejects_marker_collision(tmp_path):
+    """A param key containing the reserved '::' dtype marker would make
+    load_ckpt's rpartition mis-fire and silently bit-reinterpret the
+    array — save_model refuses it up front (ADVICE r3)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from convnet_approximater_tpu.utils.serialize import save_model
+
+    tree = {"params": {"w::bfloat16": jnp.ones((2,), jnp.float32)}}
+    with pytest.raises(ValueError, match="reserved dtype marker"):
+        save_model(tree, str(tmp_path / "bad.npz"))
