@@ -305,6 +305,93 @@ def quantize_int8(model, variables: dict, calib_batches, filter_fn=None,
     return n
 
 
+def prepare_qat(model, variables: dict, filter_fn=None, linears: bool = True,
+                momentum: float = 0.1, verbose: bool = False) -> int:
+    """Swap dense ``Conv2d``/``Linear`` modules for their fake-quant QAT
+    twins (``layers/quant.py::QATConv2d/QATLinear``) so a fine-tune phase
+    trains the weights *under int8 numerics* (straight-through estimator).
+
+    The param tree is untouched (QAT twins share the dense param structure),
+    so every existing trainer — L2Reconstruct's recovery protocol
+    (reference ``hooks/finetune.py:95-420``) and TrainHelper — runs
+    unchanged; only the *state* tree gains one ``act_absmax`` EMA-observer
+    scalar per site (seeded here so the state pytree structure is stable
+    across jitted train steps).  Selection matches :func:`quantize_int8`
+    (dense ``groups==1`` convs; ``linears=True`` adds every ``Linear``;
+    ``filter_fn(path, module)`` narrows).  Call AFTER ``fold_batchnorm``
+    if the serving surface folds BN — QAT must see the folded weights.
+    Returns the number of modules swapped.
+    """
+    from convnet_approximater_tpu.layers.quant import QATConv2d, QATLinear
+    from convnet_approximater_tpu.nn.layers import Linear
+
+    state = variables.setdefault("state", {})
+    n = 0
+    for path, mod in list(model.named_modules()):
+        ok = (type(mod) is Conv2d and mod.groups == 1) \
+            or (linears and type(mod) is Linear)
+        if not ok or (filter_fn is not None and not filter_fn(path, mod)):
+            continue
+        if isinstance(mod, Conv2d):
+            qat = QATConv2d.from_conv(mod, qat_momentum=momentum)
+        else:
+            qat = QATLinear.from_linear(mod, qat_momentum=momentum)
+        model.set_submodule(path, qat)
+        node = state
+        for p in path.split("."):
+            node = node.setdefault(p, {})
+        node["act_absmax"] = jnp.zeros((), jnp.float32)
+        n += 1
+        if verbose:
+            print(f"prepare_qat: {path}")
+    return n
+
+
+def convert_qat_to_int8(model, variables: dict, verbose: bool = False) -> int:
+    """Emit the serving int8 form of a QAT-fine-tuned model.
+
+    Each ``QATConv2d``/``QATLinear`` becomes a ``QuantConv2d``/
+    ``QuantLinear`` whose activation scale is the *learned* EMA observer
+    (``state[...]["act_absmax"]``) — the QAT analog of PTQ calibration,
+    with quantization math bit-identical to :func:`quantize_int8`'s
+    output (same per-channel weight grid, same static act scale).  The
+    observer state entries are removed.  Returns the number converted.
+    """
+    from convnet_approximater_tpu.layers.quant import (
+        QATConv2d, QATLinear, QuantConv2d, QuantLinear)
+
+    params = variables["params"]
+    state = variables.get("state", {})
+    n = 0
+    for path, mod in list(model.named_modules()):
+        if not isinstance(mod, (QATConv2d, QATLinear)):
+            continue
+        parts = path.split(".")
+        st = _get(state, parts)
+        if st is None or "act_absmax" not in st:
+            raise RuntimeError(
+                f"convert_qat_to_int8: no observer state for {path} — was "
+                f"the model fine-tuned (training=True) after prepare_qat?")
+        absmax = float(st["act_absmax"])
+        if absmax <= 0:
+            raise RuntimeError(
+                f"convert_qat_to_int8: observer at {path} never saw a "
+                f"training batch (act_absmax=0)")
+        act_scale = absmax / 127.0
+        cp = _get(params, parts)
+        if isinstance(mod, QATConv2d):
+            qmod, qparams = QuantConv2d.from_conv(mod, cp, act_scale)
+        else:
+            qmod, qparams = QuantLinear.from_linear(mod, cp, act_scale)
+        model.set_submodule(path, qmod)
+        _get(params, parts[:-1])[parts[-1]] = qparams
+        _pop(state, parts + ["act_absmax"])
+        n += 1
+        if verbose:
+            print(f"convert_qat_to_int8: {path} (act_scale={act_scale:.3e})")
+    return n
+
+
 class SpaceToDepthConv(Conv2d):
     """Exact space-to-depth rewrite of a stride-2 stem conv (serving only).
 

@@ -165,3 +165,136 @@ class QuantLinear(Module):
         if "bias" in params:
             y = y + params["bias"].astype(jnp.float32)
         return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware training (fake-quant with straight-through estimator)
+# ---------------------------------------------------------------------------
+#
+# PTQ (above) calibrates scales on a frozen model; QAT instead *trains the
+# float weights under the int8 grid* so the network learns to absorb the
+# rounding error.  The training-form modules below keep the EXACT dense
+# param structure (``weight`` + optional ``bias``) so every existing trainer
+# (L2Reconstruct, TrainHelper — the TPU rebuild of the reference's recovery
+# protocol, /root/reference/src/approx/hooks/finetune.py:95-420) works
+# unchanged; the activation-scale observer lives in the *state* collection
+# like BN running stats.  ``deploy.prepare_qat`` swaps dense modules in,
+# ``deploy.convert_qat_to_int8`` emits the serving int8 form using the
+# learned observer scales (no calibration batches needed) — bit-identical
+# quantization math to ``quantize_int8``'s output.
+
+
+def fake_quant(x: jnp.ndarray, scale) -> jnp.ndarray:
+    """Simulated int8 quantize-dequantize with a straight-through gradient.
+
+    Forward: ``clip(round(x / scale), -127, 127) * scale`` (``scale``
+    broadcasts, enabling per-channel weight grids).  Backward: identity
+    inside the representable range, zero outside the clip boundary — the
+    standard STE with clip-masking.  ``scale`` is stop-gradiented (scales
+    come from absmax observers, not learned directly).
+    """
+    import jax.lax as lax
+
+    s = lax.stop_gradient(
+        jnp.maximum(jnp.asarray(scale, jnp.float32), 1e-12)).astype(x.dtype)
+    r = x / s
+    q = jnp.clip(jnp.round(r), -INT8_MAX, INT8_MAX) * s
+    mask = (jnp.abs(r) <= INT8_MAX).astype(x.dtype)
+    xm = x * mask
+    return xm + lax.stop_gradient(q - xm)
+
+
+def fake_quant_weight(w: jnp.ndarray, reduce_axes) -> jnp.ndarray:
+    """Per-output-channel fake-quant of a weight on its live float values
+    (same grid as :func:`quantize_weight_per_channel`, so the QAT forward
+    sees exactly the weights the exported int8 module will run)."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes,
+                     keepdims=True)
+    return fake_quant(w, jnp.maximum(absmax, 1e-12) / INT8_MAX)
+
+
+def _observe_absmax(ctx: Ctx, x: jnp.ndarray, momentum: float) -> jnp.ndarray:
+    """EMA absmax observer in the module's state slot (warm-started on the
+    first training batch, frozen thereafter at eval).  Returns the absmax
+    to quantize the *current* forward with."""
+    absmax = ctx.get_state().get("act_absmax", jnp.zeros((), jnp.float32))
+    absmax = jnp.asarray(absmax, jnp.float32)
+    if ctx.training:
+        cur = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        absmax = jnp.where(absmax > 0, (1 - momentum) * absmax + momentum * cur,
+                           cur)
+        ctx.put_state({"act_absmax": absmax})
+    return absmax
+
+
+class QATConv2d(Conv2d):
+    """Fake-quant training twin of :class:`QuantConv2d`.
+
+    Identical param tree to the dense ``Conv2d`` it replaces (float
+    ``weight``/``bias`` keep training normally); the forward quantize-
+    dequantizes both operands onto the int8 grid with STE gradients, so the
+    loss sees serving numerics while the optimizer sees smooth gradients.
+    State: ``act_absmax`` EMA observer (the analog of PTQ calibration,
+    learned online instead of from a frozen calib set).
+    """
+
+    def __init__(self, *args, qat_momentum: float = 0.1, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.qat_momentum = qat_momentum
+
+    @classmethod
+    def from_conv(cls, conv: Conv2d, qat_momentum: float = 0.1) -> "QATConv2d":
+        assert conv.groups == 1, "only dense convs quantize"
+        return cls(conv.in_channels, conv.out_channels, conv.kernel_size,
+                   stride=conv.stride, padding=conv.padding,
+                   dilation=conv.dilation, bias=conv.use_bias,
+                   qat_momentum=qat_momentum)
+
+    def init_own_state(self):
+        return {"act_absmax": jnp.zeros((), jnp.float32)}
+
+    def __call__(self, params, x, ctx: Ctx):
+        absmax = _observe_absmax(ctx, x, self.qat_momentum)
+        x_fq = jnp.where(absmax > 0,
+                         fake_quant(x, absmax / INT8_MAX), x)
+        w_fq = fake_quant_weight(params["weight"], reduce_axes=(0, 1, 2))
+        return conv_ops.conv2d(x_fq, w_fq, params.get("bias"),
+                               stride=self.stride, padding=self.padding,
+                               groups=1, dilation=self.dilation)
+
+
+class QATLinear(Module):
+    """Fake-quant training twin of :class:`QuantLinear` (dense ``Linear``
+    param tree, per-out-feature weight grid, EMA input observer)."""
+
+    def __init__(self, in_features: int, out_features: int, bias: bool = True,
+                 qat_momentum: float = 0.1):
+        super().__init__()
+        self.in_features = in_features
+        self.out_features = out_features
+        self.use_bias = bias
+        self.qat_momentum = qat_momentum
+
+    @classmethod
+    def from_linear(cls, lin, qat_momentum: float = 0.1) -> "QATLinear":
+        return cls(lin.in_features, lin.out_features, bias=lin.use_bias,
+                   qat_momentum=qat_momentum)
+
+    def init_params(self, rng):
+        from convnet_approximater_tpu.nn.layers import Linear
+
+        return Linear(self.in_features, self.out_features,
+                      bias=self.use_bias).init_params(rng)
+
+    def init_own_state(self):
+        return {"act_absmax": jnp.zeros((), jnp.float32)}
+
+    def __call__(self, params, x, ctx: Ctx):
+        absmax = _observe_absmax(ctx, x, self.qat_momentum)
+        x_fq = jnp.where(absmax > 0,
+                         fake_quant(x, absmax / INT8_MAX), x)
+        w_fq = fake_quant_weight(params["weight"], reduce_axes=(0,))
+        y = x_fq @ w_fq
+        if self.use_bias:
+            y = y + params["bias"]
+        return y

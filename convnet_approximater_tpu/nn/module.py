@@ -255,7 +255,10 @@ def _merge_state(state: dict, updates: Dict[str, dict]) -> dict:
 
     out = copy_spine(state or {})
     for path, value in updates.items():
-        set_path(out, path.split("."), value)
+        if not path:  # a stateful leaf module applied directly (root scope)
+            out.update(value)
+        else:
+            set_path(out, path.split("."), value)
     return out
 
 
