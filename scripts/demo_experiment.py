@@ -49,6 +49,14 @@ def main():
                          "(fold -> calibrate on real batches -> quantize) — "
                          "the accuracy-preservation row for the serving "
                          "surface the TPU benches ship")
+    ap.add_argument("--int8-qat", action="store_true",
+                    help="also run quantization-aware fine-tuning from the "
+                         "trained original (fold -> prepare_qat -> CE "
+                         "fine-tune under fake-quant STE -> convert to the "
+                         "int8 serving form) — the recovered-accuracy row "
+                         "next to --int8's calibration-only PTQ row")
+    ap.add_argument("--qat-epochs", type=int, default=3,
+                    help="QAT fine-tune epochs (--int8-qat)")
     ap.add_argument("--kd", action="store_true",
                     help="add logit distillation (kd_weight=0.5, T=4) to "
                          "the L2 recovery rows")
@@ -127,6 +135,25 @@ def main():
                 break
         nq = quantize_int8(qm, qv, calib)
         rows.append(evaluate(qm, qv, f"original int8 ({nq} mod)"))
+
+    if args.int8_qat:
+        import jax.tree_util as jtu
+
+        from convnet_approximater_tpu.deploy import (
+            convert_qat_to_int8, fold_batchnorm, prepare_qat)
+
+        qm = build_model(dict(type=args.model, num_classes=args.num_classes))
+        qv = jtu.tree_map(lambda a: a, variables)
+        fold_batchnorm(qm, qv)
+        nq = prepare_qat(qm, qv)
+        TrainHelper(qm, qv, dict(
+            dataset=ds_cfg, num_classes=args.num_classes,
+            epochs=args.qat_epochs, batch_size=args.batch_size, lr=1e-4,
+            image_size=size, work_dir=os.path.join(args.work_dir, "qat"),
+            log_interval=10**9,
+        )).train()
+        convert_qat_to_int8(qm, qv)
+        rows.append(evaluate(qm, qv, f"original int8 QAT ({nq} mod)"))
 
     # --- rows 2-9: pipeline configs ---------------------------------------
     def pipeline(hooks_py, tag, decomp):

@@ -33,7 +33,12 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--input-size", type=int, nargs=3, default=(224, 224, 3))
-    ap.add_argument("--quantize", default=None, choices=["int8"])
+    ap.add_argument("--quantize", default=None, choices=["int8", "int8-qat"],
+                    help="int8: PTQ with synthetic calibration; int8-qat: "
+                         "the checkpoint is a QAT fine-tune (saved from a "
+                         "fold_batchnorm + prepare_qat model — e.g. "
+                         "demo_experiment --int8-qat) and its learned "
+                         "observer scales are converted directly")
     ap.add_argument("--never-lose", action="store_true")
     ap.add_argument("--no-fold-bn", action="store_true")
     ap.add_argument("--symbolic-batch", action="store_true",
@@ -101,7 +106,30 @@ def main():
         tgt, tgt_params = app.initialize(
             src, tree_get(variables["params"], name), _stable_fold(rng, name))
         model.set_switchable_module(idx, tgt, variables, {"params": tgt_params})
-    if args.checkpoint:
+    qat = args.quantize == "int8-qat"
+    if qat:
+        # Replay the QAT training-time structural passes on the random init
+        # (fold removes the BN modules, prepare_qat swaps dense sites and
+        # seeds observer state slots), THEN load — the checkpoint's keys
+        # correspond to the post-fold, QAT-prepared tree, including the
+        # learned state/...::act_absmax observers.
+        from convnet_approximater_tpu.deploy import (
+            convert_qat_to_int8, prepare_qat)
+
+        if args.never_lose:
+            raise SystemExit("--never-lose is a dense-vs-decomposed arbiter; "
+                             "it does not compose with --quantize int8-qat")
+        if not args.checkpoint:
+            raise SystemExit("--quantize int8-qat needs a QAT fine-tune "
+                             "checkpoint (the observers are learned, not "
+                             "calibrated); use --quantize int8 for random-"
+                             "init demo artifacts")
+        if not args.no_fold_bn:
+            n = fold_batchnorm(model, variables)
+            logger.info(f"fold_batchnorm: {n} pairs (pre-load, structural)")
+        nq = prepare_qat(model, variables)
+        variables = load_model(variables, args.checkpoint)
+    elif args.checkpoint:
         variables = load_model(variables, args.checkpoint)
     else:
         logger.warning("no --checkpoint: exporting RANDOM-INIT weights "
@@ -112,12 +140,16 @@ def main():
         res = never_lose_deploy(model, variables, shape, dtype=dtype)
         logger.info(f"never-lose: {res['kept_decomposed']}/"
                     f"{len(res['layers'])} kept decomposed")
-    if not args.no_fold_bn:
+    if not args.no_fold_bn and not qat:
         n = fold_batchnorm(model, variables)
         logger.info(f"fold_batchnorm: {n} pairs")
     if dtype != jnp.float32:
         variables = {"params": cast_floating(variables["params"], dtype),
                      "state": variables.get("state", {})}
+    if qat:
+        nconv = convert_qat_to_int8(model, variables)
+        logger.info(f"convert_qat_to_int8: {nconv}/{nq} modules (learned "
+                    f"observer scales)")
     if args.quantize == "int8":
         calib = [jax.random.normal(jax.random.fold_in(rng, i),
                                    (8,) + tuple(args.input_size)).astype(dtype)

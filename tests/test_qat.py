@@ -284,3 +284,47 @@ def test_qat_finetune_beats_ptq_on_quant_hostile_task():
     qat_loss = mse(qat_model, qat_vars, x, y_true)
 
     assert qat_loss < ptq_loss, (qat_loss, ptq_loss)
+
+
+def test_export_model_int8_qat_cli(tmp_path):
+    """export_model --quantize int8-qat: a QAT fine-tune checkpoint (dense
+    params + learned act_absmax observer state) exports to a verified int8
+    StableHLO artifact via the learned scales — no calibration batches."""
+    import os
+    import subprocess
+    import sys
+
+    from convnet_approximater_tpu import deploy
+    from convnet_approximater_tpu.models import build_model
+    from convnet_approximater_tpu.utils.serialize import save_model
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # forge the QAT fine-tune product: fold (no-op on AlexNet) + prepare_qat
+    # + one training batch to populate the observers
+    model = build_model(dict(type="AlexNet"))
+    variables = {"params": model.init(jax.random.PRNGKey(0)),
+                 "state": model.init_state()}
+    deploy.fold_batchnorm(model, variables)
+    n = deploy.prepare_qat(model, variables)
+    assert n > 0
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    _, new_state, _ = model.apply(variables["params"], x,
+                                  state=variables["state"], training=True,
+                                  rng=jax.random.PRNGKey(2))
+    variables["state"] = new_state
+    ckpt = str(tmp_path / "qat.ckpt.npz")
+    save_model(variables, ckpt)
+
+    art = str(tmp_path / "m.stablehlo")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/export_model.py"),
+         "--config", os.path.join(root, "configs/low-rank-exp/dummy_alexnet.py"),
+         "--checkpoint", ckpt, "--out", art, "--batch", "2",
+         "--input-size", "64", "64", "3", "--dtype", "float32",
+         "--quantize", "int8-qat", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stderr + r.stdout
+    assert "convert_qat_to_int8" in out and "exported" in out
