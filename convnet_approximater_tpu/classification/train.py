@@ -47,6 +47,16 @@ _default_train_cfg = dict(
     decay_rate=0.1,
     label_smoothing=0.0,
     aug=None,  # train-loader augmentation (data/loader.py::augment_batch)
+    # in-step Mixup/CutMix (timm absorption — reference train.py:13; see
+    # data/mixup.py): Beta(alpha,alpha) lambda per step, switch_prob picks
+    # CutMix vs mixup when both alphas are on; 0.0/0.0 = off (not traced)
+    mixup=0.0,
+    cutmix=0.0,
+    mixup_switch_prob=0.5,
+    # gradient clipping (reference train.py:91-99): max global-norm
+    # ("norm"), per-element value ("value"), or adaptive ("agc"); 0 = off
+    clip_grad=0.0,
+    clip_mode="norm",
     log_interval=50,
     eval_metric="top1",
     checkpoint_hist=3,
@@ -146,7 +156,8 @@ class TrainHelper:
             steps = min(steps, cfg.max_steps_per_epoch)
 
         optim_args = Config(dict(opt=cfg.opt, lr=cfg.lr, momentum=cfg.momentum,
-                                 weight_decay=cfg.weight_decay, eps=cfg.eps))
+                                 weight_decay=cfg.weight_decay, eps=cfg.eps,
+                                 clip_grad=cfg.clip_grad, clip_mode=cfg.clip_mode))
         sche_args = Config(dict(epochs=cfg.epochs, sched=cfg.sched, min_lr=cfg.min_lr,
                                 warmup_epochs=cfg.warmup_epochs, decay_rate=cfg.decay_rate))
         tx, lr_sched = make_optimizer(optim_args, sche_args, steps)
@@ -174,6 +185,8 @@ class TrainHelper:
             if jax.default_backend() == "tpu" else ()
 
         amp = bool(cfg.amp)
+        mixup_a, cutmix_a = float(cfg.mixup or 0.0), float(cfg.cutmix or 0.0)
+        switch_p = float(cfg.mixup_switch_prob or 0.5)
 
         @partial(jax.jit, donate_argnums=donate)
         def train_step(params, state, opt_state, ema, images, labels, rng):
@@ -183,12 +196,19 @@ class TrainHelper:
                     imgs = images.astype(jnp.bfloat16)
                 else:
                     imgs = images
-                ctx = Ctx(training=True, rng=rng, state=state)
-                logits = model(params, imgs, ctx).astype(jnp.float32)
-                new_state = _merge_state(state, ctx.state_out)
                 one_hot = jax.nn.one_hot(labels, num_classes)
                 if smoothing > 0:
                     one_hot = one_hot * (1 - smoothing) + smoothing / num_classes
+                if mixup_a > 0 or cutmix_a > 0:
+                    from convnet_approximater_tpu.data.mixup import mixup_cutmix
+
+                    imgs, one_hot = mixup_cutmix(
+                        jax.random.fold_in(rng, 0x6d69), imgs, one_hot,
+                        mixup_alpha=mixup_a, cutmix_alpha=cutmix_a,
+                        switch_prob=switch_p)
+                ctx = Ctx(training=True, rng=rng, state=state)
+                logits = model(params, imgs, ctx).astype(jnp.float32)
+                new_state = _merge_state(state, ctx.state_out)
                 loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot, axis=-1))
                 return loss, new_state
 

@@ -12,3 +12,4 @@ from .datasets import (
     build_dataset,
 )
 from .loader import Loader
+from .mixup import cutmix_batch, mixup_batch, mixup_cutmix

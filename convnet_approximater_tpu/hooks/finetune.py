@@ -132,6 +132,21 @@ def make_optimizer(optim_args: Config, sche_args: Config, steps_per_epoch: int):
         tx = optax.sgd(lr, momentum=optim_args.momentum)
     else:
         raise ValueError(f"unknown optimizer {name}")
+    # gradient clipping (reference CE loop carried timm's clip_grad/clip_mode,
+    # /root/reference/src/approx/classification/train.py:91-99) — here an
+    # optax pre-transform, so it composes with MultiSteps/masking unchanged
+    clip = float(optim_args.clip_grad or 0.0)
+    if clip > 0:
+        mode = optim_args.clip_mode or "norm"
+        if mode == "norm":
+            pre = optax.clip_by_global_norm(clip)
+        elif mode == "value":
+            pre = optax.clip(clip)
+        elif mode == "agc":
+            pre = optax.adaptive_grad_clip(clip)
+        else:
+            raise ValueError(f"unknown clip_mode {mode}")
+        tx = optax.chain(pre, tx)
     return tx, lr
 
 

@@ -10,4 +10,8 @@ trap 'rm -rf "$tmp"' EXIT
 git -C "$repo_root" archive HEAD | tar -x -C "$tmp"
 echo "clean export of $(git -C "$repo_root" rev-parse --short HEAD) -> $tmp"
 cd "$tmp"
+# packaging smoke: the sdist+wheel must build from a clean export (pinned
+# deps in setup.py; `python -m build` isn't in this image, setuptools is)
+python setup.py -q sdist bdist_wheel >/dev/null
+ls dist/*.whl dist/*.tar.gz >/dev/null && echo "packaging smoke OK: $(ls dist)"
 python -m pytest tests/ -q "$@"

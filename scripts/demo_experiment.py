@@ -57,6 +57,10 @@ def main():
                          "next to --int8's calibration-only PTQ row")
     ap.add_argument("--qat-epochs", type=int, default=3,
                     help="QAT fine-tune epochs (--int8-qat)")
+    ap.add_argument("--mixup", action="store_true",
+                    help="train the baseline with Mixup(0.8)+CutMix(1.0) and "
+                         "global-norm grad clipping 1.0 (the timm recipe the "
+                         "reference CE loop carried, train.py:13,91-99)")
     ap.add_argument("--kd", action="store_true",
                     help="add logit distillation (kd_weight=0.5, T=4) to "
                          "the L2 recovery rows")
@@ -109,10 +113,13 @@ def main():
 
     model = build_model(dict(type=args.model, num_classes=args.num_classes))
     variables = {"params": model.init(jax.random.key(0)), "state": model.init_state()}
+    aug_cfg = (dict(mixup=0.8, cutmix=1.0, clip_grad=1.0)
+               if args.mixup else {})
     TrainHelper(model, variables, dict(
         dataset=ds_cfg, num_classes=args.num_classes, epochs=args.train_epochs,
         batch_size=args.batch_size, lr=1e-3, image_size=size,
         work_dir=os.path.join(args.work_dir, "baseline"), log_interval=10**9,
+        **aug_cfg,
     )).train()
     base_ckpt = os.path.join(args.work_dir, "baseline", "model_best.ckpt.npz")
     rows.append(evaluate(model, variables, "original"))

@@ -108,3 +108,104 @@ def test_train_helper_pipeline_parallel_matches_dp(tmp_path):
                     jax.tree_util.tree_leaves(v_pp["params"])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_mixup_lam1_is_identity():
+    """mixup with lambda=1 reduces exactly to the plain step's inputs
+    (VERDICT r3 #6 parity requirement)."""
+    import jax.numpy as jnp
+
+    from convnet_approximater_tpu.data.mixup import mixup_batch
+
+    rng = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (8, 6, 6, 3))
+    t = jax.nn.one_hot(jnp.arange(8) % 4, 4)
+    xm, tm = mixup_batch(rng, x, t, lam=1.0)
+    np.testing.assert_array_equal(np.asarray(xm), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(tm), np.asarray(t))
+
+
+def test_mixup_convex_combination():
+    import jax.numpy as jnp
+
+    from convnet_approximater_tpu.data.mixup import mixup_batch
+
+    rng = jax.random.key(0)
+    x = jnp.ones((4, 2, 2, 1))
+    x = x * jnp.arange(4, dtype=jnp.float32).reshape(4, 1, 1, 1)
+    t = jax.nn.one_hot(jnp.arange(4), 4)
+    xm, tm = mixup_batch(rng, x, t, lam=0.25)
+    perm = jax.random.permutation(rng, 4)
+    np.testing.assert_allclose(
+        np.asarray(xm), np.asarray(0.25 * x + 0.75 * x[perm]), atol=1e-6)
+    # target rows stay distributions
+    np.testing.assert_allclose(np.asarray(tm.sum(-1)), np.ones(4), atol=1e-6)
+
+
+def test_cutmix_target_matches_actual_area():
+    """The CutMix target weight equals the EXACT kept-pixel fraction, even
+    when the box clips the image border (timm's corrected-lambda)."""
+    import jax.numpy as jnp
+
+    from convnet_approximater_tpu.data.mixup import cutmix_batch
+
+    b, h, w = 6, 16, 16
+    x = jax.random.normal(jax.random.key(9), (b, h, w, 1))  # a.s. distinct
+    t = jax.nn.one_hot(jnp.arange(b), b)
+    for seed in range(5):
+        rng = jax.random.key(seed)
+        xm, tm = cutmix_batch(rng, x, t, lam=0.4)
+        perm = np.asarray(
+            jax.random.permutation(jax.random.split(rng, 3)[0], b))
+        # pasted fraction measured from the pixels of any sample whose
+        # partner is a different sample (random values differ everywhere)
+        moved = [i for i in range(b) if perm[i] != i]
+        assert moved, "degenerate permutation"
+        i = moved[0]
+        pasted = float(jnp.mean((jnp.abs(xm[i] - x[i]) > 0).astype(jnp.float32)))
+        lam_act = 1.0 - pasted
+        expect = lam_act * np.asarray(t) + (1 - lam_act) * np.asarray(t)[perm]
+        np.testing.assert_allclose(np.asarray(tm), expect, atol=1e-6)
+
+
+def test_mixup_cutmix_off_is_passthrough():
+    from convnet_approximater_tpu.data.mixup import mixup_cutmix
+
+    x = jax.random.normal(jax.random.key(0), (4, 4, 4, 3))
+    t = jax.nn.one_hot(np.arange(4) % 2, 2)
+    xm, tm = mixup_cutmix(jax.random.key(1), x, t)
+    assert xm is x and tm is t
+
+
+def test_clip_grad_global_norm():
+    """make_optimizer(clip_grad=1.0, sgd lr=1): update global-norm is
+    bounded by the clip threshold (reference train.py:91-99 parity)."""
+    import jax.numpy as jnp
+    import optax
+
+    from convnet_approximater_tpu.hooks.finetune import make_optimizer
+    from convnet_approximater_tpu.utils.config import Config
+
+    tx, _ = make_optimizer(
+        Config(dict(opt="sgd", lr=1.0, momentum=0.0, clip_grad=1.0)),
+        Config(dict(epochs=1, sched=None)), steps_per_epoch=1)
+    params = {"w": jnp.zeros((3,)), "b": jnp.zeros(())}
+    grads = {"w": jnp.array([30.0, 40.0, 0.0]), "b": jnp.array(120.0)}
+    updates, _ = tx.update(grads, tx.init(params), params)
+    gn = float(optax.global_norm(updates))
+    np.testing.assert_allclose(gn, 1.0, rtol=1e-5)  # clipped to the bound
+    # direction preserved: every component scaled by the same factor
+    scale = float(updates["b"]) / 120.0
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               np.asarray(grads["w"]) * scale, rtol=1e-5)
+
+
+def test_train_helper_mixup_clip_smoke(tmp_path):
+    """TrainHelper with mixup+cutmix+clip on: trains, finite losses."""
+    helper = _mk_helper(tmp_path, "mixup", mixup=0.8, cutmix=1.0,
+                        clip_grad=1.0, epochs=2, max_steps_per_epoch=4)
+    result = helper.train()
+    assert result["best_metric"] is not None
+    csv = open(str(tmp_path / "mixup" / "summary.csv")).read().strip().split("\n")
+    losses = [float(r.split(",")[1]) for r in csv[1:]]
+    assert all(np.isfinite(losses))
