@@ -218,3 +218,53 @@ class MSCAN_Classifier(SwitchableModel):
         x = self.child("backbone", params, x, ctx)[-1]
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         return self.child("head", params, x, ctx)
+
+    def pipeline_units(self, variables):
+        """Ordered whole-model decomposition for the heterogeneous pipeline
+        (``parallel/pp_model.py``): every stem/downsample, every block
+        (substituted or not — each is its own unit), every stage norm, and
+        the GAP+head, whose sequential composition IS the eval forward."""
+        from convnet_approximater_tpu.parallel.pp_model import Unit
+
+        params = variables.get("params", {})
+        state = variables.get("state", {})
+
+        def sub(tree, *path):
+            node = tree
+            for p in path:
+                if not isinstance(node, dict) or p not in node:
+                    return {}
+                node = node[p]
+            return node
+
+        def unit_of(name, module, p, s):
+            def fn(p, s, h, _m=module):
+                y, _, _ = _m.apply(p, h, state=s, training=False)
+                return y
+
+            return Unit(name, fn, p, s)
+
+        units = []
+        for lname, layer in self.backbone.layers.named_children():
+            base = ("backbone", "layers", lname)
+            units.append(unit_of(".".join(base + ("0",)), layer[0],
+                                 sub(params, *base, "0"),
+                                 sub(state, *base, "0")))
+            for bname, block in layer[1].named_children():
+                units.append(unit_of(".".join(base + ("1", bname)), block,
+                                     sub(params, *base, "1", bname),
+                                     sub(state, *base, "1", bname)))
+            units.append(unit_of(".".join(base + ("2",)), layer[2],
+                                 sub(params, *base, "2"),
+                                 sub(state, *base, "2")))
+
+        head = self.head
+
+        def head_fn(p, s, h):
+            y, _, _ = head.apply(p, jnp.mean(h, axis=(1, 2)), state=s,
+                                 training=False)
+            return y
+
+        units.append(Unit("head", head_fn, sub(params, "head"),
+                          sub(state, "head")))
+        return units

@@ -11,6 +11,7 @@ from .mesh import (
     shard_batch,
 )
 from .pp import pipeline_blocks, stack_shardings
+from .pp_model import Unit, build_model_pipeline, partition_units
 from .tp import mscan_tp_rules, resolve_tp_rules, shard_variables
 from .distributed import (
     initialize_distributed,

@@ -1,14 +1,18 @@
 #!/usr/bin/env python
-"""Attention-map / Grad-CAM visualization for MSCAN (reference
-``scripts/visualization/cam.py``).
+"""CAM visualization for MSCAN (reference ``scripts/visualization/cam.py``).
 
-Two modes, both pure-JAX (no external CAM library):
+The reference dispatches ~11 ``pytorch_grad_cam`` variants via ``--method``
+(its lines 13-26); here the same surface is pure JAX
+(``convnet_approximater_tpu/visualization/cam.py``):
 
-* ``attn`` — the reference's custom ``MscaAttnCAM``: renders the channel-mean
-  of a chosen block's MSCA attention map (``channel_mix(sd_convs(conv0(x)))``).
-* ``gradcam`` — Grad-CAM on the chosen MSCA's output: the model is re-run
-  with that output functionally overridden, so the gradient of the class
-  logit w.r.t. the feature map is exact; channel weights are its GAP.
+* ``attn`` — the reference's custom ``MscaAttnCAM``: channel-mean of a
+  chosen block's MSCA attention map (``channel_mix(sd_convs(conv0(x)))``).
+* gradient family (``gradcam``, ``gradcam++``, ``hirescam``,
+  ``gradcam-elementwise``, ``xgradcam``, ``layercam``, ``eigengradcam``) —
+  the model re-runs with the block output functionally overridden, so the
+  class-logit gradient w.r.t. the feature map is exact (no hook recompute).
+* gradient-free (``eigencam``, ``scorecam``, ``ablationcam``) — PCA /
+  masked re-forwards / channel-knockout re-forwards.
 """
 
 import argparse
@@ -83,10 +87,19 @@ def main():
     ap.add_argument("--config", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--block", type=int, default=0, help="MSCA block index")
-    ap.add_argument("--mode", choices=("attn", "gradcam"), default="attn")
+    from convnet_approximater_tpu.visualization import CAM_METHODS
+
+    ap.add_argument("--method", "--mode", dest="method",
+                    choices=("attn",) + tuple(CAM_METHODS),
+                    default="attn")
     ap.add_argument("--image", default=None, help="npy image (H, W, 3) uint8; random if omitted")
     ap.add_argument("--out", default="work_dirs/cam")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax backend (e.g. cpu) — env vars alone "
+                         "are overridden by the container's platform pin")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     init_cfg(args.config)
     cfg = get_cfg()
@@ -109,7 +122,7 @@ def main():
     logits, captured = run_with_block_capture(model, variables, x, msca)
     xin = captured["in"]
 
-    if args.mode == "attn":
+    if args.method == "attn":
         heat = np.asarray(jnp.mean(attn_map(msca, mparams, xin)[0], axis=-1))
     else:
         cls = int(jnp.argmax(logits[0]))
@@ -118,13 +131,25 @@ def main():
         def class_score(y):
             return logits_with_block_output(model, variables, x, msca, y)[0, cls]
 
-        grads = jax.grad(class_score)(feats)
-        w = jnp.mean(grads[0], axis=(0, 1))  # GAP channel weights
-        heat = np.asarray(jax.nn.relu(jnp.sum(feats[0] * w, axis=-1)))
+        fn, kind = CAM_METHODS[args.method]
+        if kind == "grad":
+            heat = fn(feats, jax.grad(class_score)(feats))
+        elif kind == "feat":
+            heat = fn(feats)
+        elif kind == "override":
+            heat = fn(feats, class_score)
+        else:  # scorecam: full-model masked re-forwards
+            def class_prob(xb):
+                out, _, _ = model.apply(variables["params"], xb,
+                                        state=variables["state"])
+                return jax.nn.softmax(out, axis=-1)[:, cls]
+
+            heat = fn(feats, x, class_prob)
+        heat = np.asarray(heat)
 
     heat = normalize(heat)
     os.makedirs(args.out, exist_ok=True)
-    out_path = os.path.join(args.out, f"cam_{args.mode}_block{args.block}.png")
+    out_path = os.path.join(args.out, f"cam_{args.method}_block{args.block}.png")
     try:
         import matplotlib
 

@@ -1,0 +1,124 @@
+"""CAM method tests (reference cam.py dispatches ~11 pytorch_grad_cam
+variants, scripts/visualization/cam.py:13-26 there; ours are pure JAX in
+convnet_approximater_tpu/visualization/cam.py)."""
+
+import importlib.util
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_approximater_tpu.visualization import (
+    CAM_METHODS,
+    ablationcam,
+    eigencam,
+    gradcam,
+    gradcam_pp,
+    scorecam,
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _normalize(m):
+    m = m - m.min()
+    return m / (m.max() + 1e-8)
+
+
+def test_gradcam_pp_equals_gradcam_on_single_positive_spike():
+    """Golden (VERDICT r3 #7): with a single positive gradient spike both
+    methods weight only that channel positively, so the normalized heatmaps
+    coincide."""
+    key = jax.random.PRNGKey(0)
+    feats = jax.nn.relu(jax.random.normal(key, (1, 6, 6, 8))) + 0.1
+    grads = jnp.zeros_like(feats).at[0, 2, 3, 5].set(1.7)
+    h1 = _normalize(np.asarray(gradcam(feats, grads)))
+    h2 = _normalize(np.asarray(gradcam_pp(feats, grads)))
+    np.testing.assert_allclose(h1, h2, atol=1e-5)
+
+
+def test_grad_family_shapes_and_nonnegative():
+    key = jax.random.PRNGKey(1)
+    feats = jax.random.normal(key, (1, 5, 7, 6))
+    grads = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 7, 6))
+    for name, (fn, kind) in CAM_METHODS.items():
+        if kind != "grad" and kind != "feat":
+            continue
+        heat = np.asarray(fn(feats, grads) if kind == "grad" else fn(feats))
+        assert heat.shape == (5, 7), name
+        assert np.all(np.isfinite(heat)) and np.all(heat >= 0), name
+
+
+def test_eigencam_recovers_rank1_spatial_pattern():
+    """On a rank-1 feature map A[h,w,c] = s[h,w] * v[c], the first PC
+    projection is the (centered) spatial pattern itself."""
+    s = jnp.asarray(np.random.RandomState(0).rand(8, 8).astype(np.float32))
+    v = jnp.asarray(np.random.RandomState(1).rand(16).astype(np.float32))
+    feats = (s[:, :, None] * v[None, None, :])[None]
+    heat = np.asarray(eigencam(feats))
+    sc = np.asarray(s) - float(jnp.mean(s))
+    expect = np.maximum(sc * np.linalg.norm(np.asarray(v)), 0.0)
+    np.testing.assert_allclose(heat, expect, atol=1e-4)
+
+
+def test_ablationcam_linear_score_weights_are_channel_contributions():
+    """For a linear score s(y) = sum_c k_c * sum_ij y_c, ablating channel c
+    drops the score by exactly its contribution, so the CAM weights are
+    k_c * sum_ij(A_c) / |S| — verifiable in closed form."""
+    feats = jax.nn.relu(jax.random.normal(jax.random.PRNGKey(3), (1, 4, 4, 5)))
+    k = jnp.asarray([0.5, -1.0, 2.0, 0.0, 1.0])
+
+    def score(y):
+        return jnp.sum(y * k)
+
+    heat = np.asarray(ablationcam(feats, score))
+    s = float(score(feats))
+    w = np.asarray(k) * np.asarray(jnp.sum(feats[0], axis=(0, 1))) / abs(s)
+    expect = np.maximum((np.asarray(feats[0]) * w).sum(-1), 0.0)
+    np.testing.assert_allclose(heat, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_scorecam_prefers_signal_channel():
+    """A classifier that fires on one image region weights the channel
+    whose activation covers that region highest."""
+    hi, wi = 16, 16
+    x = jnp.ones((1, hi, wi, 3))
+    # channel 0 activation covers the top-left quadrant, channel 1 the
+    # bottom-right; the 'class' responds to top-left pixel mass
+    a = jnp.zeros((1, 4, 4, 2))
+    a = a.at[0, :2, :2, 0].set(1.0).at[0, 2:, 2:, 1].set(1.0)
+
+    def class_prob(xb):
+        return jnp.mean(xb[:, : hi // 2, : wi // 2, :], axis=(1, 2, 3))
+
+    heat = np.asarray(scorecam(a, x, class_prob))
+    # heat concentrates where channel 0 (the preferred one) is active
+    assert heat[:2, :2].mean() > heat[2:, 2:].mean()
+
+
+def test_cam_cli_all_methods(tmp_path):
+    """End-to-end CLI smoke on a tiny MSCAN: the attn mode plus one
+    gradient-family and one re-forward method through the script's real
+    dispatch (the remaining methods share these code paths and are unit-
+    tested above)."""
+    import subprocess
+    import sys
+
+    cfg = tmp_path / "tiny_mscan.py"
+    cfg.write_text(
+        "model = dict(type='MSCAN_Classifier', num_channels=(8, 16, 24, 32),"
+        " num_blocks=(1, 1, 1, 1), exp_ratios=(2, 2, 2, 2), num_classes=4)\n")
+    img = tmp_path / "img.npy"
+    np.save(img, np.random.RandomState(0).randint(
+        0, 256, (64, 64, 3)).astype(np.uint8))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for method in ("attn", "gradcam++", "ablationcam"):
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(ROOT, "scripts/visualization/cam.py"),
+             "--config", str(cfg), "--method", method, "--image", str(img),
+             "--out", str(tmp_path / "out"), "--platform", "cpu"],
+            capture_output=True, text=True, timeout=900, env=env)
+        assert r.returncode == 0, (method, r.stderr[-2000:])
+        assert "wrote" in r.stdout, method

@@ -1,0 +1,95 @@
+"""Whole-model (heterogeneous) pipeline partitioning tests
+(parallel/pp_model.py, VERDICT r3 #2): the entire MSCAN — stem,
+downsamples, blocks, norms, head — partitioned into n cost-balanced
+stages with output parity vs the plain forward, on the 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convnet_approximater_tpu.models import MSCAN_Classifier
+from convnet_approximater_tpu.parallel import (
+    build_model_pipeline,
+    make_mesh,
+    partition_units,
+)
+
+
+def _tiny(num_blocks=(1, 1, 2, 1)):
+    model = MSCAN_Classifier(
+        num_channels=(8, 16, 24, 32), num_blocks=num_blocks,
+        exp_ratios=(2, 2, 2, 2), num_classes=16)
+    variables = {"params": model.init(jax.random.key(0)),
+                 "state": model.init_state()}
+    return model, variables
+
+
+def test_partition_units_optimal_contiguous():
+    # DP must find the optimal contiguous split, not a greedy one
+    costs = [9, 1, 1, 1, 8, 1]
+    groups = partition_units(costs, 2)
+    assert [i for g in groups for i in g] == list(range(6))  # contiguous
+    assert max(sum(costs[i] for i in g) for g in groups) == 11  # optimum
+    groups3 = partition_units(costs, 3)
+    assert max(sum(costs[i] for i in g) for g in groups3) == 9
+    with pytest.raises(ValueError):
+        partition_units([1.0], 2)
+
+
+def test_pipeline_units_compose_to_forward():
+    """The sequential composition of pipeline_units IS the model forward."""
+    model, variables = _tiny()
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    y_ref, _, _ = model.apply(variables["params"], x,
+                              state=variables["state"], training=False)
+    h = x
+    for unit in model.pipeline_units(variables):
+        h = unit.fn(unit.params, unit.state, h)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_stages", [2, 4])
+def test_model_pipeline_parity(n_stages):
+    """2- and 4-stage whole-model pipelines reproduce the plain forward."""
+    model, variables = _tiny()
+    mesh = make_mesh(data=8 // n_stages, model=n_stages)
+    x = jax.random.normal(jax.random.key(2), (8, 32, 32, 3))
+    y_ref, _, _ = model.apply(variables["params"], x,
+                              state=variables["state"], training=False)
+
+    apply_fn, report = build_model_pipeline(
+        model, variables, x.shape, mesh, num_microbatches=4)
+    assert len(report) == n_stages
+    assert abs(sum(r["share"] for r in report) - 1.0) < 1e-6
+    y_pp = jax.jit(apply_fn)(variables, x)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_model_pipeline_differentiable():
+    """jax.grad through the pipeline == grad of the plain forward (the
+    ppermute rotation's transpose is the inverse rotation)."""
+    model, variables = _tiny(num_blocks=(1, 1, 1, 1))
+    mesh = make_mesh(data=4, model=2)
+    x = jax.random.normal(jax.random.key(3), (4, 32, 32, 3))
+    apply_fn, _ = build_model_pipeline(
+        model, variables, x.shape, mesh, num_microbatches=2)
+
+    def loss_pp(v):
+        return jnp.sum(apply_fn(v, x) ** 2)
+
+    def loss_ref(v):
+        y, _, _ = model.apply(v["params"], x, state=v["state"],
+                              training=False)
+        return jnp.sum(y ** 2)
+
+    g_pp = jax.grad(loss_pp)(variables)
+    g_ref = jax.grad(loss_ref)(variables)
+    flat_pp = jax.tree_util.tree_leaves(g_pp["params"])
+    flat_ref = jax.tree_util.tree_leaves(g_ref["params"])
+    assert len(flat_pp) == len(flat_ref)
+    for a, b in zip(flat_pp, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
