@@ -14,4 +14,5 @@ cd "$tmp"
 # deps in setup.py; `python -m build` isn't in this image, setuptools is)
 python setup.py -q sdist bdist_wheel >/dev/null
 ls dist/*.whl dist/*.tar.gz >/dev/null && echo "packaging smoke OK: $(ls dist)"
-python -m pytest tests/ -q "$@"
+# full suite (overrides the fast-tier default filter from pytest.ini)
+python -m pytest tests/ -q --override-ini=addopts= "$@"

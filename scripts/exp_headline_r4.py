@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Round-4 headline audit (VERDICT r3 #4): which EXACT pieces fold into the
+parity-constrained d1+fix f32 config.
+
+The d1+fix rep itself is the reference's (lossy, rank-1) decomposition; the
+candidates below all preserve the d1+fix model's function bit-for-bit in
+exact arithmetic, so they are legal execution strategies for the same
+semantics (decomp_conv0 is NOT — it is a further lossy SVD, bench keeps it
+in the serving config only):
+
+  B  d1+fix plain                      (current headline numerator)
+  C  + FfnRep(fix=True) stages 1-2     (exact fc1+dconv merge, test_ffn_rep_exact)
+  D  C + fold_batchnorm                (exact at inference)
+  E  D + enable_pw_matmul              (measured neutral f32 r3 — re-check in-config)
+  F  orig + fold_batchnorm             (denominator sensitivity, reported only)
+
+Prints per-config ms and candidate headline ratios.  Exactness is asserted
+numerically (max|y_C - y_B| on one batch) before timing.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cat_jax_cache"))
+
+from bench import B, KEY, log, time_apply, run_pipeline, wait_for_relay
+from convnet_approximater_tpu.core import FfnRep, MscaRep
+from convnet_approximater_tpu.deploy import enable_pw_matmul, fold_batchnorm
+from convnet_approximater_tpu.filters import IndicesFilter
+from convnet_approximater_tpu.models import MSCAN_Classifier
+
+
+def build(seed_like_bench=True):
+    m = MSCAN_Classifier(num_classes=1000)
+    v = {"params": m.init(KEY), "state": m.init_state()}
+    return m, v
+
+
+def main():
+    wait_for_relay()
+    x = jax.random.normal(KEY, (B, 224, 224, 3))
+    xs = x[:2]
+
+    log("A orig plain:")
+    mo, vo = build()
+    t_a = time_apply(mo, vo, x)
+    y_orig, _, _ = mo.apply(vo["params"], xs, state=vo["state"], training=False)
+
+    log("B d1+fix plain (headline):")
+    mb, vb = build()
+    mb, vb = run_pipeline(mb, vb, MscaRep(decomp=1, fix=True), [])
+    t_b = time_apply(mb, vb, x)
+    y_b, _, _ = mb.apply(vb["params"], xs, state=vb["state"], training=False)
+
+    log("C B + ffnrep(1,2) exact merge:")
+    mc, vc = build()
+    mc, vc = run_pipeline(mc, vc, MscaRep(decomp=1, fix=True), [])
+    mc, vc = run_pipeline(mc, vc, FfnRep(fix=True),
+                          [IndicesFilter((1, 2, 3, 4, 5, 6))])
+    y_c, _, _ = mc.apply(vc["params"], xs, state=vc["state"], training=False)
+    err_c = float(jnp.max(jnp.abs(y_c - y_b)))
+    log(f"  exactness vs B: max|dy| = {err_c:.3e}")
+    t_c = time_apply(mc, vc, x)
+
+    log("D C + fold_batchnorm:")
+    n = fold_batchnorm(mc, vc)
+    y_d, _, _ = mc.apply(vc["params"], xs, state=vc["state"], training=False)
+    err_d = float(jnp.max(jnp.abs(y_d - y_b)))
+    log(f"  folded {n} pairs, exactness vs B: max|dy| = {err_d:.3e}")
+    t_d = time_apply(mc, vc, x)
+
+    log("E D + enable_pw_matmul:")
+    enable_pw_matmul(mc)
+    t_e = time_apply(mc, vc, x)
+
+    log("F orig + fold_batchnorm (denominator sensitivity):")
+    fold_batchnorm(mo, vo)
+    y_f, _, _ = mo.apply(vo["params"], xs, state=vo["state"], training=False)
+    log(f"  exactness vs orig: max|dy| = {float(jnp.max(jnp.abs(y_f - y_orig))):.3e}")
+    t_f = time_apply(mo, vo, x)
+
+    log("--- candidate headline ratios (orig-plain denominator) ---")
+    for name, t in (("B plain", t_b), ("C +ffnrep", t_c),
+                    ("D +bnfold", t_d), ("E +pw", t_e)):
+        log(f"  {name}: {t_a / t:.4f}x")
+    best = min(t_c, t_d, t_e)
+    log(f"  conservative (orig+bnfold denominator): {t_f / best:.4f}x")
+
+
+if __name__ == "__main__":
+    main()
