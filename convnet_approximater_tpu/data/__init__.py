@@ -13,3 +13,4 @@ from .datasets import (
 )
 from .loader import Loader
 from .mixup import cutmix_batch, mixup_batch, mixup_cutmix
+from .randaug import RAND_AUG_OPS, rand_augment_batch

@@ -93,7 +93,7 @@ def apply_aug(images: np.ndarray, params, out_hw) -> np.ndarray:
 
 def augment_batch(images: np.ndarray, rs: np.random.RandomState, *,
                   hflip: float = 0.0, crop_pad: int = 0,
-                  rrc_scale=None, out_size=None) -> np.ndarray:
+                  rrc_scale=None, out_size=None, rand_aug=None) -> np.ndarray:
     """Host-side train-time augmentation.
 
     The reference's fine-tune loaders came from timm ``create_loader``
@@ -105,11 +105,19 @@ def augment_batch(images: np.ndarray, rs: np.random.RandomState, *,
     * ``crop_pad`` — CIFAR-style: reflect-pad by N then random-crop back.
     * ``rrc_scale`` — (lo, hi) area fraction: timm-style random-resized-crop
       to ``out_size`` (nearest resize; aspect jitter 3/4..4/3).
+    * ``rand_aug`` — ``dict(n=2, m=9)``: RandAugment(n, m) applied per
+      image BEFORE the geometric stage (``data/randaug.py``; uint8 input
+      required — the timm ``auto_augment`` analog).
 
     ``crop_pad``/``hflip`` keep the input resolution unless ``rrc_scale``
     is set (then the output is ``out_size``).  The Loader's native path
-    fuses the same parameterization into the C++ batch prep.
+    fuses the crop/flip parameterization into the C++ batch prep
+    (``rand_aug`` routes through the numpy applier).
     """
+    if rand_aug:
+        from .randaug import rand_augment_batch
+
+        images = rand_augment_batch(images, rs, **rand_aug)
     H, W = images.shape[1:3]
     out_hw = (tuple(out_size) if (rrc_scale is not None and out_size)
               else (H, W))
@@ -166,13 +174,25 @@ class Loader:
         if self.aug:
             # one crop-rect+flip parameterization, applied either by the
             # fused native kernel (gather+aug+resize+normalize, no GIL) or
-            # the numpy fallback — bit-identical by construction
+            # the numpy fallback — bit-identical by construction.
+            # rand_aug (per-pixel photometric/affine ops) has no native
+            # fusion: it materializes the gathered uint8 batch first.
+            aug = dict(self.aug)
+            rand_aug = aug.pop("rand_aug", None)
             H, W = pool.shape[1:3]
             out_hw = tuple(self.image_size or (H, W))
             rs = np.random.RandomState(
                 (self.seed * 1000003 + self._epoch * 9176
                  + (int(idx[0]) if len(idx) else 0)) % (2 ** 31))
-            params = draw_aug_params(rs, len(idx), H, W, **self.aug)
+            if rand_aug:
+                from .randaug import rand_augment_batch
+
+                gathered = rand_augment_batch(pool[idx], rs, **rand_aug)
+                params = draw_aug_params(rs, len(idx), H, W, **aug)
+                images = apply_aug(gathered, params, out_hw)
+                images = (images.astype(np.float32) - self.mean) / self.std
+                return images.astype(self.dtype), labels
+            params = draw_aug_params(rs, len(idx), H, W, **aug)
             if pool.dtype == np.uint8 and self.dtype == np.float32:
                 from .native import prep_batch_aug
 

@@ -244,3 +244,57 @@ def test_loader_aug_native_path_matches_fallback(monkeypatch):
     fallback = [np.asarray(b[0]) for b in Loader(ds, 8, **kw)]
     for a, b in zip(native, fallback):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_rand_augment_identity_and_determinism():
+    from convnet_approximater_tpu.data import rand_augment_batch
+
+    imgs = np.random.RandomState(0).randint(0, 256, (4, 16, 16, 3)).astype(np.uint8)
+    # n=0 is the identity
+    np.testing.assert_array_equal(
+        rand_augment_batch(imgs, np.random.RandomState(1), n=0), imgs)
+    # same seed -> same output; different seed -> (a.s.) different
+    a = rand_augment_batch(imgs, np.random.RandomState(7), n=2, m=9)
+    b = rand_augment_batch(imgs, np.random.RandomState(7), n=2, m=9)
+    c = rand_augment_batch(imgs, np.random.RandomState(8), n=2, m=9)
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.uint8 and a.shape == imgs.shape
+    assert not np.array_equal(a, c)
+
+
+def test_rand_augment_op_goldens():
+    from convnet_approximater_tpu.data.randaug import (
+        _autocontrast, _posterize, _solarize)
+
+    rs = np.random.RandomState(0)
+    img = np.arange(64, dtype=np.uint8).reshape(4, 4, 4) * 4
+    # posterize at m=10 keeps 4 bits
+    assert np.all(_posterize(img, 10, rs) == (img & 0xF0))
+    # solarize inverts above the threshold only
+    sol = _solarize(img, 10, rs)
+    th = 255 - int(round(255 * 0.75))
+    assert np.all(sol[img >= th] == (255 - img)[img >= th])
+    assert np.all(sol[img < th] == img[img < th])
+    # autocontrast maps a full-range channel onto itself at the extremes
+    full = np.zeros((2, 2, 1), np.uint8)
+    full[0, 0, 0] = 255
+    ac = _autocontrast(full, 10, rs)
+    assert ac.min() == 0 and ac.max() == 255
+
+
+def test_loader_rand_aug_integration():
+    from convnet_approximater_tpu.data import ArrayDataset, Loader
+
+    imgs = np.random.RandomState(0).randint(0, 256, (32, 16, 16, 3)).astype(np.uint8)
+    labels = np.arange(32) % 4
+    ds = ArrayDataset(imgs, labels)
+    ld = Loader(ds, 8, shuffle=False, prefetch=0, image_size=(16, 16),
+                aug=dict(hflip=0.5, rand_aug=dict(n=2, m=9)))
+    ld_plain = Loader(ds, 8, shuffle=False, prefetch=0, image_size=(16, 16))
+    xb, yb = next(iter(ld))
+    xp, _ = next(iter(ld_plain))
+    assert xb.shape == xp.shape
+    assert not np.allclose(np.asarray(xb), np.asarray(xp))
+    # deterministic across re-iterations (same epoch)
+    xb2, _ = next(iter(ld))
+    np.testing.assert_array_equal(np.asarray(xb), np.asarray(xb2))
