@@ -8,3 +8,4 @@ from .low_rank_exp_v1_decomp import LowRankExpV1Decomp
 from .class_eval_hook import ClassEvalHook
 from .calibration import CalibrationHook, strip_second_moment
 from .finetune import CheckpointSaver, L2Reconstruct, make_optimizer, update_summary
+from .qat import PrepareQAT

@@ -328,3 +328,42 @@ def test_export_model_int8_qat_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = r.stderr + r.stdout
     assert "convert_qat_to_int8" in out and "exported" in out
+
+
+def test_prepare_qat_hook_with_l2_recovery(tmp_path):
+    """The config-wired pipeline: approximate -> PrepareQAT (dense
+    remainder only, per the disjoint-layer rule) -> L2Reconstruct CE
+    recovery trains under fake-quant and populates the observers."""
+    from convnet_approximater_tpu.layers.quant import QATConv2d, QATLinear
+    from convnet_approximater_tpu.runner import Runner
+    from convnet_approximater_tpu.utils import init_cfg, update_cfg
+
+    import tests.test_finetune as tf
+
+    cfg_text = tf.TINY_MODEL + f"""
+hooks = [dict(type="PrepareQAT", priority=48),
+         dict(type="L2Reconstruct", priority=50, asym=True, no_norm=True,
+              l2_weight=0.0, cls_weight=1.0,
+{tf.FT_COMMON.format(use_mesh=False, extra_other="")})]
+"""
+    p = tmp_path / "qat_ft.py"
+    p.write_text(cfg_text)
+    init_cfg(str(p))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="qat_ft", seed=0)
+    runner = Runner(skip_post=True)
+    runner.run()
+
+    qat_mods = [(path, m) for path, m in runner.model.named_modules()
+                if isinstance(m, (QATConv2d, QATLinear))]
+    assert qat_mods, "no QAT modules engaged"
+    # disjoint-layer rule: nothing inside substituted branches
+    for path, _ in qat_mods:
+        assert ".new." not in path and ".old." not in path, path
+    # the fine-tune populated every observer
+    from convnet_approximater_tpu.deploy import _get
+
+    for path, _ in qat_mods:
+        st = _get(runner.variables["state"], path.split("."))
+        assert st is not None and float(st["act_absmax"]) > 0, path
+    hook = [h for h in runner.hooks if h.name == "L2Reconstruct"][0]
+    assert hook.result["best_metric"] is not None
