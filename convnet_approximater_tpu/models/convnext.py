@@ -128,6 +128,40 @@ class ConvNeXt(BlockStageExec, SwitchableModel):
         x = self.child("norm", params, x, ctx)
         return self.child("head", params, x, ctx)
 
+    def pipeline_units(self, variables):
+        """Whole-model decomposition for ``parallel/pp_model.py``: each
+        downsample layer, each (possibly substituted) block, and one
+        GAP+norm+head tail unit."""
+        from convnet_approximater_tpu.parallel.pp_model import (
+            Unit, subtree, unit_from_module)
+
+        params = variables.get("params", {})
+        state = variables.get("state", {})
+        units = []
+        for i in range(4):
+            units.append(unit_from_module(
+                f"downsample_layers.{i}", self.downsample_layers[i],
+                subtree(params, "downsample_layers", str(i)),
+                subtree(state, "downsample_layers", str(i))))
+            for bname, block in self.stages[i].named_children():
+                units.append(unit_from_module(
+                    f"stages.{i}.{bname}", block,
+                    subtree(params, "stages", str(i), bname),
+                    subtree(state, "stages", str(i), bname)))
+
+        norm, head = self.norm, self.head
+
+        def tail_fn(p, s, h):
+            v = h.mean(axis=(1, 2))
+            v, _, _ = norm.apply(p["norm"], v, training=False)
+            y, _, _ = head.apply(p["head"], v, training=False)
+            return y
+
+        units.append(Unit("norm+head", tail_fn,
+                          {"norm": subtree(params, "norm"),
+                           "head": subtree(params, "head")}, {}))
+        return units
+
 
 @MODEL.register_module()
 class ConvNeXtTiny(ConvNeXt):

@@ -224,39 +224,26 @@ class MSCAN_Classifier(SwitchableModel):
         (``parallel/pp_model.py``): every stem/downsample, every block
         (substituted or not — each is its own unit), every stage norm, and
         the GAP+head, whose sequential composition IS the eval forward."""
-        from convnet_approximater_tpu.parallel.pp_model import Unit
+        from convnet_approximater_tpu.parallel.pp_model import (
+            Unit, subtree, unit_from_module)
 
         params = variables.get("params", {})
         state = variables.get("state", {})
 
-        def sub(tree, *path):
-            node = tree
-            for p in path:
-                if not isinstance(node, dict) or p not in node:
-                    return {}
-                node = node[p]
-            return node
-
-        def unit_of(name, module, p, s):
-            def fn(p, s, h, _m=module):
-                y, _, _ = _m.apply(p, h, state=s, training=False)
-                return y
-
-            return Unit(name, fn, p, s)
-
         units = []
         for lname, layer in self.backbone.layers.named_children():
             base = ("backbone", "layers", lname)
-            units.append(unit_of(".".join(base + ("0",)), layer[0],
-                                 sub(params, *base, "0"),
-                                 sub(state, *base, "0")))
+            units.append(unit_from_module(".".join(base + ("0",)), layer[0],
+                                          subtree(params, *base, "0"),
+                                          subtree(state, *base, "0")))
             for bname, block in layer[1].named_children():
-                units.append(unit_of(".".join(base + ("1", bname)), block,
-                                     sub(params, *base, "1", bname),
-                                     sub(state, *base, "1", bname)))
-            units.append(unit_of(".".join(base + ("2",)), layer[2],
-                                 sub(params, *base, "2"),
-                                 sub(state, *base, "2")))
+                units.append(unit_from_module(
+                    ".".join(base + ("1", bname)), block,
+                    subtree(params, *base, "1", bname),
+                    subtree(state, *base, "1", bname)))
+            units.append(unit_from_module(".".join(base + ("2",)), layer[2],
+                                          subtree(params, *base, "2"),
+                                          subtree(state, *base, "2")))
 
         head = self.head
 
@@ -265,6 +252,6 @@ class MSCAN_Classifier(SwitchableModel):
                                  training=False)
             return y
 
-        units.append(Unit("head", head_fn, sub(params, "head"),
-                          sub(state, "head")))
+        units.append(Unit("head", head_fn, subtree(params, "head"),
+                          subtree(state, "head")))
         return units

@@ -136,6 +136,46 @@ class ResNet(SwitchableModel):
         x = x.reshape(x.shape[0], -1)
         return self.child("fc", params, x, ctx)
 
+    def pipeline_units(self, variables):
+        """Whole-model decomposition for ``parallel/pp_model.py``: the
+        conv1+bn1+relu+maxpool stem, every residual block (substituted or
+        not), and one avgpool+fc tail unit."""
+        from convnet_approximater_tpu.parallel.pp_model import (
+            Unit, subtree, unit_from_module)
+
+        params = variables.get("params", {})
+        state = variables.get("state", {})
+
+        stem_mods = [(n, getattr(self, n))
+                     for n in ("conv1", "bn1", "relu", "maxpool")]
+
+        def stem_fn(p, s, h):
+            for n, m in stem_mods:
+                h, _, _ = m.apply(p.get(n, {}), h, state=s.get(n, {}),
+                                  training=False)
+            return h
+
+        units = [Unit("stem", stem_fn,
+                      {n: subtree(params, n) for n, _ in stem_mods},
+                      {n: subtree(state, n) for n, _ in stem_mods})]
+        for lname in ("layer1", "layer2", "layer3", "layer4"):
+            layer = getattr(self, lname)
+            for bname, block in layer.named_children():
+                units.append(unit_from_module(
+                    f"{lname}.{bname}", block,
+                    subtree(params, lname, bname),
+                    subtree(state, lname, bname)))
+
+        fc = self.fc
+
+        def tail_fn(p, s, h):
+            v = h.mean(axis=(1, 2))
+            y, _, _ = fc.apply(p, v, training=False)
+            return y
+
+        units.append(Unit("avgpool+fc", tail_fn, subtree(params, "fc"), {}))
+        return units
+
 
 @MODEL.register_module()
 class ResNet18(ResNet):

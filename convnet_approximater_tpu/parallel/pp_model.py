@@ -57,6 +57,26 @@ class Unit(NamedTuple):
     state: Any
 
 
+def subtree(tree, *path):
+    """``tree[p0][p1]...`` with ``{}`` for missing nodes (param-less units)."""
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return {}
+        node = node[p]
+    return node
+
+
+def unit_from_module(name: str, module, params, state) -> Unit:
+    """A Unit that runs ``module``'s eval forward on its own subtrees."""
+
+    def fn(p, s, h, _m=module):
+        y, _, _ = _m.apply(p, h, state=s, training=False)
+        return y
+
+    return Unit(name, fn, params, state)
+
+
 def _unit_flops(unit: Unit, h_shape, dtype=jnp.float32) -> float:
     """XLA-reported FLOPs of one unit (the ModelAnalysis approach)."""
     h = jax.ShapeDtypeStruct(h_shape, dtype)

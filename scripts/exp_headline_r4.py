@@ -35,6 +35,20 @@ from convnet_approximater_tpu.filters import IndicesFilter
 from convnet_approximater_tpu.models import MSCAN_Classifier
 
 
+def jit_fwd(m):
+    # ONE compiled program per exactness check — an un-jitted .apply would
+    # dispatch op-by-op through the relay tunnel (pathological; r4 outage
+    # log) and a fresh b=2 program caches for reruns
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=())
+    def f(p, s, xs):
+        y, _, _ = m.apply(p, xs, state=s, training=False)
+        return y
+
+    return f
+
+
 def build(seed_like_bench=True):
     m = MSCAN_Classifier(num_classes=1000)
     v = {"params": m.init(KEY), "state": m.init_state()}
@@ -49,27 +63,27 @@ def main():
     log("A orig plain:")
     mo, vo = build()
     t_a = time_apply(mo, vo, x)
-    y_orig, _, _ = mo.apply(vo["params"], xs, state=vo["state"], training=False)
+    y_orig = jit_fwd(mo)(vo["params"], vo["state"], xs)
 
     log("B d1+fix plain (headline):")
     mb, vb = build()
     mb, vb = run_pipeline(mb, vb, MscaRep(decomp=1, fix=True), [])
     t_b = time_apply(mb, vb, x)
-    y_b, _, _ = mb.apply(vb["params"], xs, state=vb["state"], training=False)
+    y_b = jit_fwd(mb)(vb["params"], vb["state"], xs)
 
     log("C B + ffnrep(1,2) exact merge:")
     mc, vc = build()
     mc, vc = run_pipeline(mc, vc, MscaRep(decomp=1, fix=True), [])
     mc, vc = run_pipeline(mc, vc, FfnRep(fix=True),
                           [IndicesFilter((1, 2, 3, 4, 5, 6))])
-    y_c, _, _ = mc.apply(vc["params"], xs, state=vc["state"], training=False)
+    y_c = jit_fwd(mc)(vc["params"], vc["state"], xs)
     err_c = float(jnp.max(jnp.abs(y_c - y_b)))
     log(f"  exactness vs B: max|dy| = {err_c:.3e}")
     t_c = time_apply(mc, vc, x)
 
     log("D C + fold_batchnorm:")
     n = fold_batchnorm(mc, vc)
-    y_d, _, _ = mc.apply(vc["params"], xs, state=vc["state"], training=False)
+    y_d = jit_fwd(mc)(vc["params"], vc["state"], xs)
     err_d = float(jnp.max(jnp.abs(y_d - y_b)))
     log(f"  folded {n} pairs, exactness vs B: max|dy| = {err_d:.3e}")
     t_d = time_apply(mc, vc, x)
@@ -80,7 +94,7 @@ def main():
 
     log("F orig + fold_batchnorm (denominator sensitivity):")
     fold_batchnorm(mo, vo)
-    y_f, _, _ = mo.apply(vo["params"], xs, state=vo["state"], training=False)
+    y_f = jit_fwd(mo)(vo["params"], vo["state"], xs)
     log(f"  exactness vs orig: max|dy| = {float(jnp.max(jnp.abs(y_f - y_orig))):.3e}")
     t_f = time_apply(mo, vo, x)
 

@@ -93,3 +93,30 @@ def test_model_pipeline_differentiable():
     for a, b in zip(flat_pp, flat_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("family", ["convnext", "resnet"])
+def test_model_pipeline_other_families(family):
+    """ConvNeXt and ResNet whole-model pipelines reproduce their plain
+    forwards (2 stages on the 8-device mesh)."""
+    if family == "convnext":
+        from convnet_approximater_tpu.models import ConvNeXt
+
+        model = ConvNeXt(num_classes=8, depths=(1, 1, 1, 1),
+                         dims=(8, 12, 16, 24))
+    else:
+        from convnet_approximater_tpu.models import ResNet
+
+        model = ResNet(depth=18, num_classes=8)
+    variables = {"params": model.init(jax.random.key(0)),
+                 "state": model.init_state()}
+    mesh = make_mesh(data=4, model=2)
+    x = jax.random.normal(jax.random.key(1), (4, 32, 32, 3))
+    y_ref, _, _ = model.apply(variables["params"], x,
+                              state=variables["state"], training=False)
+    apply_fn, report = build_model_pipeline(
+        model, variables, x.shape, mesh, num_microbatches=2)
+    assert len(report) == 2
+    y_pp = jax.jit(apply_fn)(variables, x)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
