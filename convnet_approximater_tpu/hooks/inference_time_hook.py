@@ -27,20 +27,24 @@ from .hook import HOOK, Hook
 from .model_analysis import analyze_model
 
 
-def time_forward(model, variables, input_shape, num_iters=10, warmup=3, dtype=jnp.float32):
+def time_forward(model, variables, input_shape, num_iters=10, warmup=3,
+                 dtype=jnp.float32, forward_fn=None):
     """Per-forward seconds via two-point slope timing.
 
     Timing brackets force a scalar readback rather than relying on
     ``block_until_ready`` (some transports — e.g. the axon TPU relay — ack
     readiness before execution finishes); the slope between an ``n`` and a
     ``4n`` dispatch loop cancels the readback roundtrip.
+
+    ``forward_fn(params, state, x) -> y`` overrides the default
+    ``model.apply`` eval forward (e.g. a whole-model pipeline callable).
     """
 
     def fwd(params, state, x):
         y, _, _ = model.apply(params, x, state=state, training=False)
         return y
 
-    fn = jax.jit(fwd)
+    fn = jax.jit(forward_fn if forward_fn is not None else fwd)
     x = jnp.ones(input_shape, dtype)
     # device-resident once: the measurement must be the forward, not a
     # per-iteration host->device re-upload of numpy checkpoint leaves

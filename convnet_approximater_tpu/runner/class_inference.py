@@ -38,7 +38,7 @@ class ClassInference(BaseRunner):
                  exact_gelu: bool = True, dtype: str = "float32",
                  fold_bn=None, never_lose: bool = False,
                  s2d_stem: bool = False, pipeline_parallel: int = 1,
-                 quantize: str = None):
+                 pipeline_mode: str = "stage", quantize: str = None):
         import os
 
         if exact_gelu and not os.environ.get("CAT_FAST_GELU"):
@@ -61,8 +61,15 @@ class ClassInference(BaseRunner):
         self.s2d_stem = s2d_stem
         # GPipe block pipelining over the mesh's model axis (parallel/pp.py):
         # for models too deep for one chip's HBM; eval-only, model must
-        # expose backbone.enable_pipeline (MSCAN family)
+        # expose backbone.enable_pipeline (MSCAN family).
+        # pipeline_mode='whole' instead partitions the ENTIRE model —
+        # stem/downsamples/blocks/norms/head — into FLOP-balanced stages
+        # (parallel/pp_model.py) and times that forward; each device then
+        # holds only its stage's weights (true weight partitioning).
         self.pipeline_parallel = int(pipeline_parallel)
+        if pipeline_mode not in ("stage", "whole"):
+            raise ValueError(f"pipeline_mode={pipeline_mode!r}")
+        self.pipeline_mode = pipeline_mode
         # 'int8': PTQ the approximated serving surface (deploy.quantize_int8
         # after the BN fold).  Measured a real win on dense-conv families
         # (ResNet-18 1.60x / -50 1.25x vs bf16) and a loss on MSCAN
@@ -82,8 +89,10 @@ class ClassInference(BaseRunner):
         self.ori_model = build_model(cfg.model)
 
     def _maybe_pipeline(self, model):
-        if self.pipeline_parallel <= 1:
-            return
+        if self.pipeline_parallel <= 1 \
+                or getattr(self, "pipeline_mode", "stage") == "whole":
+            return  # whole-model partitioning engages per-report (needs
+            # the final variables + input shape; see _report)
         from convnet_approximater_tpu.models.stage_exec import (
             resolve_pipeline_carrier,
         )
@@ -155,6 +164,39 @@ class ClassInference(BaseRunner):
                              "state": variables.get("state", {})}
             tag = f"{tag}/{self.dtype.name}"
         shape = (self.batch_size,) + self.input_size
+        if self.pipeline_parallel > 1 and self.pipeline_mode == "whole":
+            if not hasattr(model, "pipeline_units"):
+                get_logger().warning(
+                    f"pipeline_mode='whole': {type(model).__name__} has no "
+                    f"pipeline_units() — timing the plain forward")
+            else:
+                from convnet_approximater_tpu.parallel import (
+                    build_model_pipeline, make_mesh)
+
+                n = jax.device_count()
+                pp = self.pipeline_parallel
+                mesh = make_mesh(data=n // pp, model=pp)
+                apply_fn, report = build_model_pipeline(
+                    model, variables, shape, mesh, dtype=self.dtype)
+                for r in report:
+                    get_logger().info(
+                        f"[{tag}] pp stage {r['stage']}: {r['share']:.0%} "
+                        f"flops, {len(r['units'])} units")
+                pipe = jax.jit(apply_fn)
+                _, _, times = time_forward(
+                    model, variables, shape, num_iters=10, warmup=3,
+                    dtype=self.dtype,
+                    forward_fn=lambda p, s, x: pipe(
+                        {"params": p, "state": s}, x))
+                info = analyze_model(model, variables, shape, dtype=self.dtype)
+                logger.info(
+                    f"[{tag}] whole-model {pp}-stage pipeline fwd median "
+                    f"{float(times.mean()) * 1e3:.3f} ms | "
+                    f"MACs {info['macs'] / 1e6:.2f} M")
+                if self.eval_cfg:
+                    res = ValidateHelper(model, self.eval_cfg, variables).validate()
+                    logger.info(f"[{tag}] eval: {res}")
+                return
         _, _, times = time_forward(model, variables, shape, num_iters=10, warmup=3,
                                    dtype=self.dtype)
         info = analyze_model(model, variables, shape, dtype=self.dtype)

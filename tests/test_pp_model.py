@@ -120,3 +120,27 @@ def test_model_pipeline_other_families(family):
     y_pp = jax.jit(apply_fn)(variables, x)
     np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_class_inference_whole_model_pipeline(tmp_path):
+    """ClassInference(pipeline_mode='whole') times the whole-model
+    pipeline forward (per-stage FLOP shares logged) end to end."""
+    from convnet_approximater_tpu.runner import ClassInference, Runner
+    from convnet_approximater_tpu.utils import init_cfg, update_cfg
+
+    p = tmp_path / "cfg.py"
+    p.write_text("""
+model = dict(type="MSCAN_Classifier", num_channels=(8, 16, 24, 32),
+             num_blocks=(1, 1, 1, 1), exp_ratios=(2, 2, 2, 2), num_classes=8)
+app = dict(type="MscaRep", decomp=1, fix=True)
+filters = []
+hooks = []
+""")
+    init_cfg(str(p))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="m", seed=0)
+    runner = Runner()
+    runner.run()
+    ci = ClassInference(checkpoint=runner.output_path, batch_size=8,
+                        input_size=(32, 32, 3), pipeline_parallel=2,
+                        pipeline_mode="whole")
+    ci.run()  # original + approximated, each through the 2-stage pipeline
