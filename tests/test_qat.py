@@ -367,3 +367,31 @@ hooks = [dict(type="PrepareQAT", priority=48),
         assert st is not None and float(st["act_absmax"]) > 0, path
     hook = [h for h in runner.hooks if h.name == "L2Reconstruct"][0]
     assert hook.result["best_metric"] is not None
+
+
+def test_prepare_qat_inside_mscan_scan_stage():
+    """QAT observers must ride the scan-over-blocks path: per-block
+    act_absmax state threads through the stage scan like BN stats do
+    (stage_exec stacks per-block state), and a training forward populates
+    every observer."""
+    from convnet_approximater_tpu import deploy
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+
+    model = MSCAN_Classifier(
+        num_channels=(8, 16, 24, 32), num_blocks=(1, 1, 2, 1),
+        exp_ratios=(2, 2, 2, 2), num_classes=8, scan_blocks="auto")
+    variables = {"params": model.init(jax.random.PRNGKey(0)),
+                 "state": model.init_state()}
+    n = deploy.prepare_qat(model, variables)
+    assert n > 0
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    y, new_state, _ = model.apply(variables["params"], x,
+                                  state=variables["state"], training=True,
+                                  rng=jax.random.PRNGKey(2))
+    assert bool(jnp.all(jnp.isfinite(y)))
+    flat = jax.tree_util.tree_flatten_with_path(new_state)[0]
+    observed = [(jax.tree_util.keystr(k), v) for k, v in flat
+                if "act_absmax" in jax.tree_util.keystr(k)]
+    assert len(observed) == n
+    for k, v in observed:
+        assert float(jnp.min(v)) > 0, k  # min over any stacked block axis
