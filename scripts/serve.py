@@ -37,6 +37,11 @@ def main():
                          "device (4x fewer bytes than f32, 2x fewer than "
                          "bf16 — the right design when ingestion rides a "
                          "network)")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each batch over ALL local devices (data-"
+                         "parallel serving: params replicated, jit runs the "
+                         "artifact SPMD; validated on the virtual CPU mesh — "
+                         "on a multi-chip host this is the scale-out path)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -59,7 +64,20 @@ def main():
     # device-resident weights ONCE: numpy trees would re-ship the whole
     # param set host->device on EVERY call (review r3f — dominates the
     # batch bytes on bandwidth-bound links)
-    params = jax.device_put(variables["params"])
+    data_sh = None
+    if args.data_parallel and jax.device_count() > 1:
+        from convnet_approximater_tpu.parallel import (
+            batch_sharding, make_mesh, replicate)
+
+        mesh = make_mesh(model=1)  # every device on the data axis
+        data_sh = batch_sharding(mesh)
+        params = replicate(variables["params"], mesh)
+        # a padded request must still split evenly over the data axis
+        args.min_batch = max(args.min_batch, jax.device_count())
+        print(f"data-parallel serving over {jax.device_count()} devices "
+              f"(batch must divide {jax.device_count()})", flush=True)
+    else:
+        params = jax.device_put(variables["params"])
     # the exported calling convention records the input contract (the last
     # in_aval is the batch) — derive dtype AND geometry from it
     x_aval = served_fn.in_avals[-1]
@@ -107,9 +125,15 @@ def main():
             x = (x_u8.astype(jnp.float32) - mean) / std
             return served_fn(p, x.astype(dt))
 
-        fwd = pad_batch(lambda x: _fwd_u8(params, x), args.min_batch)
+        base_u8 = lambda x: _fwd_u8(params, x)
+        if data_sh is not None:
+            base_u8 = (lambda f: lambda x: f(jax.device_put(x, data_sh)))(base_u8)
+        fwd = pad_batch(base_u8, args.min_batch)
     else:
-        fwd = pad_batch(lambda x: served_fn(params, x), args.min_batch)
+        base = lambda x: served_fn(params, x)
+        if data_sh is not None:
+            base = (lambda f: lambda x: f(jax.device_put(x, data_sh)))(base)
+        fwd = pad_batch(base, args.min_batch)
 
     size = (args.image_size, args.image_size)
     ds = Synthetic(max(args.batch * 4, 64), size + (3,), 1000)

@@ -232,3 +232,32 @@ def test_export_and_serve_cli_roundtrip(tmp_path):
         capture_output=True, text=True, timeout=420, env=env)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "img/s end-to-end" in r2.stdout
+
+
+def test_serve_cli_data_parallel(tmp_path):
+    """serve.py --data-parallel: the exported artifact serves with the
+    batch sharded over the 8 virtual devices (params replicated, SPMD)."""
+    import subprocess
+    import sys
+
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    art = str(tmp_path / "m.stablehlo")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/export_model.py"),
+         "--config", os.path.join(root, "configs/low-rank-exp/dummy_alexnet.py"),
+         "--out", art, "--batch", "8", "--input-size", "64", "64", "3",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/serve.py"),
+         "--artifact", art, "--data-parallel",
+         "--batch", "8", "--batches", "3", "--image-size", "64",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "data-parallel serving over 8 devices" in r2.stdout
+    assert "img/s end-to-end" in r2.stdout
