@@ -116,6 +116,13 @@ def partition_units(costs: Sequence[float], n: int) -> List[List[int]]:
 def _pack(trees) -> tuple:
     """Flatten a (params, state) pytree pair to one f32 vector + meta."""
     leaves, treedef = jax.tree_util.tree_flatten(trees)
+    for l in leaves:
+        # the f32 carrier round-trips f32/bf16/f16 exactly; an integer
+        # leaf >2^24 would corrupt silently — no current unit has one
+        if not jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating):
+            raise TypeError(
+                f"pipeline weight packing: non-floating leaf dtype "
+                f"{jnp.asarray(l).dtype} cannot ride the f32 carrier")
     metas = [(l.shape, l.dtype) for l in leaves]
     if leaves:
         flat = jnp.concatenate(
