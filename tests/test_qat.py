@@ -395,3 +395,29 @@ def test_prepare_qat_inside_mscan_scan_stage():
     assert len(observed) == n
     for k, v in observed:
         assert float(jnp.min(v)) > 0, k  # min over any stacked block axis
+
+
+def test_qat_trains_under_amp(tmp_path):
+    """QAT composes with mixed-precision training (bf16 compute casts the
+    fake-quant grids too; observers still populate in f32)."""
+    from convnet_approximater_tpu import deploy
+    from convnet_approximater_tpu.classification import TrainHelper
+    from convnet_approximater_tpu.models import build_model
+
+    import tests.test_finetune  # registers TinyNet
+
+    model = build_model(dict(type="TinyNet", num_classes=4))
+    variables = {"params": model.init(jax.random.PRNGKey(0)),
+                 "state": model.init_state()}
+    n = deploy.prepare_qat(model, variables)
+    assert n > 0
+    helper = TrainHelper(model, variables, dict(
+        batch_size=16, image_size=(16, 16), num_classes=4, epochs=1,
+        lr=1e-3, sched=None, use_mesh=False, log_interval=100, amp=True,
+        max_steps_per_epoch=2, max_eval_batches=1,
+        work_dir=str(tmp_path / "qat_amp")))
+    result = helper.train()
+    assert result["best_metric"] is not None
+    flat = jax.tree_util.tree_flatten_with_path(helper.variables["state"])[0]
+    obs = [v for k, v in flat if "act_absmax" in jax.tree_util.keystr(k)]
+    assert obs and all(float(jnp.min(v)) > 0 for v in obs)
