@@ -203,7 +203,7 @@ def bench_mscan():
     return t_orig / t_rep
 
 
-def wait_for_relay(max_wait_s: int = 900):
+def wait_for_relay(max_wait_s: int = 2400):
     """The axon relay's remote-compile endpoint has gone down for 40min-3h
     stretches (session log); a headline run launched into an outage would
     crash instead of reporting.  Probe with a tiny FRESH-shape matmul (a
