@@ -67,7 +67,23 @@ _SLOW_TESTS = {
     "test_quant.py::test_quantize_mscan_fold_compose_scan_path",
     "test_pp_model.py::test_model_pipeline_parity",
     "test_pp_model.py::test_model_pipeline_differentiable",
+    "test_pp_model.py::test_model_pipeline_other_families",
+    "test_pp_model.py::test_class_inference_whole_model_pipeline",
     "test_cam.py::test_cam_cli_all_methods",
+    "test_qat.py::test_prepare_qat_inside_mscan_scan_stage",
+    "test_qat.py::test_qat_trains_under_amp",
+    "test_distributed_smoke.py::test_two_process_spmd_train_step",
+    "test_never_lose.py::test_rematerialize_v2_exact",
+    "test_quant.py::test_quantize_linear_fc_stack",
+    "test_low_rank_v3.py::test_v3_calibration_hook_plumbing",
+    "test_low_rank_v3.py::test_v3_data_driven_beats_plain_svd_on_correlated_inputs",
+    "test_msca_rep.py::test_equivalent_kernel_bias_response",
+    "test_torch_parity.py::test_torch_checkpoint_conversion_end_to_end",
+    "test_torch_parity.py::test_torch_conv_flatten_linear_conversion_end_to_end",
+    "test_segmentation.py::test_seg_finetune_end_to_end",
+    "test_finetune.py::test_finetune_dp_tp_matches_dp",
+    "test_sharded_ckpt.py::test_finetune_kill_and_resume_sharded_backend",
+    "test_sharded_ckpt.py::test_finetune_sharded_backend_over_dp_tp_mesh",
 }
 
 
