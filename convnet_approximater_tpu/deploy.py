@@ -857,3 +857,46 @@ def pad_batch(fn, min_batch: int = 2):
         return jax.tree_util.tree_map(_slice, y)
 
     return wrapped
+
+
+def chunk_batch(fn, max_batch: int = 128):
+    """Serving wrapper: run over-``max_batch`` inputs as sequential chunks.
+
+    The dual of :func:`pad_batch`, for the other end of the batch sweep:
+    past the throughput knee, per-image cost RISES supra-linearly — the
+    r4 ConvNeXt-T trace attributes the b=256 regression (12.7k vs 14.0k
+    img/s at b=128) to the elementwise loop fusions scaling 3.08x for a
+    2x batch (HBM-side; conv fusions scale ~2.06x).  Two b=128 chunks run
+    2 x 9.14 = 18.3 ms vs 20.2 ms monolithic (-9.4%) — chunking at the
+    measured knee converts the sweep's knee into the large-batch rate.
+
+    Splits the LAST positional argument (the input batch) into
+    ``ceil(b / max_batch)`` chunks — all of size ``max_batch`` except a
+    smaller final remainder (each distinct remainder size compiles once,
+    persistent cache) — and concatenates outputs along the leading axis.
+    Same batch-major output contract as ``pad_batch``, asserted per leaf.
+    Compose as ``pad_batch(chunk_batch(fn, knee), 2)`` to clamp both ends.
+    """
+
+    def wrapped(*args):
+        x = args[-1]
+        b = x.shape[0]
+        if b <= max_batch:
+            return fn(*args)
+        ys = [fn(*args[:-1], x[i:i + max_batch])
+              for i in range(0, b, max_batch)]
+
+        def _cat(*leaves):
+            for a, xin in zip(leaves, range(0, b, max_batch)):
+                n = min(max_batch, b - xin)
+                if getattr(a, "ndim", 0) < 1 or a.shape[0] != n:
+                    raise ValueError(
+                        f"chunk_batch: output leaf of shape "
+                        f"{getattr(a, 'shape', ())} has no leading batch "
+                        f"dim == {n}; chunk_batch only wraps forwards "
+                        f"whose outputs are all batch-major")
+            return jnp.concatenate(leaves, axis=0)
+
+        return jax.tree_util.tree_map(_cat, *ys)
+
+    return wrapped

@@ -1,0 +1,321 @@
+"""Serving auto-planner: pick the fastest accurate serving surface.
+
+Generalizes the per-layer never-lose arbiter (``deploy.never_lose_deploy``)
+to WHOLE serving surfaces.  Given a fresh-model factory (re-init +
+checkpoint load), the planner builds each candidate surface, times them
+on-device like-for-like, checks top-1 agreement against the dense f32
+reference on probe batches, and returns a ranked report plus the winning
+``(model, variables)``.
+
+The default candidate set encodes the measured TPU deploy rules
+(doc/perf-notes.md, doc/serving.md):
+
+* ``dense/<dtype>`` — the baseline; always qualified (serving it is never
+  wrong, only possibly slow).
+* ``int8`` — PTQ of the dense convs + Linears after the BN fold.  Measured
+  wins on dense-conv/Linear chains (ResNet-18 1.60x, VGG 1.66x) and losses
+  inside XLA mega-fusions (MSCAN) — which is exactly why it must be
+  *measured per model*, not assumed.
+* ``v3`` — LowRankExpV3 channel-rank factorization of the dense kxk convs
+  (auto-rank at ``v3_energy``), BN folded through the tails.
+* ``dwsep`` — DwSepRep separable split of square stride-1 depthwise convs
+  (ConvNeXt-style), only offered when such convs exist.
+* ``dwsep+int8`` — the measured disjoint-layer stack (decompose the
+  depthwise convs, quantize the dense remainder; ConvNeXt-T 1.81x).
+  Same-layer stacks (V3+int8) measured slower than either alone, so the
+  planner does not offer them.
+
+Decompositions without recovery training can degrade accuracy, so the
+planner reports per-surface top-1 agreement and disqualifies candidates
+below ``min_agree`` (reported as ``needs_recovery``) instead of serving
+them silently — run the L2/CE recovery (``hooks/finetune.py``) or QAT
+(``deploy.prepare_qat``) first if a disqualified surface is wanted.
+
+Reference anchor: the reference ships a manual comparator only
+(``src/approx/runner/class_inference.py:19-89``) — surface selection there
+is a human reading two timing lines; here it is a deploy pass with a
+persistable decision artifact.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from convnet_approximater_tpu.filters.module_filter import ModuleFilter
+from convnet_approximater_tpu.nn import Conv2d
+from convnet_approximater_tpu.nn.module import _stable_fold
+from convnet_approximater_tpu.utils import cast_floating, get_logger, tree_get
+
+
+def apply_app(model, variables: dict, app, filters: Sequence[ModuleFilter],
+              rng=None) -> int:
+    """Run the canonical 4-phase approximation loop in place.
+
+    register -> initialize -> optimize -> postprocess, pairing every
+    structure edit with its param-tree edit (the reference pipeline of
+    ``src/approx/runner/runner.py``, collapsed to its deploy essentials —
+    the same loop ``bench.run_pipeline`` and the exp_* scripts inline).
+    Returns the number of sites rewritten (0 = the app found no targets).
+    """
+    rng = rng if rng is not None else jax.random.key(0)
+    model.register_switchable(app.src_type, list(filters))
+    n = model.length_switchable
+    for idx in range(n):
+        name = model.switchable_names[idx]
+        src = model.get_switchable_module(idx)
+        sub, sp = app.initialize(
+            src, tree_get(variables["params"], name), _stable_fold(rng, name))
+        model.set_switchable_module(idx, sub, variables, {"params": sp})
+        app.optimize(sub, sp)
+        mod, np_ = app.postprocess(sub, sp)
+        model.set_switchable_module(idx, mod, variables, {"params": np_})
+    return n
+
+
+class _DenseKxKFilter(ModuleFilter):
+    """Dense (groups == 1) spatial convs with enough input channels for a
+    channel-rank cut to matter (the 3-channel stem's C*k^2 is too small
+    for V3 to win anything)."""
+
+    def __init__(self, min_kernel: int = 2, min_in: int = 8):
+        self.min_kernel = min_kernel
+        self.min_in = min_in
+
+    def filter(self, module) -> bool:
+        assert isinstance(module, Conv2d)
+        return (module.groups == 1
+                and min(module.kernel_size) >= self.min_kernel
+                and module.in_channels >= self.min_in)
+
+
+def _has_module(model, pred) -> bool:
+    return any(isinstance(m, Conv2d) and pred(m)
+               for _, m in model.named_modules())
+
+
+def _build_int8(model, variables, dtype, calib_batches):
+    from convnet_approximater_tpu.deploy import fold_batchnorm, quantize_int8
+
+    fold_batchnorm(model, variables)
+    variables = {"params": cast_floating(variables["params"], dtype),
+                 "state": variables.get("state", {})}
+    n = quantize_int8(model, variables,
+                      [x.astype(dtype) for x in calib_batches])
+    if n == 0:
+        raise _NoTargets("no dense convs/Linears to quantize")
+    return model, variables
+
+
+class _NoTargets(Exception):
+    """Candidate found nothing to rewrite — skip, don't fail the plan."""
+
+
+def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
+                       dwsep_rank: int = 1):
+    """Candidate builders applicable to ``probe_model``'s structure.
+
+    Each entry is ``(name, build)`` with
+    ``build(model, variables, rng, calib_batches) -> (model, variables)``
+    mutating a FRESH model/variables pair into the candidate surface (cast
+    to ``dtype`` where floating).
+    """
+    from convnet_approximater_tpu.core import DwSepRep, LowRankExpV3
+    from convnet_approximater_tpu.deploy import fold_batchnorm
+    from convnet_approximater_tpu.filters import DepthwiseConvFilter
+
+    dw_filter = DepthwiseConvFilter()
+    has_dw = _has_module(probe_model, dw_filter.filter)
+    has_dense = _has_module(probe_model, _DenseKxKFilter().filter)
+
+    def _cast(variables):
+        return {"params": cast_floating(variables["params"], dtype),
+                "state": variables.get("state", {})}
+
+    def build_dense(model, variables, rng, calib):
+        return model, _cast(variables)
+
+    def build_int8(model, variables, rng, calib):
+        return _build_int8(model, variables, dtype, calib)
+
+    def build_v3(model, variables, rng, calib):
+        n = apply_app(model, variables,
+                      LowRankExpV3(energy=v3_energy),
+                      [_DenseKxKFilter()], rng)
+        if n == 0:
+            raise _NoTargets("no dense kxk convs")
+        fold_batchnorm(model, variables)  # folds through V3 mix_conv tails
+        return model, _cast(variables)
+
+    def build_dwsep(model, variables, rng, calib):
+        n = apply_app(model, variables,
+                      DwSepRep(ranks=dwsep_rank),
+                      [DepthwiseConvFilter()], rng)
+        if n == 0:
+            raise _NoTargets("no depthwise convs")
+        fold_batchnorm(model, variables)
+        return model, _cast(variables)
+
+    def build_dwsep_int8(model, variables, rng, calib):
+        n = apply_app(model, variables,
+                      DwSepRep(ranks=dwsep_rank),
+                      [DepthwiseConvFilter()], rng)
+        if n == 0:
+            raise _NoTargets("no depthwise convs")
+        # disjoint-layer stack: the depthwise rewrite leaves the dense
+        # remainder untouched; quantize_int8 targets exactly that remainder
+        return _build_int8(model, variables, dtype, calib)
+
+    out = [(f"dense/{jnp.dtype(dtype).name}", build_dense),
+           ("int8", build_int8)]
+    if has_dense:
+        out.append((f"v3/e={v3_energy}", build_v3))
+    if has_dw:
+        out.append((f"dwsep/r={dwsep_rank}", build_dwsep))
+        out.append((f"dwsep/r={dwsep_rank}+int8", build_dwsep_int8))
+    return out
+
+
+def _agreement(model, variables, probe_xs, ref_top1, dtype) -> float:
+    @jax.jit
+    def fwd(p, s, x):
+        y, _, _ = model.apply(p, x, state=s, training=False)
+        return jnp.argmax(y, axis=-1)
+
+    p, s = variables["params"], variables.get("state", {})
+    hits = total = 0
+    for x, ref in zip(probe_xs, ref_top1):
+        top1 = fwd(p, s, x.astype(dtype))
+        hits += int(jnp.sum(top1 == ref))
+        total += int(ref.size)
+    return hits / max(total, 1)
+
+
+def plan_serving(make: Callable[[], Tuple[object, dict]],
+                 input_shape: Sequence[int],
+                 dtype=jnp.bfloat16,
+                 candidates=None,
+                 min_agree: float = 0.9,
+                 rng=None,
+                 calib_batches: Optional[List[jnp.ndarray]] = None,
+                 probe_batches: int = 2,
+                 num_iters: int = 10,
+                 warmup: int = 3,
+                 time_fn=None,
+                 verbose: bool = True) -> Dict:
+    """Plan the serving surface for the model ``make`` builds.
+
+    Args:
+      make: zero-arg factory returning a FRESH ``(model, variables)`` pair
+        (re-init + checkpoint load) — deploy passes mutate structure, so
+        every candidate needs its own copy.
+      input_shape: full serving input shape incl. batch, e.g.
+        ``(64, 224, 224, 3)``.
+      dtype: serving dtype for every candidate (the dense f32 reference is
+        timed separately for context).
+      candidates: ``[(name, build), ...]`` overriding
+        :func:`default_candidates`.
+      min_agree: minimum top-1 agreement vs the dense f32 reference for a
+        rewritten surface to qualify (the dense baseline always qualifies).
+      calib_batches: int8 calibration inputs (f32/any float; cast per
+        candidate).  Default: synthetic normals — accuracy-grade
+        calibration needs representative data.
+      time_fn: ``time_fn(name, model, variables, shape, dtype) -> seconds``
+        override (tests inject a fake; default is the slope-timed
+        ``hooks.inference_time_hook.time_forward``).
+
+    Returns a dict: ``report`` (one row per candidate: name/ms/img_per_s/
+    agree/qualified/note), ``winner`` (name), ``model``/``variables`` (the
+    winning surface), ``dtype``, ``speedup_vs_dense`` (winner vs the dense
+    baseline at ``dtype``).
+    """
+    from convnet_approximater_tpu.hooks.inference_time_hook import time_forward
+
+    logger = get_logger()
+    rng = rng if rng is not None else jax.random.key(0)
+    input_shape = tuple(input_shape)
+
+    if time_fn is None:
+        def time_fn(name, model, variables, shape, dt):
+            _, _, times = time_forward(model, variables, shape,
+                                       num_iters=num_iters, warmup=warmup,
+                                       dtype=dt)
+            return float(times.mean())
+
+    if calib_batches is None:
+        calib_shape = (min(8, input_shape[0]),) + input_shape[1:]
+        calib_batches = [
+            jax.random.normal(jax.random.fold_in(rng, 1000 + i),
+                              calib_shape) * 0.8
+            for i in range(4)]
+
+    # dense f32 reference: probe top-1s + context timing
+    ref_model, ref_vars = make()
+    probe_xs = [jax.random.normal(jax.random.fold_in(rng, 2000 + i),
+                                  (min(8, input_shape[0]),) + input_shape[1:])
+                for i in range(probe_batches)]
+
+    @jax.jit
+    def ref_fwd(p, s, x):
+        y, _, _ = ref_model.apply(p, x, state=s, training=False)
+        return jnp.argmax(y, axis=-1)
+
+    rp, rs = ref_vars["params"], ref_vars.get("state", {})
+    ref_top1 = [ref_fwd(rp, rs, x) for x in probe_xs]
+    t_f32 = time_fn("dense/float32", ref_model, ref_vars, input_shape,
+                    jnp.float32)
+
+    if candidates is None:
+        candidates = default_candidates(ref_model, dtype=dtype)
+
+    dense_name = candidates[0][0]
+    report = [{"name": "dense/float32", "ms": t_f32 * 1e3,
+               "img_per_s": input_shape[0] / t_f32, "agree": 1.0,
+               "qualified": False, "note": "reference (context only)"}]
+    surfaces = {}
+    for name, build in candidates:
+        model, variables = make()
+        variables.setdefault("state", {})
+        try:
+            model, variables = build(model, variables, rng, calib_batches)
+        except _NoTargets as e:
+            report.append({"name": name, "ms": None, "img_per_s": None,
+                           "agree": None, "qualified": False,
+                           "note": f"skipped: {e}"})
+            continue
+        agree = _agreement(model, variables, probe_xs, ref_top1, dtype)
+        qualified = (name == dense_name) or agree >= min_agree
+        t = time_fn(name, model, variables, input_shape, dtype)
+        note = "" if qualified else "needs_recovery (below min_agree)"
+        report.append({"name": name, "ms": t * 1e3,
+                       "img_per_s": input_shape[0] / t, "agree": agree,
+                       "qualified": qualified, "note": note})
+        surfaces[name] = (model, variables)
+        if verbose:
+            logger.info(f"[plan] {name}: {t * 1e3:.3f} ms | "
+                        f"agree {agree:.3f}" + (f" | {note}" if note else ""))
+
+    qualified_rows = [r for r in report if r["qualified"]]
+    winner_row = min(qualified_rows, key=lambda r: r["ms"])
+    winner = winner_row["name"]
+    dense_row = next(r for r in report if r["name"] == dense_name)
+    model, variables = surfaces[winner]
+    if verbose:
+        logger.info(f"[plan] winner: {winner} "
+                    f"({dense_row['ms'] / winner_row['ms']:.3f}x vs {dense_name})")
+    return {
+        "report": report,
+        "winner": winner,
+        "model": model,
+        "variables": variables,
+        "dtype": jnp.dtype(dtype).name,
+        "speedup_vs_dense": dense_row["ms"] / winner_row["ms"],
+    }
+
+
+def plan_to_json(plan: Dict) -> Dict:
+    """The persistable slice of a plan (no model/param objects)."""
+    return {k: plan[k] for k in
+            ("report", "winner", "dtype", "speedup_vs_dense")}

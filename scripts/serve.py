@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--min-batch", type=int, default=2,
                     help="pad smaller requests up (deploy.pad_batch)")
+    ap.add_argument("--max-batch", type=int, default=None,
+                    help="run larger requests as sequential chunks of this "
+                         "size (deploy.chunk_batch) — set to the measured "
+                         "throughput knee (e.g. 128) when the batch sweep "
+                         "regresses past it")
     ap.add_argument("--ship-uint8", action="store_true",
                     help="transfer RAW uint8 batches and normalize on "
                          "device (4x fewer bytes than f32, 2x fewer than "
@@ -56,7 +61,8 @@ def main():
     import numpy as np
 
     from convnet_approximater_tpu.data import Loader, Synthetic
-    from convnet_approximater_tpu.deploy import load_serving, pad_batch
+    from convnet_approximater_tpu.deploy import (chunk_batch, load_serving,
+                                             pad_batch)
     from convnet_approximater_tpu.utils.serialize import load_ckpt
 
     served_fn = load_serving(args.artifact)
@@ -128,11 +134,15 @@ def main():
         base_u8 = lambda x: _fwd_u8(params, x)
         if data_sh is not None:
             base_u8 = (lambda f: lambda x: f(jax.device_put(x, data_sh)))(base_u8)
+        if args.max_batch:
+            base_u8 = chunk_batch(base_u8, args.max_batch)
         fwd = pad_batch(base_u8, args.min_batch)
     else:
         base = lambda x: served_fn(params, x)
         if data_sh is not None:
             base = (lambda f: lambda x: f(jax.device_put(x, data_sh)))(base)
+        if args.max_batch:
+            base = chunk_batch(base, args.max_batch)
         fwd = pad_batch(base, args.min_batch)
 
     size = (args.image_size, args.image_size)

@@ -84,6 +84,10 @@ _SLOW_TESTS = {
     "test_finetune.py::test_finetune_dp_tp_matches_dp",
     "test_sharded_ckpt.py::test_finetune_kill_and_resume_sharded_backend",
     "test_sharded_ckpt.py::test_finetune_sharded_backend_over_dp_tp_mesh",
+    "test_deploy_planner.py::test_planner_picks_fastest_qualified",
+    "test_deploy_planner.py::test_min_agree_gate_falls_back_to_dense",
+    "test_deploy_planner.py::test_planner_real_timing_smoke",
+    "test_deploy_planner.py::test_plan_serving_cli",
 }
 
 

@@ -417,3 +417,46 @@ def test_pad_batch_rejects_batchfree_leaves():
     served = pad_batch(fwd, min_batch=4)
     with pytest.raises(ValueError, match="no leading batch dim"):
         served(jnp.ones((1, 3)))
+
+
+def test_chunk_batch_wrapper():
+    """chunk_batch: over-max batches run as sequential chunks (exact
+    concat, remainder handled); <=max passes through untouched."""
+    from convnet_approximater_tpu.deploy import chunk_batch, pad_batch
+
+    m = nn.Sequential(nn.Conv2d(3, 8, 3, padding=1), nn.GELU(),
+                      nn.Conv2d(8, 4, 1))
+    params = m.init(KEY)
+
+    calls = []
+
+    def fwd(p, x):
+        calls.append(x.shape[0])
+        y, _, _ = m.apply(p, x, training=False)
+        return y.mean(axis=(1, 2))
+
+    served = chunk_batch(fwd, max_batch=4)
+    x3 = jax.random.normal(KEY, (3, 16, 16, 3))
+    assert served(params, x3).shape[0] == 3 and calls[-1] == 3
+    x10 = jax.random.normal(jax.random.fold_in(KEY, 1), (10, 16, 16, 3))
+    y = served(params, x10)
+    assert y.shape[0] == 10 and calls[-3:] == [4, 4, 2]
+    assert jnp.max(jnp.abs(y - fwd(params, x10))) < 1e-6
+
+    # composes with pad_batch to clamp both ends of the sweep
+    both = pad_batch(chunk_batch(fwd, 4), 2)
+    x1 = jax.random.normal(jax.random.fold_in(KEY, 2), (1, 16, 16, 3))
+    assert both(params, x1).shape[0] == 1 and calls[-1] == 2
+
+
+def test_chunk_batch_rejects_batchfree_leaves():
+    import pytest
+
+    from convnet_approximater_tpu.deploy import chunk_batch
+
+    def fwd(x):
+        return {"logits": x * 2.0, "aux_scalar": jnp.float32(1.0)}
+
+    served = chunk_batch(fwd, max_batch=2)
+    with pytest.raises(ValueError, match="no leading batch dim"):
+        served(jnp.ones((5, 3)))

@@ -1,0 +1,149 @@
+"""Serving auto-planner (deploy_planner.plan_serving): candidate synthesis,
+ranking, the dense never-lose floor, and the min_agree accuracy gate."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from convnet_approximater_tpu.deploy_planner import (
+    apply_app,
+    default_candidates,
+    plan_serving,
+    plan_to_json,
+)
+from convnet_approximater_tpu.models import ConvNeXt
+
+KEY = jax.random.key(0)
+SHAPE = (4, 32, 32, 3)
+
+
+def _make_convnext():
+    # fold_in: every candidate must see the SAME weights (the planner
+    # compares surfaces of one model, not different random models)
+    m = ConvNeXt(num_classes=10, depths=(1, 1, 1, 1), dims=(8, 12, 16, 20))
+    v = {"params": m.init(jax.random.fold_in(KEY, 7)), "state": {}}
+    return m, v
+
+
+def _fake_timer(times_by_name):
+    def time_fn(name, model, variables, shape, dtype):
+        return times_by_name.get(name, 1.0)
+    return time_fn
+
+
+def test_default_candidates_cover_convnext():
+    m, _ = _make_convnext()
+    names = [n for n, _ in default_candidates(m)]
+    # ConvNeXt has depthwise 7x7s AND dense kxk (downsample) convs
+    assert names[0] == "dense/bfloat16"
+    assert "int8" in names
+    assert any(n.startswith("v3/") for n in names)
+    assert any(n.startswith("dwsep/") and "int8" not in n for n in names)
+    assert any("dwsep" in n and "int8" in n for n in names)
+
+
+def test_planner_picks_fastest_qualified():
+    fake = _fake_timer({"dense/float32": 0.010, "dense/bfloat16": 0.008,
+                        "int8": 0.004, "v3/e=0.9": 0.006,
+                        "dwsep/r=1": 0.007, "dwsep/r=1+int8": 0.005})
+    plan = plan_serving(_make_convnext, SHAPE, time_fn=fake,
+                        min_agree=0.0, verbose=False)
+    assert plan["winner"] == "int8"
+    assert plan["speedup_vs_dense"] == pytest.approx(2.0)
+    rows = {r["name"]: r for r in plan["report"]}
+    assert rows["dense/float32"]["note"] == "reference (context only)"
+    assert not rows["dense/float32"]["qualified"]
+    assert all(r["qualified"] for n, r in rows.items()
+               if n != "dense/float32")
+    # the winning surface is returned and runs at the serving dtype
+    y, _, _ = plan["model"].apply(plan["variables"]["params"],
+                                  jnp.ones(SHAPE, jnp.bfloat16),
+                                  state=plan["variables"]["state"],
+                                  training=False)
+    assert y.shape == (SHAPE[0], 10)
+
+
+def test_min_agree_gate_falls_back_to_dense():
+    """With an unreachable agreement bar every rewritten surface is
+    disqualified (needs_recovery) and the dense baseline wins even though
+    the fake timer says it is the slowest — the never-lose floor."""
+    fake = _fake_timer({"dense/bfloat16": 0.010, "int8": 0.001,
+                        "v3/e=0.9": 0.001, "dwsep/r=1": 0.001,
+                        "dwsep/r=1+int8": 0.001})
+    plan = plan_serving(_make_convnext, SHAPE, time_fn=fake,
+                        min_agree=1.1, verbose=False)
+    assert plan["winner"] == "dense/bfloat16"
+    for r in plan["report"]:
+        if r["name"] not in ("dense/float32", "dense/bfloat16") \
+                and r["ms"] is not None:
+            assert not r["qualified"]
+            assert "needs_recovery" in r["note"]
+
+
+def test_planner_real_timing_smoke():
+    """End-to-end with the real slope timer on tiny shapes (CPU)."""
+    plan = plan_serving(_make_convnext, (2, 32, 32, 3), num_iters=2,
+                        warmup=1, probe_batches=1, min_agree=0.0,
+                        verbose=False)
+    for r in plan["report"]:
+        if r["ms"] is not None:
+            assert r["ms"] > 0
+    j = plan_to_json(plan)
+    import json
+
+    json.dumps(j)  # persistable
+    assert j["winner"] == plan["winner"]
+    assert "model" not in j
+
+
+def test_apply_app_counts_and_skips():
+    """apply_app returns the rewrite count; a filter matching nothing
+    yields 0 (the planner's skip signal)."""
+    from convnet_approximater_tpu.core import DwSepRep
+    from convnet_approximater_tpu.filters import DepthwiseConvFilter
+    from convnet_approximater_tpu.models import AlexNet
+
+    m, v = _make_convnext()
+    n = apply_app(m, v, DwSepRep(ranks=1),
+                  [DepthwiseConvFilter()], KEY)
+    assert n == 4  # one dwconv per block, depths (1,1,1,1)
+
+    a = AlexNet(num_classes=10)
+    va = {"params": a.init(KEY), "state": {}}
+    n0 = apply_app(a, va, DwSepRep(ranks=1),
+                   [DepthwiseConvFilter()], KEY)
+    assert n0 == 0  # AlexNet has no depthwise convs
+
+
+def test_plan_serving_cli(tmp_path):
+    """scripts/plan_serving.py end to end on a tiny config: table printed,
+    plan JSON written, winner exported as a verified artifact."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = tmp_path / "tiny_convnext.py"
+    cfg.write_text(
+        "model = dict(type='ConvNeXt', num_classes=10,\n"
+        "             depths=(1, 1, 1, 1), dims=(8, 12, 16, 20))\n"
+        "seed = 0\n")
+    plan_path = tmp_path / "plan.json"
+    art = tmp_path / "winner.stablehlo"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/plan_serving.py"),
+         "--config", str(cfg), "--batch", "2",
+         "--input-size", "32", "32", "3", "--min-agree", "0.0",
+         "--out", str(plan_path), "--export", str(art),
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = r.stderr + r.stdout
+    assert "winner:" in out
+    plan = json.loads(plan_path.read_text())
+    assert plan["winner"] in {r_["name"] for r_ in plan["report"]}
+    assert art.exists() and (tmp_path / "winner.stablehlo.params.npz").exists()
+    meta = json.loads((tmp_path / "winner.stablehlo.meta.json").read_text())
+    assert meta["surface"] == plan["winner"]
