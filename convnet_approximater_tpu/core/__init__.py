@@ -1,5 +1,6 @@
 from .approximater import APP, Approximater, build_app
-from .low_rank_exp import LowRankExpV1, LowRankExpV2, LowRankExpV3
+from .low_rank_exp import (LowRankExpV1, LowRankExpV2, LowRankExpV3,
+                           LowRankExpV4)
 from .ffn_rep import FfnRep
 from .msca_rep import MscaProfile, MscaRep, MscaRepProfile
 from .dw_sep_rep import DwSepRep

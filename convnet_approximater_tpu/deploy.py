@@ -57,6 +57,7 @@ FOLD_TAILS: Dict[str, str] = {
     "LowRankExpConvV1": "d_conv",   # grouped bases -> 1x1 mix (bias carrier)
     "LowRankExpConvV2": "h_conv",   # vertical -> horizontal (bias carrier)
     "LowRankExpConvV3": "mix_conv", # dense kxk basis -> 1x1 mix
+    "LowRankExpConvV4": "out_conv", # Tucker-2: 1x1 -> kxk core -> 1x1
 }
 
 
@@ -531,6 +532,24 @@ def rematerialize_dense(module, params: dict):
         dtype = params["mix_conv"]["weight"].dtype
         W = jnp.einsum("uvcr,rn->uvcn", b_w, m_w[0, 0])
         bias = params["mix_conv"].get("bias")
+        conv = Conv2d(C, N, (kh, kw), stride=module.stride,
+                      padding=module.padding, bias=bias is not None)
+        new_p = {"weight": W.astype(dtype)}
+        if bias is not None:
+            new_p["bias"] = bias
+        return conv, new_p
+
+    from convnet_approximater_tpu.layers import LowRankExpConvV4
+
+    if isinstance(module, LowRankExpConvV4):
+        C, N = module.in_channels, module.out_channels
+        kh, kw = module.kernel_size
+        ci = params["in_conv"]["weight"].astype(jnp.float32)    # (1,1,C,r1)
+        g = params["core_conv"]["weight"].astype(jnp.float32)   # (kh,kw,r1,r2)
+        co = params["out_conv"]["weight"].astype(jnp.float32)   # (1,1,r2,N)
+        dtype = params["out_conv"]["weight"].dtype
+        W = jnp.einsum("ca,uvab,bn->uvcn", ci[0, 0], g, co[0, 0])
+        bias = params["out_conv"].get("bias")
         conv = Conv2d(C, N, (kh, kw), stride=module.stride,
                       padding=module.padding, bias=bias is not None)
         new_p = {"weight": W.astype(dtype)}

@@ -18,6 +18,8 @@ The default candidate set encodes the measured TPU deploy rules
   *measured per model*, not assumed.
 * ``v3`` — LowRankExpV3 channel-rank factorization of the dense kxk convs
   (auto-rank at ``v3_energy``), BN folded through the tails.
+* ``tucker`` — LowRankExpV4 Tucker-2 factorization of the same convs
+  (both channel modes compressed; deeper MAC cut at equal energy).
 * ``dwsep`` — DwSepRep separable split of square stride-1 depthwise convs
   (ConvNeXt-style), only offered when such convs exist.
 * ``dwsep+int8`` — the measured disjoint-layer stack (decompose the
@@ -122,7 +124,8 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
     mutating a FRESH model/variables pair into the candidate surface (cast
     to ``dtype`` where floating).
     """
-    from convnet_approximater_tpu.core import DwSepRep, LowRankExpV3
+    from convnet_approximater_tpu.core import (DwSepRep, LowRankExpV3,
+                                               LowRankExpV4)
     from convnet_approximater_tpu.deploy import fold_batchnorm
     from convnet_approximater_tpu.filters import DepthwiseConvFilter
 
@@ -149,6 +152,15 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
         fold_batchnorm(model, variables)  # folds through V3 mix_conv tails
         return model, _cast(variables)
 
+    def build_tucker(model, variables, rng, calib):
+        n = apply_app(model, variables,
+                      LowRankExpV4(energy=v3_energy),
+                      [_DenseKxKFilter()], rng)
+        if n == 0:
+            raise _NoTargets("no dense kxk convs")
+        fold_batchnorm(model, variables)  # folds through V4 out_conv tails
+        return model, _cast(variables)
+
     def build_dwsep(model, variables, rng, calib):
         n = apply_app(model, variables,
                       DwSepRep(ranks=dwsep_rank),
@@ -172,6 +184,7 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
            ("int8", build_int8)]
     if has_dense:
         out.append((f"v3/e={v3_energy}", build_v3))
+        out.append((f"tucker/e={v3_energy}", build_tucker))
     if has_dw:
         out.append((f"dwsep/r={dwsep_rank}", build_dwsep))
         out.append((f"dwsep/r={dwsep_rank}+int8", build_dwsep_int8))

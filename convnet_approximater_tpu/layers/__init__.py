@@ -1,7 +1,8 @@
 from .substitution import LAYER, Substitution, build_layer
 from .simple_conv import SimpleConv
 from .low_rank_conv import (LowRankExpConvV1, LowRankExpConvV2,
-                            LowRankExpConvV3, SeparableConv)
+                            LowRankExpConvV3, LowRankExpConvV4,
+                            SeparableConv)
 from .depth_separable_conv import CascadeConv, FixPaddingBias, FixPaddingBias2d, ParallelConv
 from .merged_ffn import MergedFFN
 from .msca import MSCA, MSCAProfile

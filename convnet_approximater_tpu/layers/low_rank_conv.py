@@ -403,3 +403,43 @@ class LowRankExpConvV3(Module):
     def __call__(self, params, x, ctx: Ctx):
         x = self.child("basis_conv", params, x, ctx)
         return self.child("mix_conv", params, x, ctx)
+
+
+@LAYER.register_module()
+class LowRankExpConvV4(Module):
+    """Tucker-2 factorization target (TPU extension; the Tucker analog of
+    the CP line in PAPERS.md — Lebedev et al. 1412.6553 / Kim et al. 2015):
+    1x1 conv C -> r1 (``in_conv``), dense k x k core r1 -> r2
+    (``core_conv``, carries the stride/padding), 1x1 conv r2 -> N
+    (``out_conv``, bias carrier).
+
+    W[n,c,u,v] ~= sum_{a,b} U_N[n,b] G[b,a,u,v] U_C[c,a] — rank over BOTH
+    channel modes of the kernel tensor.  Like V3 (= Tucker-1 on the output
+    mode) every factor is a dense conv, i.e. pure MXU work — no grouped
+    convs (the scheme-1 wall, doc/perf-notes.md).  MACs per output pixel:
+    s^2 C r1 + r1 r2 k^2 + r2 N  vs  C k^2 N (s = stride: the input 1x1
+    runs pre-stride) — at equal ranks the k^2 term shrinks from C k^2 r
+    (V3) to r1 r2 k^2, so the cut is much deeper whenever C >> r1.
+    """
+
+    def __init__(self, in_channels: int, out_channels: int, num_base,
+                 kernel_size, stride, padding):
+        super().__init__()
+        r1, r2 = (num_base if isinstance(num_base, (tuple, list))
+                  else (num_base, num_base))
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.num_base = (int(r1), int(r2))
+        self.kernel_size = to_2tuple(kernel_size)
+        self.stride = to_2tuple(stride)
+        self.padding = to_2tuple(padding)
+        self.in_conv = Conv2d(in_channels, self.num_base[0], 1, bias=False)
+        self.core_conv = Conv2d(self.num_base[0], self.num_base[1],
+                                self.kernel_size, stride=self.stride,
+                                padding=self.padding, bias=False)
+        self.out_conv = Conv2d(self.num_base[1], out_channels, 1)
+
+    def __call__(self, params, x, ctx: Ctx):
+        x = self.child("in_conv", params, x, ctx)
+        x = self.child("core_conv", params, x, ctx)
+        return self.child("out_conv", params, x, ctx)

@@ -38,6 +38,7 @@ def test_default_candidates_cover_convnext():
     assert names[0] == "dense/bfloat16"
     assert "int8" in names
     assert any(n.startswith("v3/") for n in names)
+    assert any(n.startswith("tucker/") for n in names)
     assert any(n.startswith("dwsep/") and "int8" not in n for n in names)
     assert any("dwsep" in n and "int8" in n for n in names)
 
