@@ -40,10 +40,11 @@ def main():
                     help="cross-entropy epochs (reference protocol: 10)")
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--samples", type=int, default=512)
-    ap.add_argument("--app", default="v1", choices=("v1", "v3"),
+    ap.add_argument("--app", default="v1", choices=("v1", "v3", "v4"),
                     help="v1: reference scheme-1 (9-row matrix); v3: "
                          "channel-rank factorization (5-row matrix — V3 "
-                         "has no separate decomposed form)")
+                         "has no separate decomposed form); v4: Tucker-2 "
+                         "(each --num-bases entry n becomes ranks (n, n))")
     ap.add_argument("--int8", action="store_true",
                     help="also evaluate the trained original under int8 PTQ "
                          "(fold -> calibrate on real batches -> quantize) — "
@@ -167,6 +168,9 @@ def main():
         if args.app == "v3":
             app_py = (f"dict(type='LowRankExpV3', "
                       f"num_bases={tuple(args.num_bases)})")
+        elif args.app == "v4":
+            app_py = (f"dict(type='LowRankExpV4', "
+                      f"num_bases={tuple((n, n) for n in args.num_bases)})")
         else:
             app_py = (f"dict(type='LowRankExpV1', max_iter=0, min_lmda=0, "
                       f"max_lmda=0, init_method='svd', lmda_length=1, "
@@ -216,7 +220,7 @@ hooks = {hooks_py}
     # reference row numbering: 2-5 undecomposed, 6-9 spatially decomposed
     # (V3 has no separate decomposed execution form: rows 2-5 only)
     variants = ((False, "approx"), (True, "decomp")) if args.app == "v1" \
-        else ((False, "v3"),)
+        else ((False, args.app),)
     for decomp, prefix in variants:
         pipeline("[]", f"{prefix}_none", decomp)
         pipeline(f"[{l2_hook}]", f"{prefix}_l2", decomp)

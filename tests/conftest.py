@@ -88,6 +88,8 @@ _SLOW_TESTS = {
     "test_deploy_planner.py::test_min_agree_gate_falls_back_to_dense",
     "test_deploy_planner.py::test_planner_real_timing_smoke",
     "test_deploy_planner.py::test_plan_serving_cli",
+    "test_low_rank_v4.py::test_v4_pipeline_config",
+    "test_low_rank_v4.py::test_v4_finetune_reduces_l2_norm",
 }
 
 

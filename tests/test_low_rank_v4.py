@@ -187,3 +187,38 @@ hooks = []
     x = jax.random.normal(KEY, (2, 224, 224, 3))
     y = runner.model(runner.variables["params"], x, Ctx(training=False))
     assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_v4_finetune_reduces_l2_norm(tmp_path):
+    """V4 works through the full L2Reconstruct recovery machinery: the
+    teacher rebuild re-runs initialize() after rewind() (the rank cursor
+    must reset), and training reduces the reconstruction norm."""
+    from convnet_approximater_tpu.runner import Runner
+    from convnet_approximater_tpu.utils import init_cfg, update_cfg
+
+    cfg_text = """
+model = dict(type="AlexNet", num_classes=4)
+app = dict(type="LowRankExpV4", num_bases=((16, 24), (24, 16)))
+filters = [dict(type="SimpleConvFilter"),
+           dict(type="IndicesFilter", indices=(2, 3))]
+hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
+    cls_weight=0.0,
+    dataset_args=dict(batch_size=8),
+    data_config=dict(image_size=(64, 64)),
+    optim_args=dict(opt="adamw", lr=5e-3, weight_decay=0.0),
+    sche_args=dict(epochs=3),
+    other_args=dict(num_classes=4, max_steps_per_epoch=3, max_eval_batches=1,
+                    log_interval=100, use_mesh=False),
+)]
+"""
+    p = tmp_path / "v4_ft.py"
+    p.write_text(cfg_text)
+    init_cfg(str(p))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="v4_ft", seed=0)
+    runner = Runner(skip_post=True)
+    runner.run()
+    csv = open(str(tmp_path / "work" / "summary.csv")).read().strip().split("\n")
+    header = csv[0].split(",")
+    norm_idx = header.index("train_norm")
+    norms = [float(r.split(",")[norm_idx]) for r in csv[1:]]
+    assert norms[-1] < norms[0]
