@@ -383,9 +383,14 @@ class LowRankExpV4(Approximater):
 
     _src_type = Conv2d
     _tgt_type = "LowRankExpConvV4"
+    # tells CalibrationHook which input statistic to stream: Tucker's C-mode
+    # whitening needs only the C x C channel second moment (V3's full-patch
+    # moment weights a space Tucker cannot represent per mode)
+    calibration_stat = "channels"
 
     def __init__(self, num_bases=None, energy: float = None,
-                 hooi_iters: int = 3, deploy: bool = False):
+                 hooi_iters: int = 3, data_driven: bool = False,
+                 ridge: float = 1e-6, deploy: bool = False):
         super().__init__(deploy=deploy)
         # per-layer ranks: a tuple cursor of (r1, r2) pairs (an int means
         # r1 == r2), OR energy=tau for automatic per-mode rank selection
@@ -397,9 +402,20 @@ class LowRankExpV4(Approximater):
         self.num_bases = num_bases
         self.energy = energy
         self.hooi_iters = int(hooi_iters)
+        # data_driven=True + a CalibrationHook: whiten the INPUT-CHANNEL
+        # mode by the calibration channel second moment Sigma_c, so the
+        # Tucker projection minimizes the response-weighted error
+        # ||(W - What) x_I Sigma_c^(1/2)||_F^2 (channel-stationary
+        # approximation of the full patch weighting V3 uses)
+        self.data_driven = data_driven
+        self.ridge = ridge
+        self._xcov = {}
         self._auto_r = None
         self.curr = 0
         self._opt_curr = 0
+
+    def set_calibration(self, index: int, xcov):
+        self._xcov[index] = xcov
 
     def rewind(self):
         self.curr = 0
@@ -461,11 +477,23 @@ class LowRankExpV4(Approximater):
 
     def optimize(self, sub: Substitution, params: dict):
         logger = get_logger()
+        index = self._opt_curr
         self._opt_curr += 1
         tgt = sub.new_module
         W4 = hwio_to_oihw(params["old"]["weight"]).astype(jnp.float32)
         N, C, kh, kw = W4.shape
         r1, r2 = tgt.num_base
+        xcov = self._xcov.get(index) if self.data_driven else None
+        inv_half = None
+        if xcov is not None:
+            # symmetric sqrt of the C x C channel moment, eigenvalue-clipped
+            lam, Q = jnp.linalg.eigh(xcov.astype(jnp.float32))
+            lam = jnp.maximum(lam, self.ridge * jnp.max(lam))
+            s_half = (Q * jnp.sqrt(lam)[None, :]) @ Q.T
+            inv_half = (Q / jnp.sqrt(lam)[None, :]) @ Q.T
+            W4 = jnp.einsum("ncuv,cd->nduv", W4, s_half)
+            logger.info(f"data-driven channel-whitened solve "
+                        f"(xcov index {index}, C={C})")
         # HOSVD init: truncated per-mode SVDs of the unfoldings
         U_N = self._left_sv(W4.reshape(N, -1), r2)
         U_C = self._left_sv(W4.transpose(1, 0, 2, 3).reshape(C, -1), r1)
@@ -476,15 +504,21 @@ class LowRankExpV4(Approximater):
             S = jnp.einsum("ncuv,nb->cbuv", W4, U_N)       # x_O U_N^T
             U_C = self._left_sv(S.reshape(C, -1), r1)
         G = jnp.einsum("ncuv,nb,ca->bauv", W4, U_N, U_C)   # (r2, r1, kh, kw)
+        pce_num, pce_den = jnp.sum(G ** 2), jnp.sum(W4 ** 2)
+        if inv_half is not None:
+            # un-whiten the input factor: What = (G x_O U_N x_I U_C~)
+            # x_I Sigma^(-1/2)  =>  U_C' = Sigma^(-1/2) @ U_C~ (symmetric)
+            U_C = inv_half @ U_C
         # in_conv: (r1, C, 1, 1) = U_C^T; out_conv: (N, r2, 1, 1) = U_N
         params["new"]["in_conv"]["weight"] = oihw_to_hwio(
             U_C.T[:, :, None, None])
         params["new"]["core_conv"]["weight"] = oihw_to_hwio(G)
         params["new"]["out_conv"]["weight"] = oihw_to_hwio(
             U_N[:, :, None, None])
-        # retained Frobenius energy of the Tucker-2 projection (||G||^2 /
-        # ||W||^2 — exact because both factors are orthonormal)
-        pce = jnp.sum(G ** 2) / jnp.maximum(jnp.sum(W4 ** 2), 1e-30)
+        # retained Frobenius energy of the Tucker-2 projection (in the
+        # whitened metric when data-driven; exact because the HOOI factors
+        # are orthonormal there)
+        pce = pce_num / jnp.maximum(pce_den, 1e-30)
         logger.info(f"PC Energy = {float(pce)}")
 
     def _postprocess(self, sub: Substitution, params: dict):

@@ -34,6 +34,15 @@ def strip_second_moment(x, kh: int):
     return (v.T @ v) / v.shape[0]
 
 
+def channel_second_moment(x):
+    """Second moment of single pixels over channels: x (B, H, W, C) ->
+    Sigma (C, C) — the statistic ``LowRankExpV4``'s channel-mode whitening
+    weights its input factor with."""
+    B, H, W, C = x.shape
+    v = x.reshape(B * H * W, C)
+    return (v.T @ v) / v.shape[0]
+
+
 def patch_second_moment(x, kh: int, kw: int):
     """Second moment of FULL k x k patches: x (B, H, W, C) ->
     Sigma (C*kh*kw, C*kh*kw), flat index (c, u, v) = c*kh*kw + u*kw + v —
@@ -109,6 +118,8 @@ class CalibrationHook(Hook):
                 if stat == "patches":
                     kw = src.kernel_size[1] if hasattr(src, "kernel_size") else 1
                     sm = patch_second_moment(taps[key], kh, kw)
+                elif stat == "channels":
+                    sm = channel_second_moment(taps[key])
                 else:
                     sm = strip_second_moment(taps[key], kh)
                 moments[idx] = moments.get(idx, 0) + sm

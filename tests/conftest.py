@@ -90,6 +90,7 @@ _SLOW_TESTS = {
     "test_deploy_planner.py::test_plan_serving_cli",
     "test_low_rank_v4.py::test_v4_pipeline_config",
     "test_low_rank_v4.py::test_v4_finetune_reduces_l2_norm",
+    "test_low_rank_v4.py::test_v4_calibration_hook_plumbing",
 }
 
 

@@ -222,3 +222,62 @@ hooks = [dict(type="L2Reconstruct", priority=50, asym=True, l2_weight=1.0,
     norm_idx = header.index("train_norm")
     norms = [float(r.split(",")[norm_idx]) for r in csv[1:]]
     assert norms[-1] < norms[0]
+
+
+def test_v4_data_driven_beats_plain_on_correlated_inputs():
+    """Channel-mode whitening minimizes the response error under the
+    calibration channel moment; on inputs confined to a low-dim channel
+    subspace it must beat the plain kernel-HOOI at the same ranks."""
+    from convnet_approximater_tpu.hooks.calibration import (
+        channel_second_moment)
+
+    C, k, N = 8, 3, 16
+    conv = Conv2d(C, N, k, padding=0, bias=False)
+    params = conv.init(KEY)
+    # inputs on a 2-dim channel subspace + small noise
+    z = jax.random.normal(jax.random.fold_in(KEY, 7), (4, 12, 12, 2))
+    mixmat = jax.random.normal(jax.random.fold_in(KEY, 8), (2, C))
+    x = jnp.einsum("bhwz,zc->bhwc", z, mixmat)
+    x = x + 0.01 * jax.random.normal(jax.random.fold_in(KEY, 9), x.shape)
+    y0 = conv(params, x, Ctx(training=False))
+
+    def response_err(app):
+        sub, sp = app.initialize(conv, dict(params), KEY)
+        app.optimize(sub, sp)
+        tgt, tp = app.postprocess(sub, sp)
+        y = tgt(tp, x, Ctx(training=False))
+        return float(jnp.linalg.norm(y - y0))
+
+    ranks = ((3, 8),)
+    e_plain = response_err(LowRankExpV4(num_bases=ranks))
+    app_dd = LowRankExpV4(num_bases=ranks, data_driven=True)
+    app_dd.set_calibration(0, channel_second_moment(x))
+    e_dd = response_err(app_dd)
+    assert e_dd < e_plain, (e_dd, e_plain)
+
+
+def test_v4_calibration_hook_plumbing(tmp_path):
+    """CalibrationHook streams the 'channels' stat into a data-driven V4
+    through the Runner pipeline (set_calibration per switchable index)."""
+    from convnet_approximater_tpu.runner import Runner
+    from convnet_approximater_tpu.utils import init_cfg, update_cfg
+
+    cfg_text = """
+model = dict(type="AlexNet", num_classes=4)
+app = dict(type="LowRankExpV4", num_bases=((16, 16), (16, 16)),
+           data_driven=True)
+filters = [dict(type="SimpleConvFilter"),
+           dict(type="IndicesFilter", indices=(2, 3))]
+hooks = [dict(type="CalibrationHook", priority=45, num_batches=1,
+              batch_size=2, image_size=(64, 64))]
+"""
+    p = tmp_path / "v4dd.py"
+    p.write_text(cfg_text)
+    init_cfg(str(p))
+    update_cfg(work_dir=str(tmp_path / "work"), config_name="v4dd", seed=0)
+    runner = Runner()
+    runner.run()
+    assert sorted(runner.app._xcov) == [0, 1]
+    # channel moments: (C, C) per site (AlexNet convs 2-3 have C=64, 192)
+    assert runner.app._xcov[0].shape == (64, 64)
+    assert runner.app._xcov[1].shape == (192, 192)
