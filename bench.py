@@ -109,15 +109,11 @@ def time_apply(model, variables, x, n1=16, n2=64, repeats=3):
 
 
 def run_pipeline(model, variables, app, filters):
-    model.register_switchable(app.src_type, filters)
-    for idx in range(model.length_switchable):
-        name = model.switchable_names[idx]
-        src = model.get_switchable_module(idx)
-        sub, sp = app.initialize(src, tree_get(variables["params"], name), _stable_fold(KEY, name))
-        model.set_switchable_module(idx, sub, variables, {"params": sp})
-        app.optimize(sub, sp)
-        mod, np_ = app.postprocess(sub, sp)
-        model.set_switchable_module(idx, mod, variables, {"params": np_})
+    # the canonical 4-phase loop lives in deploy_planner.apply_app (review
+    # r4: two drifting copies of the substitution loop is a bug farm)
+    from convnet_approximater_tpu.deploy_planner import apply_app
+
+    apply_app(model, variables, app, filters, KEY)
     return model, variables
 
 

@@ -73,7 +73,8 @@ class DwSepRep(Approximater):
             cum = jnp.cumsum(lbd, axis=1) / jnp.maximum(
                 jnp.sum(lbd, axis=1, keepdims=True), 1e-30)
             mean_cum = jnp.mean(cum, axis=0)
-            self._auto_r = int(jnp.searchsorted(mean_cum, self.energy)) + 1
+            self._auto_r = min(int(jnp.searchsorted(mean_cum, self.energy)) + 1,
+                               int(mean_cum.shape[0]))
             get_logger().info(
                 f"auto rank: {self._auto_r}/{int(mean_cum.shape[0])} "
                 f"(mean channel energy >= {self.energy})")

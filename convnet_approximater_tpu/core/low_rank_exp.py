@@ -74,7 +74,8 @@ class LowRankExpV1(Approximater):
             s = jnp.linalg.svd(W4.reshape(N * C, -1), compute_uv=False)
             lbd = s ** 2
             cum = jnp.cumsum(lbd) / jnp.maximum(jnp.sum(lbd), 1e-30)
-            self._auto_m = int(jnp.searchsorted(cum, self.energy)) + 1
+            self._auto_m = min(int(jnp.searchsorted(cum, self.energy)) + 1,
+                               int(cum.shape[0]))
             get_logger().info(
                 f"auto bases: {self._auto_m}/{int(s.shape[0])} "
                 f"(energy >= {self.energy})")
@@ -297,7 +298,8 @@ class LowRankExpV3(Approximater):
             s = jnp.linalg.svd(W4.reshape(N, -1), compute_uv=False)
             lbd = s ** 2
             cum = jnp.cumsum(lbd) / jnp.maximum(jnp.sum(lbd), 1e-30)
-            self._auto_r = int(jnp.searchsorted(cum, self.energy)) + 1
+            self._auto_r = min(int(jnp.searchsorted(cum, self.energy)) + 1,
+                               int(cum.shape[0]))
             get_logger().info(
                 f"auto rank: {self._auto_r}/{int(s.shape[0])} "
                 f"(energy >= {self.energy})")
@@ -437,8 +439,12 @@ class LowRankExpV4(Approximater):
         if self.energy is not None:
             W4 = hwio_to_oihw(src_params["weight"]).astype(jnp.float32)
             cum_o, cum_i = self._mode_energies(W4)
-            r2 = int(jnp.searchsorted(cum_o, self.energy)) + 1
-            r1 = int(jnp.searchsorted(cum_i, self.energy)) + 1
+            # clamp: f32 rounding can leave cum[-1] slightly below an
+            # energy of 1.0, which would select a rank past the spectrum
+            r2 = min(int(jnp.searchsorted(cum_o, self.energy)) + 1,
+                     int(cum_o.shape[0]))
+            r1 = min(int(jnp.searchsorted(cum_i, self.energy)) + 1,
+                     int(cum_i.shape[0]))
             self._auto_r = (r1, r2)
             get_logger().info(
                 f"auto ranks: r1={r1}/{int(cum_i.shape[0])} "

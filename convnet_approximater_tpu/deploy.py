@@ -894,7 +894,8 @@ def chunk_batch(fn, max_batch: int = 128):
     smaller final remainder (each distinct remainder size compiles once,
     persistent cache) — and concatenates outputs along the leading axis.
     Same batch-major output contract as ``pad_batch``, asserted per leaf.
-    Compose as ``pad_batch(chunk_batch(fn, knee), 2)`` to clamp both ends.
+    Compose as ``chunk_batch(pad_batch(fn, 2), knee)`` to clamp both ends
+    (pad inside chunk, so a size-1 remainder chunk still gets padded).
     """
 
     def wrapped(*args):

@@ -89,6 +89,7 @@ class _DenseKxKFilter(ModuleFilter):
     def filter(self, module) -> bool:
         assert isinstance(module, Conv2d)
         return (module.groups == 1
+                and module.dilation == (1, 1)  # V3/V4 reject dilated convs
                 and min(module.kernel_size) >= self.min_kernel
                 and module.in_channels >= self.min_in)
 
@@ -138,6 +139,10 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
                 "state": variables.get("state", {})}
 
     def build_dense(model, variables, rng, calib):
+        # the dense SERVING surface folds BN too (the measured convention
+        # every doc number uses; exact at inference) — otherwise the
+        # baseline is artificially slow and speedup_vs_dense inflates
+        fold_batchnorm(model, variables)
         return model, _cast(variables)
 
     def build_int8(model, variables, rng, calib):
@@ -283,7 +288,11 @@ def plan_serving(make: Callable[[], Tuple[object, dict]],
     if candidates is None:
         candidates = default_candidates(ref_model, dtype=dtype)
 
-    dense_name = candidates[0][0]
+    # the never-lose exemption applies to the dense baseline ONLY — found
+    # by name so a custom candidates list without one gets no silent
+    # accuracy-gate bypass (every row then faces min_agree)
+    dense_name = next((n for n, _ in candidates if n.startswith("dense/")),
+                      None)
     report = [{"name": "dense/float32", "ms": t_f32 * 1e3,
                "img_per_s": input_shape[0] / t_f32, "agree": 1.0,
                "qualified": False, "note": "reference (context only)"}]
@@ -311,9 +320,15 @@ def plan_serving(make: Callable[[], Tuple[object, dict]],
                         f"agree {agree:.3f}" + (f" | {note}" if note else ""))
 
     qualified_rows = [r for r in report if r["qualified"]]
+    if not qualified_rows:
+        raise ValueError(
+            "no candidate qualified (custom candidates list without a "
+            "dense/* baseline and nothing met min_agree) — lower min_agree "
+            "or include a dense baseline")
     winner_row = min(qualified_rows, key=lambda r: r["ms"])
     winner = winner_row["name"]
-    dense_row = next(r for r in report if r["name"] == dense_name)
+    dense_row = next((r for r in report if r["name"] == dense_name),
+                     report[0])  # fall back to the f32 reference row
     model, variables = surfaces[winner]
     if verbose:
         logger.info(f"[plan] winner: {winner} "

@@ -49,9 +49,13 @@ def ladder(name, build, x, ffn_idxs):
     fold_batchnorm(mc, vc)
     enable_pw_matmul(mc)
     xs = x[:2]
-    err = float(jnp.max(jnp.abs(jit_logits(mc, vc, xs)
-                                - jit_logits(mb, vb, xs))))
-    log(f"  exactness: max|dy| = {err:.3e}")
+    yb = jit_logits(mb, vb, xs)
+    err = float(jnp.max(jnp.abs(jit_logits(mc, vc, xs) - yb))
+                / (jnp.max(jnp.abs(yb)) + 1e-12))
+    log(f"  exactness: rel max|dy| = {err:.3e}")
+    # relative gate: seg logits at 512^2 carry larger magnitudes, so the
+    # f32 rounding residual scales with them (measured 9.9e-3 absolute)
+    assert err < 1e-3, f"exact rewrites drifted on {name}: {err}"
     t_c = time_apply(mc, vc, x)
     log(f"  d1+fix + exact rewrites: {t_c * 1e3:.3f} ms "
         f"({t_a / t_c:.3f}x vs orig, was {t_a / t_b:.3f}x)")

@@ -134,16 +134,18 @@ def main():
         base_u8 = lambda x: _fwd_u8(params, x)
         if data_sh is not None:
             base_u8 = (lambda f: lambda x: f(jax.device_put(x, data_sh)))(base_u8)
-        if args.max_batch:
-            base_u8 = chunk_batch(base_u8, args.max_batch)
+        # pad INSIDE chunk: a remainder chunk of size 1 must still get
+        # the min-batch padding (b=1 tiling degeneracy)
         fwd = pad_batch(base_u8, args.min_batch)
+        if args.max_batch:
+            fwd = chunk_batch(fwd, args.max_batch)
     else:
         base = lambda x: served_fn(params, x)
         if data_sh is not None:
             base = (lambda f: lambda x: f(jax.device_put(x, data_sh)))(base)
-        if args.max_batch:
-            base = chunk_batch(base, args.max_batch)
         fwd = pad_batch(base, args.min_batch)
+        if args.max_batch:
+            fwd = chunk_batch(fwd, args.max_batch)
 
     size = (args.image_size, args.image_size)
     ds = Synthetic(max(args.batch * 4, 64), size + (3,), 1000)

@@ -443,10 +443,15 @@ def test_chunk_batch_wrapper():
     assert y.shape[0] == 10 and calls[-3:] == [4, 4, 2]
     assert jnp.max(jnp.abs(y - fwd(params, x10))) < 1e-6
 
-    # composes with pad_batch to clamp both ends of the sweep
-    both = pad_batch(chunk_batch(fwd, 4), 2)
+    # composes with pad_batch to clamp both ends of the sweep — pad INSIDE
+    # chunk, so a size-1 remainder chunk still gets the min-batch padding
+    both = chunk_batch(pad_batch(fwd, 2), 4)
     x1 = jax.random.normal(jax.random.fold_in(KEY, 2), (1, 16, 16, 3))
     assert both(params, x1).shape[0] == 1 and calls[-1] == 2
+    x9 = jax.random.normal(jax.random.fold_in(KEY, 3), (9, 16, 16, 3))
+    y9 = both(params, x9)
+    assert y9.shape[0] == 9 and calls[-3:] == [4, 4, 2]  # remainder padded
+    assert jnp.max(jnp.abs(y9 - fwd(params, x9))) < 1e-6
 
 
 def test_chunk_batch_rejects_batchfree_leaves():

@@ -148,8 +148,8 @@ def test_v4_fold_batchnorm_through_out_conv():
     m = nn.Sequential(Conv2d(4, 8, 3, padding=1), nn.BatchNorm2d(8))
     v = {"params": m.init(KEY), "state": m.init_state()}
     # give BN a non-trivial state so the fold is observable
-    v["state"]["1"]["running_mean"] = jnp.linspace(-1, 1, 8)
-    v["state"]["1"]["running_var"] = jnp.linspace(0.5, 2.0, 8)
+    v["state"]["1"]["mean"] = jnp.linspace(-1, 1, 8)
+    v["state"]["1"]["var"] = jnp.linspace(0.5, 2.0, 8)
     tgt, tp = _solve(m[0], dict(v["params"]["0"]), (4, 8))
     m.set_submodule("0", tgt)
     v["params"]["0"] = tp
