@@ -723,6 +723,152 @@ def never_lose_deploy(model, variables: dict, input_shape, dtype=jnp.float32,
     return result
 
 
+def arbitrated_apply(model, variables: dict, app, filters, input_shape,
+                     dtype=jnp.float32, rng=None, num_iters: int = 10,
+                     margin: float = 0.03, greedy: bool = True,
+                     time_fn=None, group_fn=None, verbose: bool = True) -> dict:
+    """Measured per-site substitution: apply ``app`` only where it WINS.
+
+    Generalizes :func:`never_lose_deploy` from "decomposed vs derived dense
+    re-materialization" to ANY approximater: each site's baseline form is its
+    ORIGINAL module + param/state subtrees, snapshotted before substitution,
+    so no inverse (``rematerialize_dense``) is needed.  Built for the exact
+    rewrites (``FfnRep``, ``MscaRep``, BN-type-agnostic merges) where both
+    forms compute the same function and only wall-clock differs — the
+    motivating measurement is MSCAN-S f32 FfnRep: the merge wins on stage 1
+    (10.81 ms) and loses with stage 2 added (11.04 ms) while MSCAN-t keeps
+    all six (doc/perf-notes.md round-4 "exact-rewrite transfer"), a
+    per-family hand tuning this arbiter automates.  Mirrors the reference's
+    per-layer ``IndicesFilter`` workflow
+    (``/root/reference/src/approx/filters/indices_filter.py``) with the index
+    choice made by measurement instead of by hand.
+
+    Protocol (same shape as ``never_lose_deploy``): substitute every
+    registered site, time the model; restore every site, time the baseline;
+    whole-model win beyond ``margin`` keeps everything substituted, else
+    (``greedy=True``) re-apply one site at a time keeping model-level wins.
+    O(L) compiles, a one-shot deploy cost.  Edits ``model``/``variables`` in
+    place; returns the per-site decision table and timings.
+
+    ``group_fn(site_name) -> key`` coarsens the greedy unit: sites sharing a
+    key toggle together (one timing per GROUP, not per site).  The measured
+    decisions are stage-granular on every family probed (MSCAN-t keeps
+    stages 1-2, MSCAN-S stage 1 only, SegNeXt@512² none), so grouping by
+    stage prefix cuts 13 compiles to 4 on MSCAN-t with no decision lost.
+
+    Note on accuracy: unlike ``never_lose_deploy`` this arbiter is also
+    usable with LOSSY apps (V1/V3/V4) — but then "restore" means *undoing
+    the compression*, so only use it with lossy apps when the goal is pure
+    speed (the checkpoint keeps whichever form each site landed on).
+    """
+    from convnet_approximater_tpu.nn.module import _stable_fold
+    from convnet_approximater_tpu.utils.serialize import tree_get
+
+    if time_fn is None:
+        from convnet_approximater_tpu.hooks.inference_time_hook import (
+            time_forward,
+        )
+
+        def time_fn(m, v, shape, dt):
+            _, _, times = time_forward(m, v, shape, num_iters=num_iters,
+                                       warmup=2, dtype=dt)
+            return float(times.mean())
+
+    rng = rng if rng is not None else jax.random.key(0)
+    model.register_switchable(app.src_type, list(filters))
+
+    def _copy(tree):
+        # fresh containers, same (immutable) array leaves
+        return jax.tree_util.tree_map(lambda a: a, tree)
+
+    def _site_state(name):
+        try:
+            return _copy(tree_get(variables.get("state", {}), name))
+        except KeyError:
+            return {}
+
+    # snapshot originals, then substitute every site (the canonical 4-phase
+    # loop of deploy_planner.apply_app, recording both forms per site)
+    sites = []  # (idx, name, orig_mod, orig_p, orig_s, new_mod, new_p)
+    for idx in range(model.length_switchable):
+        name = model.switchable_names[idx]
+        src = model.get_switchable_module(idx)
+        orig_p = _copy(tree_get(variables["params"], name))
+        orig_s = _site_state(name)
+        sub, sp = app.initialize(src, tree_get(variables["params"], name),
+                                 _stable_fold(rng, name))
+        model.set_switchable_module(idx, sub, variables, {"params": sp})
+        app.optimize(sub, sp)
+        mod, np_ = app.postprocess(sub, sp)
+        model.set_switchable_module(idx, mod, variables, {"params": np_})
+        sites.append((idx, name, src, orig_p, orig_s, mod, np_))
+
+    result = dict(t_applied=None, t_original=None, layers=[], kept_applied=0)
+    if not sites:
+        return result
+
+    def set_site(site, applied: bool):
+        idx, name, orig_mod, orig_p, orig_s, new_mod, new_p = site
+        if applied:
+            model.set_switchable_module(idx, new_mod, variables,
+                                        {"params": new_p})
+        else:
+            model.set_switchable_module(idx, orig_mod, variables,
+                                        {"params": orig_p, "state": orig_s})
+
+    t_app = time_fn(model, variables, input_shape, dtype)
+    for site in sites:
+        set_site(site, applied=False)
+    t_orig = time_fn(model, variables, input_shape, dtype)
+    result["t_applied"], result["t_original"] = t_app, t_orig
+    if verbose:
+        from convnet_approximater_tpu.utils.logger import get_logger
+
+        get_logger().info(
+            f"arbitrated_apply[{type(app).__name__}]: applied "
+            f"{t_app * 1e3:.3f} ms vs original {t_orig * 1e3:.3f} ms "
+            f"({len(sites)} sites)")
+
+    if t_app < t_orig * (1.0 - margin):
+        for site in sites:  # substitution wins whole — restore it
+            set_site(site, applied=True)
+        result["layers"] = [dict(name=s[1], kept="applied") for s in sites]
+        result["kept_applied"] = len(sites)
+        result["t_final"] = t_app
+        return result
+
+    if group_fn is None:
+        groups = [[s] for s in sites]
+    else:
+        keyed = {}
+        for s in sites:
+            keyed.setdefault(group_fn(s[1]), []).append(s)
+        groups = list(keyed.values())
+
+    t_best = t_orig
+    for group in groups:
+        kept = "original"
+        if greedy:
+            for site in group:
+                set_site(site, applied=True)
+            t_try = time_fn(model, variables, input_shape, dtype)
+            if t_try < t_best * (1.0 - margin):
+                t_best, kept = t_try, "applied"
+                result["kept_applied"] += len(group)
+            else:
+                for site in group:
+                    set_site(site, applied=False)
+        result["layers"].extend(dict(name=s[1], kept=kept) for s in group)
+        if verbose:
+            from convnet_approximater_tpu.utils.logger import get_logger
+
+            names = ",".join(s[1] for s in group)
+            get_logger().info(f"arbitrated_apply: {names} -> {kept} "
+                              f"(best {t_best * 1e3:.3f} ms)")
+    result["t_final"] = t_best
+    return result
+
+
 def compile_serving(fn, *example_args):
     """Compile ``fn`` with XLA-chosen (AUTO) input layouts for serving.
 

@@ -117,22 +117,32 @@ class _NoTargets(Exception):
 
 
 def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
-                       dwsep_rank: int = 1):
+                       dwsep_rank: int = 1, input_shape=None):
     """Candidate builders applicable to ``probe_model``'s structure.
 
     Each entry is ``(name, build)`` with
     ``build(model, variables, rng, calib_batches) -> (model, variables)``
     mutating a FRESH model/variables pair into the candidate surface (cast
     to ``dtype`` where floating).
+
+    ``input_shape`` (the serving shape) enables the MSCA-rep candidates'
+    in-build ``arbitrated_apply`` FfnRep site selection to time at the
+    deployment batch; without it the calibration-batch shape is used.
     """
-    from convnet_approximater_tpu.core import (DwSepRep, LowRankExpV3,
-                                               LowRankExpV4)
-    from convnet_approximater_tpu.deploy import fold_batchnorm
+    from convnet_approximater_tpu.core import (DwSepRep, FfnRep,
+                                               LowRankExpV3, LowRankExpV4,
+                                               MscaRep)
+    from convnet_approximater_tpu.deploy import (arbitrated_apply,
+                                                 enable_pw_matmul,
+                                                 fold_batchnorm)
     from convnet_approximater_tpu.filters import DepthwiseConvFilter
+    from convnet_approximater_tpu.layers import MSCA
 
     dw_filter = DepthwiseConvFilter()
     has_dw = _has_module(probe_model, dw_filter.filter)
     has_dense = _has_module(probe_model, _DenseKxKFilter().filter)
+    # _has_module is Conv2d-scoped; MSCA is a composite attention module
+    has_msca = any(isinstance(m, MSCA) for _, m in probe_model.named_modules())
 
     def _cast(variables):
         return {"params": cast_floating(variables["params"], dtype),
@@ -185,6 +195,42 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
         # remainder untouched; quantize_int8 targets exactly that remainder
         return _build_int8(model, variables, dtype, calib)
 
+    def build_mscarep(model, variables, rng, calib):
+        # the measured best serving recipe for MSCA attention families
+        # (doc/perf-notes.md, doc/serving.md): MSCA-rep d1+fix+dconv0, then
+        # the FfnRep fc1/dconv exact merge arbitrated PER STAGE at the
+        # serving shape+dtype (the stage choice is family-dependent:
+        # MSCAN-t keeps stages 1-2, MSCAN-S stage 1 only, SegNeXt none),
+        # then BN fold + pw-matmul (bf16-only win).
+        from convnet_approximater_tpu.hooks.inference_time_hook import (
+            time_forward,
+        )
+
+        n = apply_app(model, variables,
+                      MscaRep(decomp=1, fix=True, decomp_conv0=True), [], rng)
+        if n == 0:
+            raise _NoTargets("no MSCA attention modules")
+        shape = (tuple(input_shape) if input_shape is not None
+                 else calib[0].shape)
+
+        def timed(m, v, s, dt):
+            # decisions must be made at the SERVING dtype (stage wins flip
+            # between f32 and bf16) — time a cast copy, keep the working
+            # tree f32 so the merge algebra + BN fold below stay exact
+            vv = _cast(v)
+            _, _, times = time_forward(m, vv, s, num_iters=6, warmup=2,
+                                       dtype=dtype)
+            return float(times.mean())
+
+        arbitrated_apply(model, variables, FfnRep(fix=True), [], shape,
+                         dtype=dtype, rng=rng, time_fn=timed,
+                         group_fn=lambda name: name.rsplit(".", 3)[0],
+                         verbose=False)
+        fold_batchnorm(model, variables)
+        if jnp.dtype(dtype) != jnp.float32:
+            enable_pw_matmul(model)  # measured bf16-only win (-0.13 ms)
+        return model, _cast(variables)
+
     out = [(f"dense/{jnp.dtype(dtype).name}", build_dense),
            ("int8", build_int8)]
     if has_dense:
@@ -193,6 +239,8 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
     if has_dw:
         out.append((f"dwsep/r={dwsep_rank}", build_dwsep))
         out.append((f"dwsep/r={dwsep_rank}+int8", build_dwsep_int8))
+    if has_msca:
+        out.append(("mscarep/d1+fix+dconv0+arb-ffnrep", build_mscarep))
     return out
 
 
@@ -286,7 +334,8 @@ def plan_serving(make: Callable[[], Tuple[object, dict]],
                     jnp.float32)
 
     if candidates is None:
-        candidates = default_candidates(ref_model, dtype=dtype)
+        candidates = default_candidates(ref_model, dtype=dtype,
+                                        input_shape=input_shape)
 
     # the never-lose exemption applies to the dense baseline ONLY — found
     # by name so a custom candidates list without one gets no silent

@@ -148,3 +148,43 @@ def test_plan_serving_cli(tmp_path):
     assert art.exists() and (tmp_path / "winner.stablehlo.params.npz").exists()
     meta = json.loads((tmp_path / "winner.stablehlo.meta.json").read_text())
     assert meta["surface"] == plan["winner"]
+
+
+def _make_mscan():
+    from convnet_approximater_tpu.models import MSCAN_Classifier
+
+    m = MSCAN_Classifier(num_channels=(8, 16), num_blocks=(2, 2),
+                         exp_ratios=(4, 4), num_classes=7)
+    v = {"params": m.init(jax.random.fold_in(KEY, 9)),
+         "state": m.init_state()}
+    return m, v
+
+
+def test_default_candidates_msca_gated_by_structure():
+    m, _ = _make_mscan()
+    names = [n for n, _ in default_candidates(m)]
+    assert any(n.startswith("mscarep/") for n in names)
+    m2, _ = _make_convnext()  # no MSCA attention -> no mscarep candidate
+    assert not any(n.startswith("mscarep/")
+                   for n, _ in default_candidates(m2))
+
+
+def test_planner_mscarep_candidate_builds():
+    """build_mscarep end to end on a tiny MSCAN: MSCA-rep + per-stage
+    arbitrated FfnRep + BN fold + cast; the surface runs and is ranked."""
+    shape = (2, 32, 32, 3)
+    cands = [c for c in default_candidates(_make_mscan()[0],
+                                           input_shape=shape)
+             if c[0].startswith(("dense/", "mscarep/"))]
+    plan = plan_serving(_make_mscan, shape, candidates=cands, num_iters=2,
+                        warmup=1, probe_batches=1, min_agree=0.0,
+                        verbose=False)
+    row = next(r for r in plan["report"] if r["name"].startswith("mscarep/"))
+    assert row["ms"] is not None and row["ms"] > 0
+    assert row["agree"] is not None
+    # surface executes at the serving dtype with BN folded
+    m, v = plan["model"], plan["variables"]
+    if plan["winner"].startswith("mscarep/"):
+        y, _, _ = m.apply(v["params"], jnp.ones(shape, jnp.bfloat16),
+                          state=v["state"], training=False)
+        assert y.shape == (2, 7)
