@@ -306,6 +306,25 @@ def quantize_int8(model, variables: dict, calib_batches, filter_fn=None,
     return n
 
 
+def qat_substitution_filter(model):
+    """``filter_fn`` excluding modules inside ``Substitution`` branches.
+
+    The measured disjoint-layer stacking rule (doc/serving.md): QAT covers
+    the dense remainder while substitutions cover their own sites.  Shared
+    by the ``PrepareQAT`` hook and ``export_model``'s structural replay so
+    the training-time and export-time module selections cannot drift.
+    """
+    from convnet_approximater_tpu.layers.substitution import Substitution
+
+    prefixes = tuple(path + "." for path, mod in model.named_modules()
+                     if isinstance(mod, Substitution))
+
+    def filter_fn(path, mod):
+        return not path.startswith(prefixes) if prefixes else True
+
+    return filter_fn
+
+
 def prepare_qat(model, variables: dict, filter_fn=None, linears: bool = True,
                 momentum: float = 0.1, verbose: bool = False) -> int:
     """Swap dense ``Conv2d``/``Linear`` modules for their fake-quant QAT
@@ -1017,6 +1036,42 @@ def pad_batch(fn, min_batch: int = 2):
                     f"{getattr(a, 'shape', ())} has no leading batch dim "
                     f"== {min_batch}; pad_batch only wraps forwards whose "
                     f"outputs are all batch-major")
+            return a[:b]
+
+        return jax.tree_util.tree_map(_slice, y)
+
+    return wrapped
+
+
+def pad_batch_to_multiple(fn, multiple: int):
+    """Serving wrapper: pad any batch up to the next multiple of ``multiple``.
+
+    Data-parallel serving shards the batch over the mesh's data axis, which
+    requires ``b % n_devices == 0`` at ``device_put`` time; a request (or a
+    ``chunk_batch`` remainder chunk) of any other size would crash there.
+    Tiles the input rows up to the next multiple and slices every output
+    leaf back (same batch-major output contract as ``pad_batch``).  Shape
+    dispatch is host-side; each distinct padded size compiles once.
+    """
+    if multiple < 1:
+        raise ValueError(f"pad_batch_to_multiple: multiple={multiple}")
+
+    def wrapped(*args):
+        x = args[-1]
+        b = x.shape[0]
+        bp = -(-b // multiple) * multiple
+        if bp == b:
+            return fn(*args)
+        reps = -(-bp // b)
+        xp = jnp.concatenate([x] * reps, axis=0)[:bp]
+        y = fn(*args[:-1], xp)
+
+        def _slice(a):
+            if getattr(a, "ndim", 0) < 1 or a.shape[0] != bp:
+                raise ValueError(
+                    f"pad_batch_to_multiple: output leaf of shape "
+                    f"{getattr(a, 'shape', ())} has no leading batch dim "
+                    f"== {bp}; only batch-major forwards can be wrapped")
             return a[:b]
 
         return jax.tree_util.tree_map(_slice, y)

@@ -345,7 +345,10 @@ def plan_serving(make: Callable[[], Tuple[object, dict]],
     report = [{"name": "dense/float32", "ms": t_f32 * 1e3,
                "img_per_s": input_shape[0] / t_f32, "agree": 1.0,
                "qualified": False, "note": "reference (context only)"}]
-    surfaces = {}
+    # only the current-best QUALIFIED surface is retained — keeping every
+    # candidate's full param tree resident would hold N copies of the
+    # model at once and can spill/OOM during later candidates' timing
+    best = None  # (ms, name, model, variables)
     for name, build in candidates:
         model, variables = make()
         variables.setdefault("state", {})
@@ -363,7 +366,8 @@ def plan_serving(make: Callable[[], Tuple[object, dict]],
         report.append({"name": name, "ms": t * 1e3,
                        "img_per_s": input_shape[0] / t, "agree": agree,
                        "qualified": qualified, "note": note})
-        surfaces[name] = (model, variables)
+        if qualified and (best is None or t * 1e3 < best[0]):
+            best = (t * 1e3, name, model, variables)
         if verbose:
             logger.info(f"[plan] {name}: {t * 1e3:.3f} ms | "
                         f"agree {agree:.3f}" + (f" | {note}" if note else ""))
@@ -378,7 +382,8 @@ def plan_serving(make: Callable[[], Tuple[object, dict]],
     winner = winner_row["name"]
     dense_row = next((r for r in report if r["name"] == dense_name),
                      report[0])  # fall back to the f32 reference row
-    model, variables = surfaces[winner]
+    assert best is not None and best[1] == winner
+    model, variables = best[2], best[3]
     if verbose:
         logger.info(f"[plan] winner: {winner} "
                     f"({dense_row['ms'] / winner_row['ms']:.3f}x vs {dense_name})")

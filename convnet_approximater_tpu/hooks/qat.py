@@ -34,18 +34,13 @@ class PrepareQAT(Hook):
         self.include_substituted = include_substituted
 
     def after_optimize(self):
-        from convnet_approximater_tpu.deploy import prepare_qat
-        from convnet_approximater_tpu.layers.substitution import Substitution
+        from convnet_approximater_tpu.deploy import (
+            prepare_qat, qat_substitution_filter)
 
         model = self.runner.model
         filter_fn = None
         if not self.include_substituted:
-            prefixes = tuple(
-                path + "." for path, mod in model.named_modules()
-                if isinstance(mod, Substitution))
-
-            def filter_fn(path, mod):
-                return not path.startswith(prefixes) if prefixes else True
+            filter_fn = qat_substitution_filter(model)
 
         n = prepare_qat(model, self.runner.variables, filter_fn=filter_fn,
                         linears=self.linears, momentum=self.momentum)

@@ -35,6 +35,7 @@ homogeneous in-stage pipeline which threads state updates.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Callable, List, NamedTuple, Sequence
 
 import numpy as np
@@ -83,8 +84,11 @@ def _unit_flops(unit: Unit, h_shape, dtype=jnp.float32) -> float:
     try:
         c = jax.jit(unit.fn).lower(unit.params, unit.state, h).compile()
         return float((c.cost_analysis() or {}).get("flops", 0.0))
-    except Exception:
-        return 0.0
+    except Exception as e:  # backend without cost_analysis, relay hiccup
+        warnings.warn(f"pipeline FLOP probe failed for unit "
+                      f"'{unit.name}' ({type(e).__name__}: {e}); "
+                      f"its cost will be imputed from the other units")
+        return float("nan")
 
 
 def partition_units(costs: Sequence[float], n: int) -> List[List[int]]:
@@ -179,6 +183,11 @@ def build_model_pipeline(
         flops.append(_unit_flops(unit, h.shape, dtype))
         h = jax.eval_shape(unit.fn, unit.params, unit.state, h)
         shapes.append(h.shape)
+    # impute failed probes (NaN) from the measured mean so one bad unit
+    # can't silently degenerate the balance to a one-stage pile-up
+    ok = [f for f in flops if not np.isnan(f)]
+    fill = (sum(ok) / len(ok)) if ok else 1.0
+    flops = [fill if np.isnan(f) else f for f in flops]
     groups = partition_units(flops, n)
 
     # per-stage static layout: unit indices, input/output shapes

@@ -36,9 +36,19 @@ def main():
     ap.add_argument("--quantize", default=None, choices=["int8", "int8-qat"],
                     help="int8: PTQ with synthetic calibration; int8-qat: "
                          "the checkpoint is a QAT fine-tune (saved from a "
-                         "fold_batchnorm + prepare_qat model — e.g. "
-                         "demo_experiment --int8-qat) and its learned "
-                         "observer scales are converted directly")
+                         "PrepareQAT-hook / demo_experiment --int8-qat run) "
+                         "and its learned observer scales are converted "
+                         "directly; BN stays live (as trained)")
+    ap.add_argument("--qat-no-linears", action="store_true",
+                    help="the QAT run used PrepareQAT(linears=False) — "
+                         "replay the same conv-only selection")
+    ap.add_argument("--qat-include-substituted", action="store_true",
+                    help="the QAT run used include_substituted=True")
+    ap.add_argument("--qat-folded-bn", action="store_true",
+                    help="the QAT run folded BN BEFORE prepare_qat "
+                         "(demo_experiment --int8-qat style) — replay the "
+                         "fold pre-load; the config-wired PrepareQAT hook "
+                         "trains with BN live (default replay)")
     ap.add_argument("--never-lose", action="store_true")
     ap.add_argument("--no-fold-bn", action="store_true")
     ap.add_argument("--symbolic-batch", action="store_true",
@@ -108,13 +118,14 @@ def main():
         model.set_switchable_module(idx, tgt, variables, {"params": tgt_params})
     qat = args.quantize == "int8-qat"
     if qat:
-        # Replay the QAT training-time structural passes on the random init
-        # (fold removes the BN modules, prepare_qat swaps dense sites and
-        # seeds observer state slots), THEN load — the checkpoint's keys
-        # correspond to the post-fold, QAT-prepared tree, including the
-        # learned state/...::act_absmax observers.
+        # Replay the PrepareQAT hook's structural pass EXACTLY (the
+        # checkpoint's keys correspond to the QAT-prepared tree, incl. the
+        # learned state/.../act_absmax observers): NO BN fold — the hook
+        # trains with BN live, so the fake-quant numerics the fine-tune
+        # optimized include the f32 BN after each int8 conv — and the same
+        # Substitution-branch exclusion + linears selection as training.
         from convnet_approximater_tpu.deploy import (
-            convert_qat_to_int8, prepare_qat)
+            convert_qat_to_int8, prepare_qat, qat_substitution_filter)
 
         if args.never_lose:
             raise SystemExit("--never-lose is a dense-vs-decomposed arbiter; "
@@ -124,11 +135,26 @@ def main():
                              "checkpoint (the observers are learned, not "
                              "calibrated); use --quantize int8 for random-"
                              "init demo artifacts")
-        if not args.no_fold_bn:
+        if args.qat_folded_bn and not args.no_fold_bn:
             n = fold_batchnorm(model, variables)
-            logger.info(f"fold_batchnorm: {n} pairs (pre-load, structural)")
-        nq = prepare_qat(model, variables)
-        variables = load_model(variables, args.checkpoint)
+            logger.info(f"fold_batchnorm: {n} pairs (pre-QAT, replaying the "
+                        f"demo_experiment-style fold->prepare_qat flow)")
+        filter_fn = (None if args.qat_include_substituted
+                     else qat_substitution_filter(model))
+        nq = prepare_qat(model, variables, filter_fn=filter_fn,
+                         linears=not args.qat_no_linears)
+        # strict: the replayed structure MUST match the checkpoint — a
+        # flow mismatch (wrong --qat-* flags vs how the run was trained)
+        # would otherwise silently keep random-init BN/observer leaves
+        try:
+            variables = load_model(variables, args.checkpoint, strict=True)
+        except ValueError as e:
+            raise SystemExit(
+                f"{e}\nthe --qat-* replay flags must match the training "
+                f"run: --qat-folded-bn if it folded BN before prepare_qat "
+                f"(demo_experiment --int8-qat), --qat-no-linears / "
+                f"--qat-include-substituted to mirror PrepareQAT's "
+                f"settings") from e
     elif args.checkpoint:
         variables = load_model(variables, args.checkpoint)
     else:

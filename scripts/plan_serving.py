@@ -43,6 +43,12 @@ def main():
                     help="also export the WINNING surface as a verified "
                          "StableHLO artifact (+ .params.npz / .meta.json "
                          "sidecars, same layout as export_model.py)")
+    ap.add_argument("--norm-mean", type=float, nargs=3,
+                    default=(0.485, 0.456, 0.406),
+                    help="preprocessing mean recorded in the .meta.json "
+                         "sidecar (serve.py --ship-uint8 reads it)")
+    ap.add_argument("--norm-std", type=float, nargs=3,
+                    default=(0.229, 0.224, 0.225))
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -79,7 +85,13 @@ def main():
                        "accuracy-grade without a trained model)")
 
     probe, _ = make()
-    cands = default_candidates(probe, dtype=dtype, v3_energy=args.v3_energy)
+    # input_shape matters: the MSCA-rep candidate's arbitrated FfnRep
+    # decisions flip with batch/shape (stage wins are shape-dependent —
+    # doc/perf-notes.md), so arbitrate at the SERVING shape, not the
+    # calibration batch
+    cands = default_candidates(probe, dtype=dtype, v3_energy=args.v3_energy,
+                               input_shape=(args.batch,)
+                               + tuple(args.input_size))
     plan = plan_serving(make, (args.batch,) + tuple(args.input_size),
                         dtype=dtype, candidates=cands,
                         min_agree=args.min_agree, rng=rng)
@@ -122,6 +134,8 @@ def main():
         save_model(variables, args.export + ".params.npz")
         with open(args.export + ".meta.json", "w") as f:
             json.dump({"preprocessing": "normalized",
+                       "mean": list(args.norm_mean),
+                       "std": list(args.norm_std),
                        "surface": plan["winner"], "dtype": plan["dtype"],
                        "speedup_vs_dense": plan["speedup_vs_dense"]}, f)
         logger.info(f"winner '{plan['winner']}' exported -> {args.export} "

@@ -62,7 +62,8 @@ def main():
 
     from convnet_approximater_tpu.data import Loader, Synthetic
     from convnet_approximater_tpu.deploy import (chunk_batch, load_serving,
-                                             pad_batch)
+                                             pad_batch,
+                                             pad_batch_to_multiple)
     from convnet_approximater_tpu.utils.serialize import load_ckpt
 
     served_fn = load_serving(args.artifact)
@@ -81,7 +82,7 @@ def main():
         # a padded request must still split evenly over the data axis
         args.min_batch = max(args.min_batch, jax.device_count())
         print(f"data-parallel serving over {jax.device_count()} devices "
-              f"(batch must divide {jax.device_count()})", flush=True)
+              f"(non-dividing batches are padded up)", flush=True)
     else:
         params = jax.device_put(variables["params"])
     # the exported calling convention records the input contract (the last
@@ -113,7 +114,11 @@ def main():
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            norm_mean, norm_std = meta["mean"], meta["std"]
+            norm_mean = meta.get("mean", IMAGENET_DEFAULT_MEAN)
+            norm_std = meta.get("std", IMAGENET_DEFAULT_STD)
+            if "mean" not in meta:
+                print(f"warning: {meta_path} records no mean/std — "
+                      f"assuming ImageNet normalization", flush=True)
         else:
             print(f"warning: no {meta_path} — assuming ImageNet mean/std "
                   f"normalization (re-export with scripts/export_model.py "
@@ -134,6 +139,9 @@ def main():
         base_u8 = lambda x: _fwd_u8(params, x)
         if data_sh is not None:
             base_u8 = (lambda f: lambda x: f(jax.device_put(x, data_sh)))(base_u8)
+            # any batch reaching the data axis must divide the device
+            # count (incl. chunk_batch remainder chunks) — pad up
+            base_u8 = pad_batch_to_multiple(base_u8, jax.device_count())
         # pad INSIDE chunk: a remainder chunk of size 1 must still get
         # the min-batch padding (b=1 tiling degeneracy)
         fwd = pad_batch(base_u8, args.min_batch)
@@ -143,6 +151,7 @@ def main():
         base = lambda x: served_fn(params, x)
         if data_sh is not None:
             base = (lambda f: lambda x: f(jax.device_put(x, data_sh)))(base)
+            base = pad_batch_to_multiple(base, jax.device_count())
         fwd = pad_batch(base, args.min_batch)
         if args.max_batch:
             fwd = chunk_batch(fwd, args.max_batch)

@@ -465,3 +465,46 @@ def test_chunk_batch_rejects_batchfree_leaves():
     served = chunk_batch(fwd, max_batch=2)
     with pytest.raises(ValueError, match="no leading batch dim"):
         served(jnp.ones((5, 3)))
+
+
+def test_pad_batch_to_multiple():
+    """pad_batch_to_multiple: any batch is padded up to the next multiple
+    (the data-parallel device_put constraint) and sliced back exactly;
+    dividing batches pass through; composes under chunk_batch so a
+    remainder chunk is padded too."""
+    from convnet_approximater_tpu.deploy import (chunk_batch,
+                                                 pad_batch_to_multiple)
+
+    calls = []
+
+    def fwd(x):
+        assert x.shape[0] % 4 == 0, x.shape
+        calls.append(x.shape[0])
+        return x * 2.0
+
+    served = pad_batch_to_multiple(fwd, 4)
+    x = jnp.arange(12 * 3, dtype=jnp.float32).reshape(12, 3)
+    assert served(x).shape[0] == 12 and calls[-1] == 12  # pass-through
+    y5 = served(x[:5])
+    assert y5.shape[0] == 5 and calls[-1] == 8
+    assert jnp.max(jnp.abs(y5 - x[:5] * 2.0)) == 0.0
+    y1 = served(x[:1])
+    assert y1.shape[0] == 1 and calls[-1] == 4
+
+    both = chunk_batch(served, 8)
+    y11 = both(x[:11])  # chunks 8 + 3 -> the 3-row remainder pads to 4
+    assert y11.shape[0] == 11 and calls[-2:] == [8, 4]
+    assert jnp.max(jnp.abs(y11 - x[:11] * 2.0)) == 0.0
+
+
+def test_pad_batch_to_multiple_rejects_batchfree_leaves():
+    import pytest
+
+    from convnet_approximater_tpu.deploy import pad_batch_to_multiple
+
+    def fwd(x):
+        return {"logits": x * 2.0, "aux_scalar": jnp.float32(1.0)}
+
+    served = pad_batch_to_multiple(fwd, 4)
+    with pytest.raises(ValueError, match="no leading batch dim"):
+        served(jnp.ones((3, 2)))

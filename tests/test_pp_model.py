@@ -37,6 +37,71 @@ def test_partition_units_optimal_contiguous():
         partition_units([1.0], 2)
 
 
+def test_unit_flops_probe_failure_warns_nan():
+    """_unit_flops itself: a unit that cannot compile warns (names the
+    unit) and returns NaN rather than a silent 0.0."""
+    import warnings
+
+    from convnet_approximater_tpu.parallel import pp_model
+
+    def bad_fn(p, s, h):
+        raise RuntimeError("boom")
+
+    unit = pp_model.Unit("stem", bad_fn, {}, {})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = pp_model._unit_flops(unit, (2, 8, 8, 3))
+    assert np.isnan(out)
+    assert any("'stem'" in str(x.message) for x in w)
+
+
+def test_failed_flop_probe_imputed_not_zeroed(monkeypatch):
+    """A unit whose FLOP probe fails (backend without cost_analysis, relay
+    hiccup) must warn and be imputed from the measured mean — a silent 0.0
+    would degenerate the balance into a one-stage pile-up."""
+    import warnings
+
+    from convnet_approximater_tpu.parallel import pp_model
+
+    model, variables = _tiny()
+    mesh = make_mesh(data=4, model=2)
+    x_shape = (8, 32, 32, 3)
+
+    real = pp_model._unit_flops
+    broken = {}
+
+    def flaky(unit, h_shape, dtype=jnp.float32):
+        if not broken:  # fail exactly the first (stem) probe
+            broken[unit.name] = True
+            raise RuntimeError("simulated relay hiccup")
+        return real(unit, h_shape, dtype)
+
+    def probe(unit, h_shape, dtype=jnp.float32):
+        try:
+            return flaky(unit, h_shape, dtype)
+        except Exception as e:
+            warnings.warn(f"pipeline FLOP probe failed for unit "
+                          f"'{unit.name}' ({e}); imputed")
+            return float("nan")
+
+    monkeypatch.setattr(pp_model, "_unit_flops", probe)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        apply_fn, report = build_model_pipeline(
+            model, variables, x_shape, mesh, num_microbatches=4)
+    assert any("FLOP probe failed" in str(x.message) for x in w)
+    # both stages must still carry real work (no 0%/100% pile-up) and the
+    # shares must be finite
+    shares = [r["share"] for r in report]
+    assert all(np.isfinite(s) and s > 0.0 for s in shares)
+    x = jax.random.normal(jax.random.key(3), (8, 32, 32, 3))
+    y_ref, _, _ = model.apply(variables["params"], x,
+                              state=variables["state"], training=False)
+    y_pp = jax.jit(apply_fn)(variables, x)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_pipeline_units_compose_to_forward():
     """The sequential composition of pipeline_units IS the model forward."""
     model, variables = _tiny()

@@ -261,3 +261,22 @@ def test_serve_cli_data_parallel(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "data-parallel serving over 8 devices" in r2.stdout
     assert "img/s end-to-end" in r2.stdout
+
+    # a batch that does NOT divide the device count must pad up, not crash
+    # (symbolic-batch artifact so the request size reaches the data axis)
+    art2 = str(tmp_path / "m_sym.stablehlo")
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/export_model.py"),
+         "--config", os.path.join(root, "configs/low-rank-exp/dummy_alexnet.py"),
+         "--out", art2, "--batch", "8", "--input-size", "64", "64", "3",
+         "--symbolic-batch", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    r4 = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/serve.py"),
+         "--artifact", art2, "--data-parallel",
+         "--batch", "12", "--batches", "2", "--image-size", "64",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    assert "img/s end-to-end" in r4.stdout
