@@ -1,0 +1,265 @@
+"""FfnPrune: structured hidden-channel pruning of the conv-FFN.
+
+Framework extension beyond the reference (its approximaters only
+*factorize* kernels — ``/root/reference/src/approx/core/low_rank_exp.py``,
+``msca_rep.py``); this adds the channel-pruning line of the same
+approximate-then-finetune literature (He et al., "Channel Pruning for
+Accelerating Very Deep Neural Networks", ICCV'17; Luo et al., "ThiNet",
+ICCV'17) where it maps best to the TPU: the FFN hidden dim ``M`` is the
+output dim of ``fc1`` and the reduction dim of ``fc2`` — two 1x1 convs
+that XLA lowers to pure MXU matmuls — plus a depthwise 3x3 on the VPU.
+Keeping ``k < M`` hidden channels therefore cuts BOTH the dominant MXU
+terms and the VPU term by ``k/M`` with ZERO layout or gather penalty:
+unlike the grouped-conv schemes (measured 0.37-0.65x, doc/perf-notes.md)
+the pruned op is the SAME dense op, just smaller.  MSCAN's FFNs carry
+exp_ratio 8/8/4/4, so they are where its FLOPs live.
+
+Selection + solve (per substituted site):
+
+* structure (``k``) is fixed at ``initialize`` from weight-only channel
+  importance ``imp_m = ||fc1_m|| * ||dconv_m|| * ||fc2_m||`` — via
+  ``keep`` / ``keep_ratio`` / ``energy`` (smallest k whose normalized
+  cumulative importance energy >= tau, the same convention as
+  V1/V3/V4/DwSepRep's ``energy``);
+* with a :class:`~convnet_approximater_tpu.hooks.CalibrationHook`
+  (``calibration_stat = "raw"``), ``optimize`` selects the kept set by
+  GREEDY FORWARD SELECTION on the measured hidden covariance (OMP —
+  the greedy stand-in for He et al.'s LASSO: per-channel magnitude
+  ranking is blind to redundancy between channels, greedy maximizes the
+  output variance the refit can explain; ``h`` = the post-GELU hidden
+  activation on the calibration batches, centered because the refit's
+  intercept absorbs any dropped channel's mean — a near-constant channel
+  is free) and then REFITS ``fc2`` in closed form — the least-squares
+  reconstruction of He et al.'s eq. (1): minimize
+  ``E||(W2 h + b2) - (W2' h_S + b2')||^2`` over the calibration
+  distribution, solved by the augmented normal equations with the hidden
+  second moment ``G = E[h h^T]`` and mean ``mu = E[h]``.  Without
+  calibration it falls back to weight-ranked plain slicing.
+
+Exact at ``k = M`` (the kept set is the identity in ascending order and
+the refit's normal equations return ``W2, b2`` up to the ridge);
+accuracy at ``k < M`` recovers through the standard ``L2Reconstruct``
+fine-tune, exactly like the factorization apps.  Because the target is
+again an ``FFN``, the pruned site composes with ``FfnRep`` (merge the
+pruned fc1+dconv into one dense MXU conv), BN fold, bf16 casting, int8
+PTQ, and the deploy arbiters unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_approximater_tpu.layers import Substitution
+from convnet_approximater_tpu.models.mscan import FFN
+from convnet_approximater_tpu.nn import Ctx
+from convnet_approximater_tpu.nn.layers import GELU
+from convnet_approximater_tpu.utils.logger import get_logger
+
+from .approximater import APP, Approximater
+
+
+def _greedy_select(K, T, k: int, eps: float = 1e-12):
+    """Greedy forward selection (orthogonal matching pursuit on the hidden
+    covariance): pick ``k`` channels maximizing the output variance the
+    refit can explain.
+
+    ``K``: (M, M) centered covariance of the hidden channels;
+    ``T``: (M, C) cross-covariance to the target outputs ``y = W2^T h``.
+    Per-channel magnitude ranking is blind to redundancy BETWEEN channels
+    (two duplicates both rank high, yet keeping both wastes a slot) —
+    this is the greedy stand-in for He et al.'s LASSO selection, exact
+    for the same objective the fc2 refit optimizes.  Returns the kept set
+    (ascending) and the explained-variance sum.
+    """
+    M = K.shape[0]
+    R = np.array(K, np.float64, copy=True)
+    Tr = np.array(T, np.float64, copy=True)
+    sel: list = []
+    explained = 0.0
+    for _ in range(k):
+        d = np.diag(R).copy()
+        floor = eps * max(float(np.max(d, initial=0.0)), 1e-30)
+        gains = np.where(d > floor,
+                         (Tr ** 2).sum(axis=1) / np.maximum(d, floor),
+                         -np.inf)
+        if sel:
+            gains[np.array(sel)] = -np.inf
+        j = int(np.argmax(gains))
+        if not np.isfinite(gains[j]) or gains[j] <= 0.0:
+            # target fully explained (or only degenerate channels left):
+            # fill the remaining slots by residual variance
+            order = np.argsort(-d, kind="stable")
+            rest = [int(i) for i in order if i not in sel][: k - len(sel)]
+            sel.extend(rest)
+            break
+        sel.append(j)
+        explained += float(gains[j])
+        col = R[:, j].copy()
+        Tr -= np.outer(col / d[j], Tr[j])
+        R -= np.outer(col, col) / d[j]
+    return np.sort(np.asarray(sel[:k], dtype=np.int64)), explained
+
+
+def _weight_importance(old: dict) -> jnp.ndarray:
+    """Per-hidden-channel importance from weights alone: the product of
+    the three norms touching channel m (GELU is ~1-Lipschitz, so this
+    bounds the channel's output contribution)."""
+    n1 = jnp.sqrt(jnp.sum(old["fc1"]["weight"].astype(jnp.float32) ** 2,
+                          axis=(0, 1, 2)))
+    nd = jnp.sqrt(jnp.sum(old["dconv"]["weight"].astype(jnp.float32) ** 2,
+                          axis=(0, 1, 2)))
+    n2 = jnp.sqrt(jnp.sum(old["fc2"]["weight"].astype(jnp.float32) ** 2,
+                          axis=(0, 1, 3)))
+    return n1 * nd * n2
+
+
+@APP.register_module()
+class FfnPrune(Approximater):
+    _src_type = FFN
+    _tgt_type = FFN
+    # CalibrationHook streams the raw substitution-input maps (not a
+    # moment): the hidden moments live BEHIND fc1/dconv/GELU, so they
+    # cannot be derived from any input second moment analytically
+    calibration_stat = "raw"
+
+    def __init__(self, keep=None, keep_ratio=None, energy: float = None,
+                 refit: bool = True, ridge: float = 1e-6,
+                 deploy: bool = False):
+        super().__init__(deploy=deploy)
+        given = sum(x is not None for x in (keep, keep_ratio, energy))
+        assert given == 1, "give exactly one of keep / keep_ratio / energy"
+        if energy is not None:
+            assert 0.0 < energy <= 1.0
+        if keep_ratio is not None and not isinstance(keep_ratio, (list, tuple)):
+            assert 0.0 < keep_ratio <= 1.0
+        self.keep = tuple(keep) if isinstance(keep, (list, tuple)) else keep
+        self.keep_ratio = (tuple(keep_ratio)
+                           if isinstance(keep_ratio, (list, tuple))
+                           else keep_ratio)
+        self.energy = energy
+        self.refit = refit
+        self.ridge = ridge
+        self._init_curr = 0   # per-layer cursor for tuple keep/keep_ratio
+        self._opt_curr = 0    # pairs optimize() calls with calibration taps
+        self._raw = {}
+
+    def set_calibration(self, index: int, x):
+        self._raw[index] = x
+
+    def rewind(self):
+        self._init_curr = 0
+        self._opt_curr = 0
+
+    # -- structure ------------------------------------------------------
+    def _num_keep(self, src: FFN, src_params: dict) -> int:
+        M = src.hidden_channel
+        if self.energy is not None:
+            imp = np.asarray(_weight_importance(src_params))
+            e = np.sort(imp ** 2)[::-1]
+            cum = np.cumsum(e) / max(float(e.sum()), 1e-30)
+            k = int(np.searchsorted(cum, self.energy)) + 1
+            get_logger().info(f"auto keep: {k}/{M} "
+                              f"(importance energy >= {self.energy})")
+            return min(k, M)
+        if self.keep is not None:
+            k = self.keep if isinstance(self.keep, int) \
+                else self.keep[self._init_curr]
+        else:
+            r = self.keep_ratio if isinstance(self.keep_ratio, float) \
+                else self.keep_ratio[self._init_curr]
+            k = int(round(M * r))
+        assert 1 <= k <= M, f"keep {k} out of range for hidden dim {M}"
+        return k
+
+    def initialize(self, src, src_params, rng=None):
+        self._k = self._num_keep(src, src_params)
+        return super().initialize(src, src_params, rng)
+
+    def _get_tgt_args(self, src: FFN) -> Dict:
+        return dict(num_channel=src.num_channel, hidden_channel=self._k,
+                    drop=src.drop_rate)
+
+    def _fix_substitution(self, sub: Substitution, params: dict):
+        self._init_curr += 1
+
+    # -- solve ----------------------------------------------------------
+    def optimize(self, sub: Substitution, params: dict):
+        logger = get_logger()
+        index = self._opt_curr
+        self._opt_curr += 1
+        old, new = params["old"], params["new"]
+        src: FFN = sub.old_module
+        tgt: FFN = sub.new_module
+        M, k = src.hidden_channel, tgt.hidden_channel
+        C = src.num_channel
+        dt = old["fc2"]["weight"].dtype
+        W2 = old["fc2"]["weight"].reshape(M, C).astype(jnp.float32)
+        b2 = old["fc2"].get("bias",
+                            jnp.zeros((C,), jnp.float32)).astype(jnp.float32)
+        n2sq = jnp.sum(W2 ** 2, axis=1)
+
+        x = self._raw.get(index)
+        if x is not None:
+            # measured hidden statistics on the calibration maps
+            ctx = Ctx(training=False)
+            h = src.fc1(old["fc1"], x.astype(jnp.float32), ctx)
+            h = src.dconv(old["dconv"], h, ctx)
+            h = GELU()({}, h, ctx)
+            hm = h.reshape(-1, M)
+            n = hm.shape[0]
+            mu = jnp.mean(hm, axis=0)
+            G = (hm.T @ hm) / n
+            # with the refit, a channel's MEAN contribution is absorbable
+            # into the fc2 bias (the intercept row), so rank by the
+            # variance contribution; plain slicing keeps b2 as-is, so
+            # there the full second moment is what dropping costs
+            ctr = jnp.diag(G) - mu ** 2 if self.refit else jnp.diag(G)
+            imp = ctr * n2sq
+        else:
+            imp = _weight_importance(old) ** 2
+        if x is not None and self.refit:
+            # greedy redundancy-aware selection on the SAME objective the
+            # refit optimizes (explained output variance)
+            Kc = G - jnp.outer(mu, mu)
+            S, explained = _greedy_select(np.asarray(Kc),
+                                          np.asarray(Kc @ W2), k)
+            total = float(jnp.trace(W2.T @ (Kc @ W2)))
+            kept_energy = explained / max(total, 1e-30)
+        else:
+            order = np.argsort(-np.asarray(imp), kind="stable")
+            S = np.sort(order[:k])  # ascending: k == M is exact identity
+            e = np.asarray(imp, np.float64)
+            kept_energy = float(e[S].sum() / max(e.sum(), 1e-30))
+
+        for name in ("fc1", "dconv"):
+            new[name]["weight"] = jnp.take(old[name]["weight"], S, axis=3)
+            if "bias" in old[name]:
+                new[name]["bias"] = jnp.take(old[name]["bias"], S, axis=0)
+            else:
+                new[name].pop("bias", None)
+        if x is not None and self.refit:
+            # augmented normal equations: fit [W2'; b2'] so that
+            # W2'^T h_S + b2' ~= W2^T h + b2 in L2 over the calibration set
+            GS = G[np.ix_(S, S)]
+            muS = mu[S]
+            ridge = self.ridge * jnp.trace(GS) / k
+            A = jnp.block([[GS + ridge * jnp.eye(k), muS[:, None]],
+                           [muS[None, :], jnp.ones((1, 1))]])
+            Bm = jnp.concatenate([G[S] @ W2 + muS[:, None] * b2[None, :],
+                                  (mu @ W2 + b2)[None, :]], axis=0)
+            X = jnp.linalg.solve(A, Bm)
+            W2p, b2p = X[:k], X[k]
+            logger.info(f"keep {k}/{M} (contribution energy {kept_energy:.4f}"
+                        f"), fc2 least-squares refit over {n} calib pixels")
+        else:
+            W2p, b2p = W2[S], b2
+            logger.info(f"keep {k}/{M} (contribution energy {kept_energy:.4f}"
+                        f"), sliced" + ("" if x is None else " (refit off)"))
+        new["fc2"]["weight"] = W2p.reshape(1, 1, k, C).astype(dt)
+        new["fc2"]["bias"] = b2p.astype(dt)
+
+    def _postprocess(self, sub: Substitution, params: dict):
+        pass

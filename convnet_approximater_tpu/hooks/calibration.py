@@ -115,6 +115,12 @@ class CalibrationHook(Hook):
                     continue
                 src = subs[idx].old_module
                 kh = src.kernel_size[0] if hasattr(src, "kernel_size") else 1
+                if stat == "raw":
+                    # apps whose statistic lives behind a nonlinearity
+                    # (FfnPrune's hidden moments) get the tapped maps
+                    # themselves and compute their own stats in optimize()
+                    moments.setdefault(idx, []).append(taps[key])
+                    continue
                 if stat == "patches":
                     kw = src.kernel_size[1] if hasattr(src, "kernel_size") else 1
                     sm = patch_second_moment(taps[key], kh, kw)
@@ -125,7 +131,8 @@ class CalibrationHook(Hook):
                 moments[idx] = moments.get(idx, 0) + sm
             count += 1
         for idx, sm in moments.items():
-            app.set_calibration(idx, sm / max(count, 1))
+            app.set_calibration(idx, jnp.concatenate(sm, axis=0)
+                                if isinstance(sm, list) else sm / max(count, 1))
         for sub in subs:
             sub.capture = False
         get_logger().info(f"CalibrationHook: collected moments for {sorted(moments)}")
