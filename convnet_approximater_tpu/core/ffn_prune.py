@@ -1,23 +1,31 @@
-"""FfnPrune: structured hidden-channel pruning of the conv-FFN.
+"""FfnPrune / MlpPrune: structured hidden-channel pruning of MLP blocks.
 
 Framework extension beyond the reference (its approximaters only
 *factorize* kernels — ``/root/reference/src/approx/core/low_rank_exp.py``,
 ``msca_rep.py``); this adds the channel-pruning line of the same
 approximate-then-finetune literature (He et al., "Channel Pruning for
 Accelerating Very Deep Neural Networks", ICCV'17; Luo et al., "ThiNet",
-ICCV'17) where it maps best to the TPU: the FFN hidden dim ``M`` is the
-output dim of ``fc1`` and the reduction dim of ``fc2`` — two 1x1 convs
-that XLA lowers to pure MXU matmuls — plus a depthwise 3x3 on the VPU.
-Keeping ``k < M`` hidden channels therefore cuts BOTH the dominant MXU
-terms and the VPU term by ``k/M`` with ZERO layout or gather penalty:
+ICCV'17) where it maps best to the TPU: an MLP hidden dim ``M`` is the
+output dim of the expansion and the reduction dim of the projection —
+pure MXU matmuls — so keeping ``k < M`` hidden channels cuts the
+dominant MXU terms by ``k/M`` with ZERO layout or gather penalty:
 unlike the grouped-conv schemes (measured 0.37-0.65x, doc/perf-notes.md)
-the pruned op is the SAME dense op, just smaller.  MSCAN's FFNs carry
-exp_ratio 8/8/4/4, so they are where its FLOPs live.
+the pruned op is the SAME dense op, just smaller.
+
+Two registered apps share the machinery via the template hooks at the
+bottom of :class:`FfnPrune`:
+
+* ``FfnPrune`` — MSCAN's conv-FFN (``fc1 1x1 -> dw 3x3 -> GELU -> fc2
+  1x1``); MSCAN carries exp_ratio 8/8/4/4, so this is where its FLOPs
+  live.
+* ``MlpPrune`` — ConvNeXt's block MLP (``pwconv1 -> GELU -> pwconv2``
+  Linears at 4x expansion); substitutes the whole block (dwconv / norm /
+  gamma carried), shrinking only the MLP width.
 
 Selection + solve (per substituted site):
 
 * structure (``k``) is fixed at ``initialize`` from weight-only channel
-  importance ``imp_m = ||fc1_m|| * ||dconv_m|| * ||fc2_m||`` — via
+  importance (the product of the norms touching channel m) — via
   ``keep`` / ``keep_ratio`` / ``energy`` (smallest k whose normalized
   cumulative importance energy >= tau, the same convention as
   V1/V3/V4/DwSepRep's ``energy``);
@@ -29,8 +37,8 @@ Selection + solve (per substituted site):
   output variance the refit can explain; ``h`` = the post-GELU hidden
   activation on the calibration batches, centered because the refit's
   intercept absorbs any dropped channel's mean — a near-constant channel
-  is free) and then REFITS ``fc2`` in closed form — the least-squares
-  reconstruction of He et al.'s eq. (1): minimize
+  is free) and then REFITS the projection in closed form — the
+  least-squares reconstruction of He et al.'s eq. (1): minimize
   ``E||(W2 h + b2) - (W2' h_S + b2')||^2`` over the calibration
   distribution, solved by the augmented normal equations with the hidden
   second moment ``G = E[h h^T]`` and mean ``mu = E[h]``.  Without
@@ -40,19 +48,21 @@ Exact at ``k = M`` (the kept set is the identity in ascending order and
 the refit's normal equations return ``W2, b2`` up to the ridge);
 accuracy at ``k < M`` recovers through the standard ``L2Reconstruct``
 fine-tune, exactly like the factorization apps.  Because the target is
-again an ``FFN``, the pruned site composes with ``FfnRep`` (merge the
-pruned fc1+dconv into one dense MXU conv), BN fold, bf16 casting, int8
-PTQ, and the deploy arbiters unchanged.
+the same module type, the pruned site composes with ``FfnRep`` (merge
+the pruned fc1+dconv into one dense MXU conv), BN fold, bf16 casting,
+int8 PTQ, and the deploy arbiters unchanged.
 """
 
 from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from convnet_approximater_tpu.layers import Substitution
+from convnet_approximater_tpu.models.convnext import ConvNeXtBlock
 from convnet_approximater_tpu.models.mscan import FFN
 from convnet_approximater_tpu.nn import Ctx
 from convnet_approximater_tpu.nn.layers import GELU
@@ -71,10 +81,9 @@ def _greedy_select(K, T, k: int, eps: float = 1e-12):
     Per-channel magnitude ranking is blind to redundancy BETWEEN channels
     (two duplicates both rank high, yet keeping both wastes a slot) —
     this is the greedy stand-in for He et al.'s LASSO selection, exact
-    for the same objective the fc2 refit optimizes.  Returns the kept set
-    (ascending) and the explained-variance sum.
+    for the same objective the projection refit optimizes.  Returns the
+    kept set (ascending) and the explained-variance sum.
     """
-    M = K.shape[0]
     R = np.array(K, np.float64, copy=True)
     Tr = np.array(T, np.float64, copy=True)
     sel: list = []
@@ -103,34 +112,28 @@ def _greedy_select(K, T, k: int, eps: float = 1e-12):
     return np.sort(np.asarray(sel[:k], dtype=np.int64)), explained
 
 
-def _weight_importance(old: dict) -> jnp.ndarray:
-    """Per-hidden-channel importance from weights alone: the product of
-    the three norms touching channel m (GELU is ~1-Lipschitz, so this
-    bounds the channel's output contribution)."""
-    n1 = jnp.sqrt(jnp.sum(old["fc1"]["weight"].astype(jnp.float32) ** 2,
-                          axis=(0, 1, 2)))
-    nd = jnp.sqrt(jnp.sum(old["dconv"]["weight"].astype(jnp.float32) ** 2,
-                          axis=(0, 1, 2)))
-    n2 = jnp.sqrt(jnp.sum(old["fc2"]["weight"].astype(jnp.float32) ** 2,
-                          axis=(0, 1, 3)))
-    return n1 * nd * n2
-
-
 @APP.register_module()
 class FfnPrune(Approximater):
     _src_type = FFN
     _tgt_type = FFN
     # CalibrationHook streams the raw substitution-input maps (not a
-    # moment): the hidden moments live BEHIND fc1/dconv/GELU, so they
-    # cannot be derived from any input second moment analytically
+    # moment): the hidden moments live BEHIND the expansion + GELU, so
+    # they cannot be derived from any input second moment analytically
     calibration_stat = "raw"
 
     def __init__(self, keep=None, keep_ratio=None, energy: float = None,
                  refit: bool = True, ridge: float = 1e-6,
-                 deploy: bool = False):
+                 round_to: int = None, deploy: bool = False):
         super().__init__(deploy=deploy)
         given = sum(x is not None for x in (keep, keep_ratio, energy))
         assert given == 1, "give exactly one of keep / keep_ratio / energy"
+        # round_to: snap the kept width to a multiple (MEASURED, MSCAN-t
+        # b=64 bf16, doc/perf-notes.md: keep_ratio 0.75 of a 256-wide FFN
+        # leaves 192 channels = 1.5 MXU tiles, which pads back to 2 — the
+        # matmuls run at 256-width cost and only the elementwise work
+        # shrinks, 1.04x; 0.5 -> 128 tiles exactly, 1.21x.  128 matches
+        # the MXU/lane width; 0 / None disables)
+        assert round_to is None or round_to >= 1
         if energy is not None:
             assert 0.0 < energy <= 1.0
         if keep_ratio is not None and not isinstance(keep_ratio, (list, tuple)):
@@ -142,6 +145,7 @@ class FfnPrune(Approximater):
         self.energy = energy
         self.refit = refit
         self.ridge = ridge
+        self.round_to = round_to
         self._init_curr = 0   # per-layer cursor for tuple keep/keep_ratio
         self._opt_curr = 0    # pairs optimize() calls with calibration taps
         self._raw = {}
@@ -154,16 +158,17 @@ class FfnPrune(Approximater):
         self._opt_curr = 0
 
     # -- structure ------------------------------------------------------
-    def _num_keep(self, src: FFN, src_params: dict) -> int:
-        M = src.hidden_channel
+    def _num_keep(self, src, src_params: dict) -> int:
+        M = self._hidden_dim(src)
         if self.energy is not None:
-            imp = np.asarray(_weight_importance(src_params))
+            imp = np.asarray(self._weight_imp(src_params))
             e = np.sort(imp ** 2)[::-1]
             cum = np.cumsum(e) / max(float(e.sum()), 1e-30)
             k = int(np.searchsorted(cum, self.energy)) + 1
+            k = self._round(min(k, M), M)
             get_logger().info(f"auto keep: {k}/{M} "
                               f"(importance energy >= {self.energy})")
-            return min(k, M)
+            return k
         if self.keep is not None:
             k = self.keep if isinstance(self.keep, int) \
                 else self.keep[self._init_curr]
@@ -172,15 +177,17 @@ class FfnPrune(Approximater):
                 else self.keep_ratio[self._init_curr]
             k = int(round(M * r))
         assert 1 <= k <= M, f"keep {k} out of range for hidden dim {M}"
-        return k
+        return self._round(k, M)
+
+    def _round(self, k: int, M: int) -> int:
+        if not self.round_to or M <= self.round_to:
+            return k
+        r = self.round_to
+        return min(M, max(r, int(round(k / r)) * r))
 
     def initialize(self, src, src_params, rng=None):
         self._k = self._num_keep(src, src_params)
         return super().initialize(src, src_params, rng)
-
-    def _get_tgt_args(self, src: FFN) -> Dict:
-        return dict(num_channel=src.num_channel, hidden_channel=self._k,
-                    drop=src.drop_rate)
 
     def _fix_substitution(self, sub: Substitution, params: dict):
         self._init_curr += 1
@@ -191,56 +198,39 @@ class FfnPrune(Approximater):
         index = self._opt_curr
         self._opt_curr += 1
         old, new = params["old"], params["new"]
-        src: FFN = sub.old_module
-        tgt: FFN = sub.new_module
-        M, k = src.hidden_channel, tgt.hidden_channel
-        C = src.num_channel
-        dt = old["fc2"]["weight"].dtype
-        W2 = old["fc2"]["weight"].reshape(M, C).astype(jnp.float32)
-        b2 = old["fc2"].get("bias",
-                            jnp.zeros((C,), jnp.float32)).astype(jnp.float32)
+        src = sub.old_module
+        M, k = self._hidden_dim(src), self._hidden_dim(sub.new_module)
+        W2, b2, dt = self._consumer(old)   # (M, C) f32, (C,) f32, out dtype
         n2sq = jnp.sum(W2 ** 2, axis=1)
 
         x = self._raw.get(index)
+        refit = x is not None and self.refit
         if x is not None:
             # measured hidden statistics on the calibration maps
-            ctx = Ctx(training=False)
-            h = src.fc1(old["fc1"], x.astype(jnp.float32), ctx)
-            h = src.dconv(old["dconv"], h, ctx)
-            h = GELU()({}, h, ctx)
-            hm = h.reshape(-1, M)
+            hm = self._hidden_acts(src, old, x).astype(jnp.float32)
             n = hm.shape[0]
             mu = jnp.mean(hm, axis=0)
             G = (hm.T @ hm) / n
-            # with the refit, a channel's MEAN contribution is absorbable
-            # into the fc2 bias (the intercept row), so rank by the
-            # variance contribution; plain slicing keeps b2 as-is, so
-            # there the full second moment is what dropping costs
-            ctr = jnp.diag(G) - mu ** 2 if self.refit else jnp.diag(G)
-            imp = ctr * n2sq
-        else:
-            imp = _weight_importance(old) ** 2
-        if x is not None and self.refit:
+        if refit:
             # greedy redundancy-aware selection on the SAME objective the
-            # refit optimizes (explained output variance)
+            # refit optimizes (explained centered output variance — the
+            # intercept row absorbs any dropped channel's mean)
             Kc = G - jnp.outer(mu, mu)
             S, explained = _greedy_select(np.asarray(Kc),
                                           np.asarray(Kc @ W2), k)
             total = float(jnp.trace(W2.T @ (Kc @ W2)))
             kept_energy = explained / max(total, 1e-30)
         else:
+            # plain slicing keeps b2 as-is, so the full second moment is
+            # what dropping a channel costs
+            imp = (jnp.diag(G) * n2sq if x is not None
+                   else self._weight_imp(old) ** 2)
             order = np.argsort(-np.asarray(imp), kind="stable")
             S = np.sort(order[:k])  # ascending: k == M is exact identity
             e = np.asarray(imp, np.float64)
             kept_energy = float(e[S].sum() / max(e.sum(), 1e-30))
 
-        for name in ("fc1", "dconv"):
-            new[name]["weight"] = jnp.take(old[name]["weight"], S, axis=3)
-            if "bias" in old[name]:
-                new[name]["bias"] = jnp.take(old[name]["bias"], S, axis=0)
-            else:
-                new[name].pop("bias", None)
-        if x is not None and self.refit:
+        if refit:
             # augmented normal equations: fit [W2'; b2'] so that
             # W2'^T h_S + b2' ~= W2^T h + b2 in L2 over the calibration set
             GS = G[np.ix_(S, S)]
@@ -253,13 +243,123 @@ class FfnPrune(Approximater):
             X = jnp.linalg.solve(A, Bm)
             W2p, b2p = X[:k], X[k]
             logger.info(f"keep {k}/{M} (contribution energy {kept_energy:.4f}"
-                        f"), fc2 least-squares refit over {n} calib pixels")
+                        f"), projection least-squares refit over {n} "
+                        f"calib pixels")
         else:
             W2p, b2p = W2[S], b2
             logger.info(f"keep {k}/{M} (contribution energy {kept_energy:.4f}"
                         f"), sliced" + ("" if x is None else " (refit off)"))
-        new["fc2"]["weight"] = W2p.reshape(1, 1, k, C).astype(dt)
-        new["fc2"]["bias"] = b2p.astype(dt)
+        self._apply(old, new, S, W2p, b2p, dt)
 
     def _postprocess(self, sub: Substitution, params: dict):
         pass
+
+    # -- template hooks (the FFN = conv-MLP instance) ---------------------
+    def _hidden_dim(self, mod) -> int:
+        return mod.hidden_channel
+
+    def _get_tgt_args(self, src: FFN) -> Dict:
+        return dict(num_channel=src.num_channel, hidden_channel=self._k,
+                    drop=src.drop_rate)
+
+    def _weight_imp(self, old: dict) -> jnp.ndarray:
+        """Per-hidden-channel importance from weights alone: the product
+        of the norms touching channel m (GELU is ~1-Lipschitz, so this
+        bounds the channel's output contribution)."""
+        n1 = jnp.sqrt(jnp.sum(old["fc1"]["weight"].astype(jnp.float32) ** 2,
+                              axis=(0, 1, 2)))
+        nd = jnp.sqrt(jnp.sum(old["dconv"]["weight"].astype(jnp.float32) ** 2,
+                              axis=(0, 1, 2)))
+        n2 = jnp.sqrt(jnp.sum(old["fc2"]["weight"].astype(jnp.float32) ** 2,
+                              axis=(0, 1, 3)))
+        return n1 * nd * n2
+
+    def _consumer(self, old: dict):
+        """The projection the refit rewrites: (M, C) f32, (C,) f32, dtype."""
+        w = old["fc2"]["weight"]
+        M, C = w.shape[2], w.shape[3]
+        W2 = w.reshape(M, C).astype(jnp.float32)
+        b2 = old["fc2"].get("bias",
+                            jnp.zeros((C,), jnp.float32)).astype(jnp.float32)
+        return W2, b2, w.dtype
+
+    def _hidden_acts(self, src: FFN, old: dict, x) -> jnp.ndarray:
+        """Post-GELU hidden activations on the raw tapped inputs, (n, M)."""
+        ctx = Ctx(training=False)
+        h = src.fc1(old["fc1"], x.astype(jnp.float32), ctx)
+        h = src.dconv(old["dconv"], h, ctx)
+        h = GELU()({}, h, ctx)
+        return h.reshape(-1, h.shape[-1])
+
+    def _apply(self, old: dict, new: dict, S, W2p, b2p, dt):
+        """Slice the producer tensors to S; install the refit projection."""
+        k, C = W2p.shape
+        for name in ("fc1", "dconv"):
+            new[name]["weight"] = jnp.take(old[name]["weight"], S, axis=3)
+            if "bias" in old[name]:
+                new[name]["bias"] = jnp.take(old[name]["bias"], S, axis=0)
+            else:
+                new[name].pop("bias", None)
+        new["fc2"]["weight"] = W2p.reshape(1, 1, k, C).astype(dt)
+        new["fc2"]["bias"] = b2p.astype(dt)
+
+
+@APP.register_module()
+class MlpPrune(FfnPrune):
+    """ConvNeXt-block instance: prune the 4x Linear MLP's hidden width.
+
+    Substitutes the WHOLE block (the MLP has no module of its own);
+    dwconv / norm / gamma params are carried verbatim, only
+    pwconv1/pwconv2 shrink.  The refit target is pwconv2's output (gamma
+    and the residual act after it and are unchanged).
+    """
+
+    _src_type = ConvNeXtBlock
+    _tgt_type = ConvNeXtBlock
+
+    def _hidden_dim(self, mod) -> int:
+        return mod.hidden
+
+    def _get_tgt_args(self, src: ConvNeXtBlock) -> Dict:
+        return dict(dim=src.dim, drop_path=src.drop_path.drop_prob,
+                    layer_scale=src.gamma.init_value, hidden=self._k)
+
+    def _fix_substitution(self, sub: Substitution, params: dict):
+        super()._fix_substitution(sub, params)
+        for name in ("dwconv", "norm", "gamma"):
+            params["new"][name] = jax.tree_util.tree_map(
+                lambda v: v, params["old"][name])
+
+    def _weight_imp(self, old: dict) -> jnp.ndarray:
+        n1 = jnp.sqrt(jnp.sum(old["pwconv1"]["weight"].astype(jnp.float32)
+                              ** 2, axis=0))
+        n2 = jnp.sqrt(jnp.sum(old["pwconv2"]["weight"].astype(jnp.float32)
+                              ** 2, axis=1))
+        return n1 * n2
+
+    def _consumer(self, old: dict):
+        w = old["pwconv2"]["weight"]  # (M, C)
+        W2 = w.astype(jnp.float32)
+        b2 = old["pwconv2"].get(
+            "bias", jnp.zeros((w.shape[1],), jnp.float32)).astype(jnp.float32)
+        return W2, b2, w.dtype
+
+    def _hidden_acts(self, src: ConvNeXtBlock, old: dict, x) -> jnp.ndarray:
+        ctx = Ctx(training=False)
+        h = src.dwconv(old["dwconv"], x.astype(jnp.float32), ctx)
+        h = src.norm(old["norm"], h, ctx)
+        h = src.pwconv1(old["pwconv1"], h, ctx)
+        h = GELU()({}, h, ctx)
+        return h.reshape(-1, h.shape[-1])
+
+    def _apply(self, old: dict, new: dict, S, W2p, b2p, dt):
+        new["pwconv1"]["weight"] = jnp.take(old["pwconv1"]["weight"], S,
+                                            axis=1)
+        if "bias" in old["pwconv1"]:
+            new["pwconv1"]["bias"] = jnp.take(old["pwconv1"]["bias"], S,
+                                              axis=0)
+        else:
+            new["pwconv1"].pop("bias", None)
+        new["pwconv2"]["weight"] = W2p.astype(dt)
+        new["pwconv2"]["bias"] = b2p.astype(dt)
+

@@ -49,18 +49,23 @@ class LayerScale(Module):
 
 
 class ConvNeXtBlock(Module):
-    """dw 7x7 -> LN -> 1x1 MLP (4x expand, GELU) -> gamma -> drop-path + res."""
+    """dw 7x7 -> LN -> 1x1 MLP (4x expand, GELU) -> gamma -> drop-path + res.
+
+    ``hidden`` overrides the 4x MLP expansion — the structural knob
+    :class:`~convnet_approximater_tpu.core.ffn_prune.MlpPrune` shrinks.
+    """
 
     def __init__(self, dim: int, drop_path: float = 0.0,
-                 layer_scale: float = 1e-6):
+                 layer_scale: float = 1e-6, hidden: int = None):
         super().__init__()
         self.dim = dim
+        self.hidden = 4 * dim if hidden is None else hidden
         self.dwconv = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
         # official ConvNeXt LayerNorms use eps=1e-6 (not torch's 1e-5)
         self.norm = nn.LayerNorm(dim, eps=1e-6)
-        self.pwconv1 = nn.Linear(dim, 4 * dim)
+        self.pwconv1 = nn.Linear(dim, self.hidden)
         self.act = nn.GELU()
-        self.pwconv2 = nn.Linear(4 * dim, dim)
+        self.pwconv2 = nn.Linear(self.hidden, dim)
         self.gamma = LayerScale(dim, layer_scale)
         self.drop_path = DropPath(drop_path)
 

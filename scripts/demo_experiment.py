@@ -40,11 +40,18 @@ def main():
                     help="cross-entropy epochs (reference protocol: 10)")
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--samples", type=int, default=512)
-    ap.add_argument("--app", default="v1", choices=("v1", "v3", "v4"),
+    ap.add_argument("--app", default="v1",
+                    choices=("v1", "v3", "v4", "prune", "mlpprune"),
                     help="v1: reference scheme-1 (9-row matrix); v3: "
                          "channel-rank factorization (5-row matrix — V3 "
                          "has no separate decomposed form); v4: Tucker-2 "
-                         "(each --num-bases entry n becomes ranks (n, n))")
+                         "(each --num-bases entry n becomes ranks (n, n)); "
+                         "prune: FfnPrune hidden-channel pruning (use "
+                         "--model MSCAN_Classifier; greedy+refit via a "
+                         "CalibrationHook on the training data); mlpprune: "
+                         "the ConvNeXt-block variant (--model ConvNeXt)")
+    ap.add_argument("--keep-ratio", type=float, default=0.75,
+                    help="FfnPrune/MlpPrune hidden keep ratio (--app prune)")
     ap.add_argument("--int8", action="store_true",
                     help="also evaluate the trained original under int8 PTQ "
                          "(fold -> calibrate on real batches -> quantize) — "
@@ -165,7 +172,10 @@ def main():
 
     # --- rows 2-9: pipeline configs ---------------------------------------
     def pipeline(hooks_py, tag, decomp):
-        if args.app == "v3":
+        if args.app in ("prune", "mlpprune"):
+            app_type = "FfnPrune" if args.app == "prune" else "MlpPrune"
+            app_py = f"dict(type='{app_type}', keep_ratio={args.keep_ratio})"
+        elif args.app == "v3":
             app_py = (f"dict(type='LowRankExpV3', "
                       f"num_bases={tuple(args.num_bases)})")
         elif args.app == "v4":
@@ -179,7 +189,17 @@ def main():
         # ResNet block convs are bias-less (BN absorbs the bias), so
         # SimpleConvFilter rejects them — key on kernel size instead,
         # mirroring the bench/config convention for the family
-        if args.model.startswith("ResNet"):
+        if args.app in ("prune", "mlpprune"):
+            # the prune apps key on module TYPE (FFN / ConvNeXtBlock) and
+            # select channels from data: all sites, calibration hook for
+            # the greedy selection + closed-form projection refit
+            filters_py = "[]"
+            cal = ("dict(type='CalibrationHook', priority=40, num_batches=2, "
+                   f"batch_size={args.batch_size}, image_size={size}, "
+                   f"dataset={ds_cfg!r})")
+            hooks_py = (f"[{cal}]" if hooks_py == "[]"
+                        else f"[{cal}, " + hooks_py[1:])
+        elif args.model.startswith("ResNet"):
             filters_py = ("[dict(type='KernelSizeFilter', min_kernel=2, "
                           "max_kernel=5), dict(type='IndicesFilter', "
                           f"indices={tuple(args.indices)})]")

@@ -206,3 +206,103 @@ hooks = [dict(type="CalibrationHook", priority=30, num_batches=2,
                      jax.random.normal(KEY, (2, 32, 32, 3)),
                      Ctx(training=False, state=runner.variables["state"]))
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def _make_convnext():
+    m = build_model(dict(type="ConvNeXt", depths=(1, 1, 1, 1),
+                         dims=(8, 8, 16, 16), num_classes=10))
+    return m, {"params": m.init(KEY), "state": m.init_state()}
+
+
+def test_mlp_prune_keep_all_exact():
+    from convnet_approximater_tpu.core import MlpPrune
+
+    model, variables = _make_convnext()
+    x = jax.random.normal(jax.random.key(12), (2, 32, 32, 3))
+    y0, _, _ = model.apply(variables["params"], x,
+                           state=variables["state"], training=False)
+    n = apply_app(model, variables, MlpPrune(keep_ratio=1.0), [])
+    assert n == 4
+    y1, _, _ = model.apply(variables["params"], x,
+                           state=variables["state"], training=False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+
+
+def test_mlp_prune_shrinks_and_runs():
+    from convnet_approximater_tpu.core import MlpPrune
+    from convnet_approximater_tpu.models.convnext import ConvNeXtBlock
+
+    model, variables = _make_convnext()
+    apply_app(model, variables, MlpPrune(keep_ratio=0.5), [])
+    hidden = [m.hidden for _, m in model.named_modules()
+              if isinstance(m, ConvNeXtBlock)]
+    assert hidden == [16, 16, 32, 32]  # half of 4x expansion
+    x = jax.random.normal(jax.random.key(13), (2, 32, 32, 3))
+    y, _, _ = model.apply(variables["params"], x,
+                          state=variables["state"], training=False)
+    assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_mlp_prune_refit_exact_on_block_redundancy():
+    """Block-level: duplicated hidden Linear channels are lossless to
+    prune under greedy selection + refit (the ConvNeXt adapter of the
+    same machinery the FFN test covers)."""
+    from convnet_approximater_tpu.core import MlpPrune
+    from convnet_approximater_tpu.models.convnext import ConvNeXtBlock
+
+    src = ConvNeXtBlock(4, 0.0)
+    sp = src.init(jax.random.key(14))
+    w1 = sp["pwconv1"]["weight"]  # (4, 16)
+    sp["pwconv1"]["weight"] = jnp.concatenate([w1[:, :8], w1[:, :8]], axis=1)
+    sp["pwconv1"]["bias"] = jnp.concatenate([sp["pwconv1"]["bias"][:8]] * 2)
+    w2 = sp["pwconv2"]["weight"]  # (16, 4)
+    sp["pwconv2"]["weight"] = jnp.concatenate([w2[:8], w2[:8]], axis=0)
+    x = jax.random.normal(jax.random.key(15), (2, 8, 8, 4))
+    y0 = src(sp, x, Ctx(training=False))
+    app = MlpPrune(keep=8, refit=True)
+    sub, p = app.initialize(src, dict(sp))
+    app.set_calibration(0, x)
+    app.optimize(sub, p)
+    tgt, tp = app.postprocess(sub, p)
+    assert tgt.hidden == 8
+    y = tgt(tp, x, Ctx(training=False))
+    assert float(jnp.mean((y - y0) ** 2)) < 1e-6
+
+
+def test_mlp_prune_uniform_keep_scans():
+    """A uniformly pruned stage stays structurally identical, so the
+    scan-over-blocks engine still engages — outputs match the unrolled
+    path bit-for-bit."""
+    from convnet_approximater_tpu.core import MlpPrune
+
+    def build(scan):
+        m = build_model(dict(type="ConvNeXt", depths=(2, 1, 1, 2),
+                             dims=(8, 8, 16, 16), num_classes=10,
+                             scan_blocks=scan))
+        return m, {"params": m.init(KEY), "state": m.init_state()}
+
+    x = jax.random.normal(jax.random.key(16), (2, 32, 32, 3))
+    outs = []
+    for scan in ("auto", "never"):
+        model, variables = build(scan)
+        apply_app(model, variables, MlpPrune(keep_ratio=0.5), [])
+        y, _, _ = model.apply(variables["params"], x,
+                              state=variables["state"], training=False)
+        outs.append(np.asarray(y))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_round_to_snaps_to_tile_width():
+    """round_to snaps the kept width to MXU-friendly multiples (measured:
+    192 of 256 pads back to 2 tiles of 128 — no matmul win), clamped to
+    [round_to, M]; hidden dims at or under the tile width are left alone."""
+    src, sp = _ffn(C=6, M=256)
+    app = FfnPrune(keep_ratio=0.75, round_to=128)
+    assert app._num_keep(src, sp) == 256  # 192 rounds up: not worth it
+    app = FfnPrune(keep_ratio=0.55, round_to=128)
+    assert app._num_keep(src, sp) == 128
+    app = FfnPrune(keep_ratio=0.25, round_to=128)
+    assert app._num_keep(src, sp) == 128  # floor: at least one tile
+    src_s, sp_s = _ffn(C=6, M=64)
+    app = FfnPrune(keep_ratio=0.5, round_to=128)
+    assert app._num_keep(src_s, sp_s) == 32  # M <= round_to: untouched
