@@ -53,7 +53,7 @@ from convnet_approximater_tpu.utils import cast_floating, get_logger, tree_get
 
 
 def apply_app(model, variables: dict, app, filters: Sequence[ModuleFilter],
-              rng=None) -> int:
+              rng=None, calib_batches=None) -> int:
     """Run the canonical 4-phase approximation loop in place.
 
     register -> initialize -> optimize -> postprocess, pairing every
@@ -61,18 +61,76 @@ def apply_app(model, variables: dict, app, filters: Sequence[ModuleFilter],
     ``src/approx/runner/runner.py``, collapsed to its deploy essentials —
     the same loop ``bench.run_pipeline`` and the exp_* scripts inline).
     Returns the number of sites rewritten (0 = the app found no targets).
+
+    With ``calib_batches`` AND an app exposing ``set_calibration``, the
+    loop runs the Runner's two-pass shape instead (initialize all sites,
+    stream the batches through the 'old' branches tapping each site's
+    input — the :class:`CalibrationHook` flow without a Runner — then
+    optimize/postprocess), so data-driven solves (V3/V4 whitening,
+    FfnPrune's greedy selection + refit) work in deploy pipelines too.
     """
     rng = rng if rng is not None else jax.random.key(0)
     model.register_switchable(app.src_type, list(filters))
     n = model.length_switchable
+    calibrate = calib_batches is not None and hasattr(app, "set_calibration")
+    if not calibrate:
+        for idx in range(n):
+            name = model.switchable_names[idx]
+            src = model.get_switchable_module(idx)
+            sub, sp = app.initialize(
+                src, tree_get(variables["params"], name),
+                _stable_fold(rng, name))
+            model.set_switchable_module(idx, sub, variables, {"params": sp})
+            app.optimize(sub, sp)
+            mod, np_ = app.postprocess(sub, sp)
+            model.set_switchable_module(idx, mod, variables, {"params": np_})
+        return n
+
+    from convnet_approximater_tpu.hooks.calibration import site_statistic
+    from convnet_approximater_tpu.nn.module import Ctx
+
+    subs, sps = [], []
     for idx in range(n):
         name = model.switchable_names[idx]
         src = model.get_switchable_module(idx)
         sub, sp = app.initialize(
             src, tree_get(variables["params"], name), _stable_fold(rng, name))
         model.set_switchable_module(idx, sub, variables, {"params": sp})
-        app.optimize(sub, sp)
-        mod, np_ = app.postprocess(sub, sp)
+        subs.append(sub)
+        sps.append(sp)
+    for sub in subs:
+        sub.capture = True
+
+    def fwd(params, state, x):
+        ctx = Ctx(training=False, state=state, force_branch="old")
+        ctx.capture_inputs = True
+        model(params, x, ctx)
+        return ctx.taps
+
+    fwd_j = jax.jit(fwd)
+    stat = getattr(app, "calibration_stat", "strips")
+    acc: dict = {}
+    count = 0
+    for xb in calib_batches:
+        taps = fwd_j(variables["params"], variables.get("state", {}), xb)
+        for idx in range(n):
+            key = f"{model.switchable_names[idx]}.in"
+            if key not in taps:
+                continue
+            sm = site_statistic(stat, taps[key], subs[idx].old_module)
+            if stat == "raw":
+                acc.setdefault(idx, []).append(sm)
+            else:
+                acc[idx] = acc.get(idx, 0) + sm
+        count += 1
+    for idx, sm in acc.items():
+        app.set_calibration(idx, jnp.concatenate(sm, axis=0)
+                            if isinstance(sm, list) else sm / max(count, 1))
+    for sub in subs:
+        sub.capture = False
+    for idx in range(n):
+        app.optimize(subs[idx], sps[idx])
+        mod, np_ = app.postprocess(subs[idx], sps[idx])
         model.set_switchable_module(idx, mod, variables, {"params": np_})
     return n
 
@@ -138,11 +196,17 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
     from convnet_approximater_tpu.filters import DepthwiseConvFilter
     from convnet_approximater_tpu.layers import MSCA
 
+    from convnet_approximater_tpu.models.convnext import ConvNeXtBlock
+    from convnet_approximater_tpu.models.mscan import FFN
+
     dw_filter = DepthwiseConvFilter()
     has_dw = _has_module(probe_model, dw_filter.filter)
     has_dense = _has_module(probe_model, _DenseKxKFilter().filter)
-    # _has_module is Conv2d-scoped; MSCA is a composite attention module
-    has_msca = any(isinstance(m, MSCA) for _, m in probe_model.named_modules())
+    # _has_module is Conv2d-scoped; MSCA/FFN/ConvNeXtBlock are composites
+    mods = [m for _, m in probe_model.named_modules()]
+    has_msca = any(isinstance(m, MSCA) for m in mods)
+    has_ffn = any(isinstance(m, FFN) for m in mods)
+    has_block = any(isinstance(m, ConvNeXtBlock) for m in mods)
 
     def _cast(variables):
         return {"params": cast_floating(variables["params"], dtype),
@@ -231,6 +295,62 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
             enable_pw_matmul(model)  # measured bf16-only win (-0.13 ms)
         return model, _cast(variables)
 
+    def build_ffnprune_rep(model, variables, rng, calib):
+        # the measured record stack (doc/perf-notes.md r4d: MSCAN-t
+        # 3.404 ms = 1.19x over best-rep alone): tile-snapped hidden
+        # pruning (greedy selection + refit on the calib taps via the
+        # two-pass apply_app), then the full MSCA-rep serving recipe on
+        # the pruned model.  Lossy -> the agreement gate decides.
+        from convnet_approximater_tpu.core import FfnPrune
+
+        n = apply_app(model, variables,
+                      FfnPrune(keep_ratio=0.5, round_to=128), [], rng,
+                      calib_batches=calib)
+        if n == 0:
+            raise _NoTargets("no conv-FFN modules")
+        return build_mscarep(model, variables, rng, calib)
+
+    def build_mlpprune(model, variables, rng, calib):
+        from convnet_approximater_tpu.core import MlpPrune
+
+        n = apply_app(model, variables,
+                      MlpPrune(keep_ratio=0.5, round_to=128), [], rng,
+                      calib_batches=calib)
+        if n == 0:
+            raise _NoTargets("no ConvNeXt blocks")
+        fold_batchnorm(model, variables)
+        return model, _cast(variables)
+
+    def build_mlpprune_int8(model, variables, rng, calib):
+        from convnet_approximater_tpu.core import MlpPrune
+
+        n = apply_app(model, variables,
+                      MlpPrune(keep_ratio=0.5, round_to=128), [], rng,
+                      calib_batches=calib)
+        if n == 0:
+            raise _NoTargets("no ConvNeXt blocks")
+        # pruned Linears are still dense Linears: PTQ covers them (plus
+        # the rest of the model) after the width cut
+        return _build_int8(model, variables, dtype, calib)
+
+    def build_dwsep_mlpprune_int8(model, variables, rng, calib):
+        # the measured ConvNeXt-T record triple (doc/perf-notes.md r4d:
+        # 4.659 ms = 1.25x over the old dwsep+int8 record): width-pruned
+        # MLPs + rank-1 depthwise strips + PTQ on the dense remainder.
+        # Note int8 LOSES on the prune-only surface (8.17 vs 7.84 bf16)
+        # but WINS here — stack rules are measured, not assumed, which is
+        # exactly why each composition is its own candidate.
+        from convnet_approximater_tpu.core import DwSepRep, MlpPrune
+
+        n = apply_app(model, variables,
+                      MlpPrune(keep_ratio=0.5, round_to=128), [], rng,
+                      calib_batches=calib)
+        if n == 0:
+            raise _NoTargets("no ConvNeXt blocks")
+        apply_app(model, variables, DwSepRep(ranks=dwsep_rank),
+                  [DepthwiseConvFilter()], rng)
+        return _build_int8(model, variables, dtype, calib)
+
     out = [(f"dense/{jnp.dtype(dtype).name}", build_dense),
            ("int8", build_int8)]
     if has_dense:
@@ -241,6 +361,14 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
         out.append((f"dwsep/r={dwsep_rank}+int8", build_dwsep_int8))
     if has_msca:
         out.append(("mscarep/d1+fix+dconv0+arb-ffnrep", build_mscarep))
+    if has_ffn and has_msca:
+        out.append(("ffnprune/0.5+mscarep", build_ffnprune_rep))
+    if has_block:
+        out.append(("mlpprune/0.5", build_mlpprune))
+        out.append(("mlpprune/0.5+int8", build_mlpprune_int8))
+        if has_dw:
+            out.append((f"dwsep/r={dwsep_rank}+mlpprune/0.5+int8",
+                        build_dwsep_mlpprune_int8))
     return out
 
 

@@ -58,6 +58,26 @@ def patch_second_moment(x, kh: int, kw: int):
     return (v.T @ v) / v.shape[0]
 
 
+def site_statistic(stat: str, x, src):
+    """Per-batch calibration statistic for one substitution site.
+
+    ``stat``: the app's ``calibration_stat`` — 'strips' / 'patches' /
+    'channels' moments, or 'raw' (the tapped maps themselves; the caller
+    concatenates instead of averaging).  ``src``: the site's old module
+    (kernel size source).  Shared by :class:`CalibrationHook` and the
+    planner's two-pass ``apply_app`` calibration.
+    """
+    if stat == "raw":
+        return x
+    kh = src.kernel_size[0] if hasattr(src, "kernel_size") else 1
+    if stat == "patches":
+        kw = src.kernel_size[1] if hasattr(src, "kernel_size") else 1
+        return patch_second_moment(x, kh, kw)
+    if stat == "channels":
+        return channel_second_moment(x)
+    return strip_second_moment(x, kh)
+
+
 @HOOK.register_module()
 class CalibrationHook(Hook):
     """Attach calibration second moments to a data-driven approximater."""
@@ -113,22 +133,14 @@ class CalibrationHook(Hook):
                 key = f"{name}.in"
                 if key not in taps:
                     continue
-                src = subs[idx].old_module
-                kh = src.kernel_size[0] if hasattr(src, "kernel_size") else 1
+                sm = site_statistic(stat, taps[key], subs[idx].old_module)
                 if stat == "raw":
                     # apps whose statistic lives behind a nonlinearity
                     # (FfnPrune's hidden moments) get the tapped maps
                     # themselves and compute their own stats in optimize()
-                    moments.setdefault(idx, []).append(taps[key])
-                    continue
-                if stat == "patches":
-                    kw = src.kernel_size[1] if hasattr(src, "kernel_size") else 1
-                    sm = patch_second_moment(taps[key], kh, kw)
-                elif stat == "channels":
-                    sm = channel_second_moment(taps[key])
+                    moments.setdefault(idx, []).append(sm)
                 else:
-                    sm = strip_second_moment(taps[key], kh)
-                moments[idx] = moments.get(idx, 0) + sm
+                    moments[idx] = moments.get(idx, 0) + sm
             count += 1
         for idx, sm in moments.items():
             app.set_calibration(idx, jnp.concatenate(sm, axis=0)

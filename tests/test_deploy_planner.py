@@ -188,3 +188,32 @@ def test_planner_mscarep_candidate_builds():
         y, _, _ = m.apply(v["params"], jnp.ones(shape, jnp.bfloat16),
                           state=v["state"], training=False)
         assert y.shape == (2, 7)
+
+
+def test_prune_candidates_gated_by_structure():
+    from convnet_approximater_tpu.deploy_planner import default_candidates
+
+    m, _ = _make_mscan()
+    names = [n for n, _ in default_candidates(m)]
+    assert "ffnprune/0.5+mscarep" in names
+    assert not any(n.startswith("mlpprune/") for n in names)
+    m2, _ = _make_convnext()
+    names2 = [n for n, _ in default_candidates(m2)]
+    assert "mlpprune/0.5" in names2 and "mlpprune/0.5+int8" in names2
+    assert not any(n.startswith("ffnprune/") for n in names2)
+
+
+def test_planner_prune_candidate_builds():
+    """The ffnprune+mscarep stack builds end-to-end through plan_serving
+    (two-pass calibrated apply_app inside a candidate builder) and is
+    ranked with an agreement grade."""
+    shape = (2, 32, 32, 3)
+    cands = [c for c in default_candidates(_make_mscan()[0],
+                                           input_shape=shape)
+             if c[0].startswith(("dense/", "ffnprune/"))]
+    plan = plan_serving(_make_mscan, shape, candidates=cands, num_iters=2,
+                        warmup=1, probe_batches=1, min_agree=0.0,
+                        verbose=False)
+    row = next(r for r in plan["report"] if r["name"].startswith("ffnprune/"))
+    assert row["ms"] is not None and row["ms"] > 0
+    assert row["agree"] is not None

@@ -306,3 +306,43 @@ def test_round_to_snaps_to_tile_width():
     src_s, sp_s = _ffn(C=6, M=64)
     app = FfnPrune(keep_ratio=0.5, round_to=128)
     assert app._num_keep(src_s, sp_s) == 32  # M <= round_to: untouched
+
+
+def test_apply_app_two_pass_calibration():
+    """apply_app(calib_batches=...) reproduces the CalibrationHook flow
+    without a Runner: raw taps reach FfnPrune, so the greedy+refit path
+    runs (duplicated-channel FFN inside a model stays lossless at half
+    width, which plain weight-ranked slicing cannot achieve)."""
+    model, variables = _make_mscan()
+    # duplicate the hidden halves of every FFN (fc2 rows too)
+    import jax.tree_util as jtu
+
+    for name, mod in model.named_modules():
+        if not isinstance(mod, FFN):
+            continue
+        path = name.split(".")
+        t = variables["params"]
+        for p in path:
+            t = t[p]
+        for sub in ("fc1", "dconv"):
+            w = t[sub]["weight"]
+            half = w.shape[-1] // 2
+            t[sub]["weight"] = jnp.concatenate(
+                [w[..., :half], w[..., :half]], axis=-1)
+            t[sub]["bias"] = jnp.concatenate([t[sub]["bias"][:half]] * 2)
+        w2 = t["fc2"]["weight"]
+        half = w2.shape[2] // 2
+        t["fc2"]["weight"] = jnp.concatenate(
+            [w2[:, :, :half], w2[:, :, :half]], axis=2)
+    x = jax.random.normal(jax.random.key(21), (4, 32, 32, 3))
+    y0, _, _ = model.apply(variables["params"], x,
+                           state=variables["state"], training=False)
+    calib = [jax.random.normal(jax.random.key(22), (4, 32, 32, 3))]
+    app = FfnPrune(keep_ratio=0.5, refit=True)
+    n = apply_app(model, variables, app, [], calib_batches=calib)
+    assert n == 4
+    assert sorted(app._raw) == [0, 1, 2, 3]  # every site got its taps
+    y1, _, _ = model.apply(variables["params"], x,
+                           state=variables["state"], training=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-3, atol=1e-4)
