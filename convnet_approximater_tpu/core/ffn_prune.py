@@ -215,11 +215,20 @@ class FfnPrune(Approximater):
             # greedy redundancy-aware selection on the SAME objective the
             # refit optimizes (explained centered output variance — the
             # intercept row absorbs any dropped channel's mean)
+            if n < M:
+                logger.warning(
+                    f"calibration sample ({n} pixels) is smaller than the "
+                    f"hidden dim ({M}): the covariance is rank-deficient — "
+                    f"selection quality degrades past rank {n}; raise the "
+                    f"CalibrationHook num_batches/batch_size")
             Kc = G - jnp.outer(mu, mu)
             S, explained = _greedy_select(np.asarray(Kc),
                                           np.asarray(Kc @ W2), k)
             total = float(jnp.trace(W2.T @ (Kc @ W2)))
-            kept_energy = explained / max(total, 1e-30)
+            # clamp for display: on rank-deficient covariances the greedy
+            # gains past the sample rank are numerical noise and can push
+            # the ratio over 1
+            kept_energy = min(explained / max(total, 1e-30), 1.0)
         else:
             # plain slicing keeps b2 as-is, so the full second moment is
             # what dropping a channel costs
