@@ -46,6 +46,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from convnet_approximater_tpu.filters import DenseKxKFilter as _DenseKxKFilter
 from convnet_approximater_tpu.filters.module_filter import ModuleFilter
 from convnet_approximater_tpu.nn import Conv2d
 from convnet_approximater_tpu.nn.module import _stable_fold
@@ -133,23 +134,6 @@ def apply_app(model, variables: dict, app, filters: Sequence[ModuleFilter],
         mod, np_ = app.postprocess(subs[idx], sps[idx])
         model.set_switchable_module(idx, mod, variables, {"params": np_})
     return n
-
-
-class _DenseKxKFilter(ModuleFilter):
-    """Dense (groups == 1) spatial convs with enough input channels for a
-    channel-rank cut to matter (the 3-channel stem's C*k^2 is too small
-    for V3 to win anything)."""
-
-    def __init__(self, min_kernel: int = 2, min_in: int = 8):
-        self.min_kernel = min_kernel
-        self.min_in = min_in
-
-    def filter(self, module) -> bool:
-        assert isinstance(module, Conv2d)
-        return (module.groups == 1
-                and module.dilation == (1, 1)  # V3/V4 reject dilated convs
-                and min(module.kernel_size) >= self.min_kernel
-                and module.in_channels >= self.min_in)
 
 
 def _has_module(model, pred) -> bool:
@@ -529,3 +513,44 @@ def plan_to_json(plan: Dict) -> Dict:
     """The persistable slice of a plan (no model/param objects)."""
     return {k: plan[k] for k in
             ("report", "winner", "dtype", "speedup_vs_dense")}
+
+
+def recovery_plan(name: str, v3_energy: float = 0.9, dwsep_rank: int = 1):
+    """Ordered recovery stages for a candidate surface ``name``.
+
+    The planner gates lossy surfaces on agreement (``needs_recovery``);
+    this maps each candidate name back to the LOSSY approximaters in its
+    stack — in the order the builder applies them — as config-expressible
+    stage dicts ``{"app": ..., "filters": ..., "calibration": bool}``
+    (plus ``{"qat": True}`` when the surface quantizes, since PTQ's
+    recovery axis is QAT, reference-less by design).  Exact passes
+    (MSCA-rep, FfnRep, BN fold, casts) need no recovery and re-apply at
+    deploy time; run each stage as its own fine-tune pipeline
+    (``scripts/plan_serving.py --emit-recovery`` writes the configs).
+    """
+    stages = []
+    if name.startswith("v3/"):
+        stages.append(dict(app=dict(type="LowRankExpV3", energy=v3_energy,
+                                    data_driven=True),
+                           filters=[dict(type="DenseKxKFilter")],
+                           calibration=True))
+    if name.startswith("tucker/"):
+        stages.append(dict(app=dict(type="LowRankExpV4", energy=v3_energy,
+                                    data_driven=True),
+                           filters=[dict(type="DenseKxKFilter")],
+                           calibration=True))
+    if "ffnprune/" in name:
+        stages.append(dict(app=dict(type="FfnPrune", keep_ratio=0.5,
+                                    round_to=128),
+                           filters=[], calibration=True))
+    if "mlpprune/" in name:
+        stages.append(dict(app=dict(type="MlpPrune", keep_ratio=0.5,
+                                    round_to=128),
+                           filters=[], calibration=True))
+    if "dwsep/" in name:
+        stages.append(dict(app=dict(type="DwSepRep", ranks=dwsep_rank),
+                           filters=[dict(type="DepthwiseConvFilter")],
+                           calibration=False))
+    if "int8" in name:
+        stages.append(dict(qat=True))
+    return stages

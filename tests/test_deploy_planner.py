@@ -217,3 +217,89 @@ def test_planner_prune_candidate_builds():
     row = next(r for r in plan["report"] if r["name"].startswith("ffnprune/"))
     assert row["ms"] is not None and row["ms"] > 0
     assert row["agree"] is not None
+
+
+def test_planner_segmentation_per_pixel_agreement():
+    """plan_serving generalizes to segmentation unchanged: SegNeXt logits
+    are (B, H/8, W/8, K), so the agreement gate's argmax(-1) grades
+    PER-PIXEL top-1 vs the dense f32 reference."""
+    from convnet_approximater_tpu.segmentation import SegNeXt
+
+    def make():
+        m = SegNeXt(num_channels=(8, 8, 16, 16), num_blocks=(1, 1, 1, 1),
+                    exp_ratios=(2, 2, 2, 2), num_classes=5,
+                    ham_channels=8, ham_rank=4, ham_iters=2)
+        v = {"params": m.init(jax.random.fold_in(KEY, 11)),
+             "state": m.init_state()}
+        return m, v
+
+    shape = (2, 64, 64, 3)
+    cands = [c for c in default_candidates(make()[0], input_shape=shape)
+             if c[0].startswith(("dense/", "mscarep/"))]
+    plan = plan_serving(make, shape, candidates=cands, num_iters=2,
+                        warmup=1, probe_batches=1, min_agree=0.0,
+                        verbose=False)
+    row = next(r for r in plan["report"] if r["name"].startswith("mscarep/"))
+    assert row["ms"] is not None and row["ms"] > 0
+    # MSCA-rep is exact algebra; only the bf16 cast can flip borderline
+    # pixels on random weights — agreement stays high
+    assert 0.5 <= row["agree"] <= 1.0
+
+
+def test_recovery_plan_mapping():
+    from convnet_approximater_tpu.deploy_planner import recovery_plan
+
+    assert recovery_plan("dense/bfloat16") == []
+    assert recovery_plan("mscarep/d1+fix+dconv0+arb-ffnrep") == []
+    v3 = recovery_plan("v3/e=0.9", v3_energy=0.9)
+    assert v3[0]["app"]["type"] == "LowRankExpV3" and v3[0]["calibration"]
+    # triple stack: stages in builder order (prune, dwsep), then QAT
+    s = recovery_plan("dwsep/r=1+mlpprune/0.5+int8")
+    kinds = [("qat" if st.get("qat") else st["app"]["type"]) for st in s]
+    assert kinds == ["MlpPrune", "DwSepRep", "qat"]
+    assert recovery_plan("int8") == [dict(qat=True)]
+
+
+def test_emit_recovery_cli_and_chain_runs(tmp_path):
+    """plan_serving.py --emit-recovery writes chained configs for gated
+    surfaces, and an emitted config (placeholders filled the documented
+    way) runs end-to-end through scripts/main.py."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = tmp_path / "tiny_mscan.py"
+    cfg.write_text(
+        "model = dict(type='MSCAN_Classifier', num_channels=(8, 16),\n"
+        "             num_blocks=(1, 1), exp_ratios=(4, 4), num_classes=7)\n"
+        "seed = 0\n")
+    rec_dir = tmp_path / "recovery"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # min-agree > 1 gates every lossy surface -> recovery emitted for all
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/plan_serving.py"),
+         "--config", str(cfg), "--batch", "2",
+         "--input-size", "32", "32", "3", "--min-agree", "1.01",
+         "--out", str(tmp_path / "plan.json"),
+         "--emit-recovery", str(rec_dir),
+         "--recovery-epochs", "1", "--recovery-ce-epochs", "1",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    emitted = sorted(os.listdir(rec_dir))
+    assert any("ffnprune" in e for e in emitted), emitted
+    assert any("v3" in e for e in emitted), emitted
+    # fill the documented placeholders and run the ffnprune stage
+    p = rec_dir / next(e for e in emitted if "ffnprune" in e)
+    body = p.read_text()
+    assert "_base_" in body and "CalibrationHook" in body
+    body = body.replace("num_classes=10)  # FILL", "num_classes=7)")
+    body = body.replace("NUM_CLASSES = 10  # FILL", "NUM_CLASSES = 7")
+    p.write_text(body)
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/main.py"),
+         "--config", str(p), "--work-dir", str(tmp_path / "work"),
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert r2.returncode == 0, r2.stderr[-3000:]
