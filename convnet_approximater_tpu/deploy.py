@@ -1121,3 +1121,183 @@ def chunk_batch(fn, max_batch: int = 128):
         return jax.tree_util.tree_map(_cat, *ys)
 
     return wrapped
+
+
+# class-name -> (producer_attr, (bn_attrs...), consumer_attr) junctions whose
+# hidden width is free to prune (the block's I/O channels are pinned by the
+# residual, its INTERNAL width is not) — the attribute-pattern analog of
+# PRUNE-by-Sequential-adjacency below, mirroring FOLD_PATTERNS' design.
+PRUNE_PATTERNS: Dict[str, List[Tuple[str, Tuple[str, ...], str]]] = {
+    "BasicBlock": [("conv1", ("bn1",), "conv2")],
+    "Bottleneck": [("conv1", ("bn1",), "conv2"),
+                   ("conv2", ("bn2",), "conv3")],
+}
+
+
+def _prune_round(k: int, M: int, round_to) -> int:
+    if not round_to or M <= round_to:
+        return max(1, min(k, M))
+    return min(M, max(round_to, int(round(k / round_to)) * round_to))
+
+
+def prune_chains(model, variables: dict, keep_ratio: float,
+                 round_to: int = 128, filter_fn=None,
+                 dry_run: bool = False, verbose: bool = False) -> int:
+    """Cross-layer structured channel pruning of producer->consumer pairs.
+
+    The deploy-pass form of He et al.'s ICCV'17 channel pruning for the
+    families whose width lives BETWEEN layers rather than inside an MLP
+    block (VGG/AlexNet conv stacks and classifier Linears, ResNet block
+    internals) — the per-module ``FfnPrune``/``MlpPrune`` apps cannot
+    express a junction that spans two switchable sites, so this walks the
+    structure like ``fold_batchnorm`` does and edits both trees in place:
+
+    * adjacent pairs inside a ``Sequential`` whose intermediates are
+      channel-preserving (ReLU/GELU/Dropout/MaxPool/AdaptiveAvgPool, plus
+      BatchNorm2d which is sliced along with the junction; LayerNorm /
+      GroupNorm COUPLE channels through their normalizer, so they break
+      the chain);
+    * per-class attribute patterns in ``PRUNE_PATTERNS`` (ResNet blocks:
+      the residual pins block I/O, the internal width is free).
+
+    Selection is by weight-norm product ``||W_a[m]|| * g_m * ||W_b[m]||``
+    with ``g`` the absorbed BN gain ``|scale|/sqrt(var+eps)`` — the
+    recovery fine-tune (CE/KD from the pruned init) is the accuracy
+    story, exactly like the factorization apps.  ``round_to`` snaps kept
+    widths to MXU tile multiples (measured rule, doc/perf-notes.md r4d);
+    junctions whose snapped k equals M are skipped.  Producer out dims,
+    intermediate BN features, and consumer in dims shrink together, so
+    the model stays exact-shaped for every later pass (fold, cast, int8,
+    export).  Returns the number of junctions pruned.
+    """
+    import numpy as np
+
+    from convnet_approximater_tpu.nn.layers import (AdaptiveAvgPool2d,
+                                                    Dropout, GELU, Linear,
+                                                    MaxPool2d, ReLU)
+    from convnet_approximater_tpu.utils.logger import get_logger
+
+    params = variables["params"]
+    state = variables.get("state", {})
+    logger = get_logger()
+    passthru = (ReLU, GELU, Dropout, MaxPool2d, AdaptiveAvgPool2d)
+
+    def is_producer(m):
+        return (isinstance(m, Conv2d) and m.groups == 1) \
+            or isinstance(m, Linear)
+
+    def is_consumer(m):
+        return (isinstance(m, Conv2d) and m.groups == 1) \
+            or isinstance(m, Linear)
+
+    junctions: List[Tuple[str, Tuple[str, ...], str]] = []
+    for path, mod in list(model.named_modules()):
+        def sub(name):
+            return f"{path}.{name}" if path else name
+
+        if isinstance(mod, Sequential):
+            names = list(mod._children)
+            i = 0
+            while i < len(names):
+                a = mod._children[names[i]]
+                if not is_producer(a):
+                    i += 1
+                    continue
+                bns, j = [], i + 1
+                while j < len(names):
+                    m = mod._children[names[j]]
+                    if isinstance(m, BatchNorm2d):
+                        bns.append(names[j])
+                        j += 1
+                    elif isinstance(m, passthru):
+                        j += 1
+                    else:
+                        break
+                nxt = mod._children[names[j]] if j < len(names) else None
+                # producer and consumer must be the same kind: a Flatten
+                # (or anything else) between a conv and a Linear breaks
+                # the channel identity, and the scan stops there anyway
+                if nxt is not None and is_consumer(nxt) \
+                        and isinstance(a, Conv2d) == isinstance(nxt, Conv2d):
+                    junctions.append((sub(names[i]),
+                                      tuple(sub(b) for b in bns),
+                                      sub(names[j])))
+                i = j  # the consumer is the next candidate producer
+        for klass in type(mod).__mro__:
+            for pa, bns, ca in PRUNE_PATTERNS.get(klass.__name__, ()):
+                kids = mod._children
+                if pa in kids and ca in kids \
+                        and is_producer(kids[pa]) and is_consumer(kids[ca]) \
+                        and all(isinstance(kids.get(b), BatchNorm2d)
+                                for b in bns):
+                    junctions.append((sub(pa), tuple(sub(b) for b in bns),
+                                      sub(ca)))
+
+    n_pruned = 0
+    for prod_path, bn_paths, cons_path in junctions:
+        prod = model.get_submodule(prod_path)
+        cons = model.get_submodule(cons_path)
+        if filter_fn is not None and not filter_fn(prod_path, prod):
+            continue
+        conv = isinstance(prod, Conv2d)
+        # module attrs are authoritative (and available param-free, which
+        # lets dry_run gate planner candidates off the bare probe model)
+        M = prod.out_channels if conv else prod.out_features
+        k = _prune_round(int(round(M * keep_ratio)), M, round_to)
+        if k >= M:
+            if verbose:
+                logger.info(f"prune_chains: {prod_path} keep {k}/{M} "
+                            f"(snapped) — skipped")
+            continue
+        if dry_run:
+            n_pruned += 1  # count prunable junctions without editing
+            continue
+        pp = _get(params, prod_path.split("."))
+        cp = _get(params, cons_path.split("."))
+        if pp is None or cp is None:
+            continue
+        wa = pp["weight"].astype(jnp.float32)
+        na = jnp.sqrt(jnp.sum(wa ** 2, axis=(0, 1, 2) if conv else (0,)))
+        g = jnp.ones((M,), jnp.float32)
+        for bp_path in bn_paths:
+            bp = _get(params, bp_path.split("."))
+            bs = _get(state, bp_path.split("."))
+            bn = model.get_submodule(bp_path)
+            g = g * jnp.abs(bp["scale"]) * jax.lax.rsqrt(
+                bs["var"].astype(jnp.float32) + bn.eps)
+        wb = cp["weight"].astype(jnp.float32)
+        nb = jnp.sqrt(jnp.sum(wb ** 2, axis=(0, 1, 3) if conv else (1,)))
+        imp = np.asarray(na * g * nb)
+        S = np.sort(np.argsort(-imp, kind="stable")[:k])
+
+        ax_out = 3 if conv else 1
+        pp["weight"] = jnp.take(pp["weight"], S, axis=ax_out)
+        if "bias" in pp:
+            pp["bias"] = jnp.take(pp["bias"], S, axis=0)
+        if conv:
+            prod.out_channels = k
+        else:
+            prod.out_features = k
+        for bp_path in bn_paths:
+            bp = _get(params, bp_path.split("."))
+            bs = _get(state, bp_path.split("."))
+            bp["scale"] = jnp.take(bp["scale"], S, axis=0)
+            bp["bias"] = jnp.take(bp["bias"], S, axis=0)
+            bs["mean"] = jnp.take(bs["mean"], S, axis=0)
+            bs["var"] = jnp.take(bs["var"], S, axis=0)
+            model.get_submodule(bp_path).num_features = k
+        cp["weight"] = jnp.take(cp["weight"], S, axis=2 if conv else 0)
+        if conv:
+            cons.in_channels = k
+        else:
+            cons.in_features = k
+        n_pruned += 1
+        if verbose:
+            e = imp.astype(np.float64) ** 2
+            logger.info(f"prune_chains: {prod_path} -> {cons_path}: "
+                        f"keep {k}/{M} (importance energy "
+                        f"{e[S].sum() / max(e.sum(), 1e-30):.4f})")
+    if n_pruned and not dry_run:
+        logger.info(f"prune_chains: {n_pruned} junctions pruned "
+                    f"(keep_ratio {keep_ratio}, round_to {round_to})")
+    return n_pruned

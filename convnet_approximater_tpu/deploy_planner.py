@@ -317,6 +317,26 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
         # the rest of the model) after the width cut
         return _build_int8(model, variables, dtype, calib)
 
+    def build_chainprune(model, variables, rng, calib):
+        # cross-layer producer->consumer width pruning for the plain-CNN
+        # families (VGG/AlexNet conv+classifier stacks, ResNet block
+        # internals) — the junctions the per-module apps cannot express
+        from convnet_approximater_tpu.deploy import prune_chains
+
+        n = prune_chains(model, variables, keep_ratio=0.5, round_to=64)
+        if n == 0:
+            raise _NoTargets("no prunable junctions")
+        fold_batchnorm(model, variables)
+        return model, _cast(variables)
+
+    def build_chainprune_int8(model, variables, rng, calib):
+        from convnet_approximater_tpu.deploy import prune_chains
+
+        n = prune_chains(model, variables, keep_ratio=0.5, round_to=64)
+        if n == 0:
+            raise _NoTargets("no prunable junctions")
+        return _build_int8(model, variables, dtype, calib)
+
     def build_dwsep_mlpprune_int8(model, variables, rng, calib):
         # the measured ConvNeXt-T record triple (doc/perf-notes.md r4d:
         # 4.659 ms = 1.25x over the old dwsep+int8 record): width-pruned
@@ -353,6 +373,16 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
         if has_dw:
             out.append((f"dwsep/r={dwsep_rank}+mlpprune/0.5+int8",
                         build_dwsep_mlpprune_int8))
+    # plain-CNN cross-layer junctions: gate on a dry count (param-free,
+    # leaves the probe model unmutated); the attention/ConvNeXt families
+    # have their dedicated width apps above
+    from convnet_approximater_tpu.deploy import prune_chains
+
+    has_chain = prune_chains(probe_model, {"params": {}, "state": {}},
+                             keep_ratio=0.5, round_to=64, dry_run=True) > 0
+    if has_chain and not (has_ffn or has_block):
+        out.append(("chainprune/0.5", build_chainprune))
+        out.append(("chainprune/0.5+int8", build_chainprune_int8))
     return out
 
 

@@ -91,6 +91,18 @@ _SLOW_TESTS = {
     "test_low_rank_v4.py::test_v4_pipeline_config",
     "test_low_rank_v4.py::test_v4_finetune_reduces_l2_norm",
     "test_low_rank_v4.py::test_v4_calibration_hook_plumbing",
+    # r4d additions (prune family + planner extensions)
+    "test_deploy_planner.py::test_planner_mscarep_candidate_builds",
+    "test_deploy_planner.py::test_planner_prune_candidate_builds",
+    "test_deploy_planner.py::test_planner_segmentation_per_pixel_agreement",
+    "test_deploy_planner.py::test_emit_recovery_cli_and_chain_runs",
+    "test_ffn_prune.py::test_calibration_hook_raw_plumbing",
+    "test_ffn_prune.py::test_apply_app_two_pass_calibration",
+    "test_ffn_prune.py::test_composes_with_ffn_rep",
+    "test_ffn_prune.py::test_mlp_prune_uniform_keep_scans",
+    "test_prune_chains.py::test_composes_with_fold_and_int8",
+    "test_prune_chains.py::test_prunes_every_family_and_stays_runnable",
+    "test_validate_and_misc.py::test_serve_cli_data_parallel",
 }
 
 

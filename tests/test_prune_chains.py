@@ -1,0 +1,137 @@
+"""deploy.prune_chains: cross-layer producer->consumer channel pruning.
+
+Covers: junction discovery per family (Sequential adjacency + ResNet
+PRUNE_PATTERNS), shape/param consistency after pruning, zero-channel
+dropping, keep_ratio=1 and tile-snap skips, and composition with
+fold_batchnorm / quantize_int8 / bf16 casting.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_approximater_tpu.deploy import fold_batchnorm, prune_chains
+from convnet_approximater_tpu.models import build_model
+
+KEY = jax.random.key(0)
+
+
+def _build(name):
+    cfg = {"AlexNet": dict(type="AlexNet"),
+           "VGG16": dict(type="VGG", depth=16),
+           "ResNet18": dict(type="ResNet", depth=18)}[name]
+    m = build_model(dict(num_classes=10, **cfg))
+    return m, {"params": m.init(KEY), "state": m.init_state()}
+
+
+def test_keep_all_is_noop():
+    m, v = _build("AlexNet")
+    before = jax.tree_util.tree_map(lambda a: a.shape, v["params"])
+    n = prune_chains(m, v, keep_ratio=1.0, round_to=None)
+    assert n == 0
+    after = jax.tree_util.tree_map(lambda a: a.shape, v["params"])
+    assert before == after
+
+
+def test_prunes_every_family_and_stays_runnable():
+    x = jax.random.normal(jax.random.key(1), (2, 64, 64, 3))
+    for name, min_junctions in (("AlexNet", 5), ("VGG16", 12),
+                                ("ResNet18", 8)):
+        m, v = _build(name)
+        n = prune_chains(m, v, keep_ratio=0.5, round_to=64)
+        assert n >= min_junctions, (name, n)
+        y, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+        assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y))), name
+
+
+def test_param_count_halves_on_vgg():
+    m, v = _build("VGG16")
+    n0 = sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(v["params"]))
+    prune_chains(m, v, keep_ratio=0.5, round_to=64)
+    n1 = sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(v["params"]))
+    assert n1 < n0 * 0.6, (n0, n1)
+
+
+def test_zero_channel_is_dropped():
+    """A producer out-channel with exactly zero weights (and zero consumer
+    column) carries zero importance — dropping exactly one channel must
+    drop it, leaving the forward EXACT."""
+    m, v = _build("AlexNet")
+    # AlexNet features: convs at Sequential indices; pick the 2nd conv
+    # (features.3) -> consumer features.6
+    p = v["params"]["features"]
+    w = p["3"]["weight"]
+    M = w.shape[3]
+    p["3"]["weight"] = w.at[..., 7].set(0.0)
+    p["3"]["bias"] = p["3"]["bias"].at[7].set(0.0)
+    p["6"]["weight"] = p["6"]["weight"].at[:, :, 7, :].set(0.0)
+    x = jax.random.normal(jax.random.key(2), (2, 64, 64, 3))
+    y0, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+
+    def only_this(path, mod):
+        return path == "features.3"
+
+    n = prune_chains(m, v, keep_ratio=(M - 1) / M, round_to=None,
+                     filter_fn=only_this)
+    assert n == 1
+    assert v["params"]["features"]["3"]["weight"].shape[3] == M - 1
+    y1, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_round_to_snap_skips_whole_junctions():
+    """With round_to larger than keeps-worth of channels, keeps snap back
+    to M and those junctions are skipped entirely."""
+    m, v = _build("AlexNet")
+    n = prune_chains(m, v, keep_ratio=0.9, round_to=128)
+    m2, v2 = _build("AlexNet")
+    n2 = prune_chains(m2, v2, keep_ratio=0.9, round_to=None)
+    assert n < n2  # snapping disqualified some junctions
+
+
+def test_composes_with_fold_and_int8():
+    from convnet_approximater_tpu.deploy import quantize_int8
+    from convnet_approximater_tpu.utils import cast_floating
+
+    m, v = _build("ResNet18")
+    n = prune_chains(m, v, keep_ratio=0.5, round_to=64)
+    assert n == 8
+    nf = fold_batchnorm(m, v)
+    assert nf > 0  # sliced BNs still fold
+    v = {"params": cast_floating(v["params"], jnp.bfloat16),
+         "state": v["state"]}
+    calib = [jax.random.normal(jax.random.key(3), (2, 64, 64, 3),
+                               jnp.bfloat16)]
+    nq = quantize_int8(m, v, calib)
+    assert nq > 0
+    x = jax.random.normal(jax.random.key(4), (2, 64, 64, 3), jnp.bfloat16)
+    y, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    assert bool(jnp.all(jnp.isfinite(y.astype(jnp.float32))))
+
+
+def test_dry_run_counts_without_editing():
+    m, v = _build("VGG16")
+    before = jax.tree_util.tree_map(lambda a: a.shape, v["params"])
+    n = prune_chains(m, v, keep_ratio=0.5, round_to=64, dry_run=True)
+    assert n >= 12
+    assert jax.tree_util.tree_map(lambda a: a.shape, v["params"]) == before
+    # param-free dry run (the planner's probe-model gate)
+    m2, _ = _build("VGG16")
+    n2 = prune_chains(m2, {"params": {}, "state": {}}, keep_ratio=0.5,
+                      round_to=64, dry_run=True)
+    assert n2 == n
+
+
+def test_planner_chainprune_candidates_gated():
+    from convnet_approximater_tpu.deploy_planner import default_candidates
+
+    m, _ = _build("VGG16")
+    names = [n for n, _ in default_candidates(m)]
+    assert "chainprune/0.5" in names and "chainprune/0.5+int8" in names
+    # attention/ConvNeXt families keep their dedicated width apps instead
+    mscan = build_model(dict(type="MSCAN_Classifier", num_channels=(8, 16),
+                             num_blocks=(1, 1), exp_ratios=(4, 4),
+                             num_classes=4))
+    names2 = [n for n, _ in default_candidates(mscan)]
+    assert not any(n.startswith("chainprune/") for n in names2)
