@@ -80,6 +80,7 @@ class Runner(BaseRunner):
         state = self.model.init_state()
         self.variables = {"params": params, "state": state}
         self.variables = self.model.init_weights(self.variables)
+        self._apply_structure_passes()
         for idx in range(self.model.length_switchable):
             name = self.model.switchable_names[idx]
             src = self.model.get_switchable_module(idx)
@@ -120,6 +121,29 @@ class Runner(BaseRunner):
             get_logger().info(f"saved model to {self.output_path}")
 
         self.call_hook("after_run")
+
+    def _apply_structure_passes(self):
+        """Apply ``cfg.structure_passes`` — ordered deploy-pass rewrites
+        (``deploy.py`` functions by name, e.g. ``prune_chains``) run after
+        weight init / ``init_cfg`` load and before the app pipeline.
+
+        Makes cross-layer structure edits config-expressible and
+        checkpoint-replayable: a checkpoint saved from a pruned run
+        reloads by replaying the same passes (shapes then match; the
+        load overwrites the values, so the selection replay need not be
+        identical).  No reference counterpart — its pipeline had no
+        structure rewrites outside the per-module apps.
+        """
+        passes = self.cfg.structure_passes
+        if not passes:
+            return
+        import convnet_approximater_tpu.deploy as deploy
+
+        for p in passes:
+            p = dict(p)
+            fn = getattr(deploy, p.pop("fn"))
+            n = fn(self.model, self.variables, **p)
+            get_logger().info(f"structure pass {fn.__name__}: {n} sites")
 
     def _restructure_state(self, name: str, sub):
         """Wrap any existing state subtree at ``name`` under 'old' and add

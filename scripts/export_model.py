@@ -105,6 +105,17 @@ def main():
     model = build_model(cfg.model)
     model.register_switchable(app.src_type, filters)
     variables = {"params": model.init(rng), "state": model.init_state()}
+    if cfg.structure_passes:
+        # replay config-declared structure rewrites (Runner order: before
+        # the app pipeline) so checkpoints of e.g. chain-pruned models
+        # load into matching shapes
+        import convnet_approximater_tpu.deploy as deploy_mod
+
+        for p in cfg.structure_passes:
+            p = dict(p)
+            fn = getattr(deploy_mod, p.pop("fn"))
+            n = fn(model, variables, **p)
+            logger.info(f"structure pass {fn.__name__}: {n} sites")
     from convnet_approximater_tpu.nn.module import _stable_fold
 
     for idx in range(model.length_switchable):

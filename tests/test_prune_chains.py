@@ -135,3 +135,40 @@ def test_planner_chainprune_candidates_gated():
                              num_classes=4))
     names2 = [n for n, _ in default_candidates(mscan)]
     assert not any(n.startswith("chainprune/") for n in names2)
+
+
+def test_structure_passes_runner_ckpt_roundtrip(tmp_path):
+    """cfg.structure_passes: the Runner replays prune_chains before the
+    app pipeline, the pruned checkpoint saves, and a deploy-mode rerun of
+    the SAME config replays the pass so the checkpoint reloads into
+    matching shapes with identical outputs."""
+    from convnet_approximater_tpu.nn.module import Ctx
+    from convnet_approximater_tpu.runner import Runner
+    from convnet_approximater_tpu.utils import init_cfg, update_cfg
+
+    cfg = tmp_path / "chainprune.py"
+    cfg.write_text(
+        "model = dict(type='AlexNet', num_classes=4)\n"
+        "app = dict(type='Dummy')\n"
+        "filters = []\n"
+        "structure_passes = [dict(fn='prune_chains', keep_ratio=0.5,"
+        " round_to=16)]\n"
+        "hooks = []\n")
+    init_cfg(str(cfg))
+    update_cfg(work_dir=str(tmp_path / "w1"), config_name="pruned", seed=0)
+    r1 = Runner()
+    r1.run()
+    w = r1.variables["params"]["features"]["3"]["weight"]
+    assert w.shape[3] < 192  # second conv's out width halved
+    x = jax.random.normal(jax.random.key(5), (2, 64, 64, 3))
+    y1 = r1.model(r1.variables["params"], x,
+                  Ctx(training=False, state=r1.variables["state"]))
+
+    init_cfg(str(cfg))
+    update_cfg(work_dir=str(tmp_path / "w2"), config_name="pruned2", seed=0,
+               checkpoint=str(tmp_path / "w1" / "pruned.ckpt.npz"))
+    r2 = Runner(deploy=True, skip_optim=True)
+    r2.run()
+    y2 = r2.model(r2.variables["params"], x,
+                  Ctx(training=False, state=r2.variables["state"]))
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y1))
