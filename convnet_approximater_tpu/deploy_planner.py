@@ -581,6 +581,11 @@ def recovery_plan(name: str, v3_energy: float = 0.9, dwsep_rank: int = 1):
         stages.append(dict(app=dict(type="DwSepRep", ranks=dwsep_rank),
                            filters=[dict(type="DepthwiseConvFilter")],
                            calibration=False))
+    if "chainprune/" in name:
+        # cross-layer pass: expressed as a structure_passes rewrite (the
+        # Runner/export replay it), recovered by a CE-only fine-tune
+        stages.append(dict(structure_pass=dict(
+            fn="prune_chains", keep_ratio=0.5, round_to=64)))
     if "int8" in name:
         stages.append(dict(qat=True))
     return stages

@@ -172,3 +172,13 @@ def test_structure_passes_runner_ckpt_roundtrip(tmp_path):
     y2 = r2.model(r2.variables["params"], x,
                   Ctx(training=False, state=r2.variables["state"]))
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(y1))
+
+
+def test_recovery_plan_chainprune_stage():
+    from convnet_approximater_tpu.deploy_planner import recovery_plan
+
+    s = recovery_plan("chainprune/0.5")
+    assert s == [dict(structure_pass=dict(fn="prune_chains", keep_ratio=0.5,
+                                          round_to=64))]
+    s8 = recovery_plan("chainprune/0.5+int8")
+    assert s8[0].get("structure_pass") and s8[1] == dict(qat=True)
