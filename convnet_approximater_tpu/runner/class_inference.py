@@ -220,6 +220,15 @@ class ClassInference(BaseRunner):
         model = self.new_model
         model.register_switchable(self.app.src_type, self.filters)
         new_vars = {"params": model.init(self.rng), "state": model.init_state()}
+        if self.cfg.structure_passes:
+            # replay config-declared structure rewrites (chain pruning) so
+            # the pruned checkpoint loads into matching shapes — same
+            # semantics as Runner._apply_structure_passes / export_model
+            import convnet_approximater_tpu.deploy as deploy_mod
+
+            for p in self.cfg.structure_passes:
+                p = dict(p)
+                getattr(deploy_mod, p.pop("fn"))(model, new_vars, **p)
         for idx in range(model.length_switchable):
             name = model.switchable_names[idx]
             src = model.get_switchable_module(idx)

@@ -182,3 +182,29 @@ def test_recovery_plan_chainprune_stage():
                                           round_to=64))]
     s8 = recovery_plan("chainprune/0.5+int8")
     assert s8[0].get("structure_pass") and s8[1] == dict(qat=True)
+
+
+def test_class_inference_replays_structure_passes(tmp_path):
+    """ClassInference (the deploy comparator) loads a chain-pruned
+    checkpoint by replaying cfg.structure_passes — same semantics as the
+    Runner and export_model."""
+    from convnet_approximater_tpu.runner import Runner
+    from convnet_approximater_tpu.runner.class_inference import ClassInference
+    from convnet_approximater_tpu.utils import init_cfg, update_cfg
+
+    cfg = tmp_path / "cp.py"
+    cfg.write_text(
+        "model = dict(type='AlexNet', num_classes=4)\n"
+        "app = dict(type='Dummy')\n"
+        "filters = []\n"
+        "structure_passes = [dict(fn='prune_chains', keep_ratio=0.5,"
+        " round_to=16)]\n"
+        "hooks = []\n")
+    init_cfg(str(cfg))
+    update_cfg(work_dir=str(tmp_path / "w"), config_name="cp", seed=0)
+    Runner().run()
+    init_cfg(str(cfg))
+    update_cfg(work_dir=str(tmp_path / "w2"), config_name="cp2", seed=0)
+    ci = ClassInference(str(tmp_path / "w" / "cp.ckpt.npz"),
+                        batch_size=2, input_size=(64, 64, 3))
+    ci.run()  # would fail on shape mismatch without the replay
