@@ -1140,8 +1140,24 @@ def _prune_round(k: int, M: int, round_to) -> int:
     return min(M, max(round_to, int(round(k / round_to)) * round_to))
 
 
+def _patch_moments(x, kh: int, kw: int):
+    """Uncentered patch second moment AND mean: x (B, H, W, C) ->
+    (G (D, D), mu (D,)) with the flat index (c, u, v) = c*kh*kw + u*kw + v
+    — the order an OIHW kernel flattens to (same convention as
+    ``hooks.calibration.patch_second_moment``)."""
+    B, H, W, C = x.shape
+    Ho, Wo = H - kh + 1, W - kw + 1
+    wins = jnp.stack(
+        [jnp.stack([x[:, i:i + Ho, j:j + Wo, :] for j in range(kw)], axis=3)
+         for i in range(kh)], axis=3)  # (B, Ho, Wo, kh, kw, C)
+    v = jnp.transpose(wins, (0, 1, 2, 5, 3, 4)).reshape(
+        B * Ho * Wo, C * kh * kw)
+    return (v.T @ v) / v.shape[0], jnp.mean(v, axis=0)
+
+
 def prune_chains(model, variables: dict, keep_ratio: float,
                  round_to: int = 128, filter_fn=None,
+                 calib_batches=None, ridge: float = 1e-6,
                  dry_run: bool = False, verbose: bool = False) -> int:
     """Cross-layer structured channel pruning of producer->consumer pairs.
 
@@ -1161,7 +1177,15 @@ def prune_chains(model, variables: dict, keep_ratio: float,
       the residual pins block I/O, the internal width is free).
 
     Selection is by weight-norm product ``||W_a[m]|| * g_m * ||W_b[m]||``
-    with ``g`` the absorbed BN gain ``|scale|/sqrt(var+eps)`` — the
+    with ``g`` the absorbed BN gain ``|scale|/sqrt(var+eps)``; with
+    ``calib_batches`` the full He et al. data-driven recipe runs instead:
+    each consumer's INPUT is tapped on the calibration batches
+    (``_capture_in``, one jitted pass), channels rank by their measured
+    contribution ``Var[x_m] * ||W_b[m]||^2``, and the consumer kernel is
+    REFIT in closed form over the kept channels — least squares on the
+    patch second moment (conv: the (C*kh*kw)^2 Gram in OIHW flat order;
+    Linear: the plain input Gram) with an intercept row that absorbs the
+    dropped channels' means into the consumer bias.  Either way the
     recovery fine-tune (CE/KD from the pruned init) is the accuracy
     story, exactly like the factorization apps.  ``round_to`` snaps kept
     widths to MXU tile multiples (measured rule, doc/perf-notes.md r4d);
@@ -1233,6 +1257,61 @@ def prune_chains(model, variables: dict, keep_ratio: float,
                     junctions.append((sub(pa), tuple(sub(b) for b in bns),
                                       sub(ca)))
 
+    # -- optional measured statistics (the data-driven recipe) ------------
+    stats: Dict[str, dict] = {}
+    if calib_batches is not None and not dry_run and junctions:
+        from convnet_approximater_tpu.nn.module import Ctx
+
+        consumers = sorted({c for _, _, c in junctions})
+        mods = {c: model.get_submodule(c) for c in consumers}
+        for c in consumers:
+            mods[c]._capture_in = True
+
+        def fwd(p, s, x):
+            ctx = Ctx(training=False, state=s)
+            model(p, x, ctx)
+            return {c: ctx.taps[c + ".in"] for c in consumers
+                    if c + ".in" in ctx.taps}
+
+        fwd_j = jax.jit(fwd)
+        counts: Dict[str, int] = {}
+        for xb in calib_batches:
+            taps = fwd_j(params, state, xb)
+            for c, xin in taps.items():
+                mod = mods[c]
+                xin = xin.astype(jnp.float32)
+                if isinstance(mod, Conv2d):
+                    kh, kw = mod.kernel_size
+                    if (xin.shape[-1] * kh * kw > 8192
+                            or mod.dilation != (1, 1)):
+                        continue  # Gram too large / unsupported — fall
+                        # back to the weight heuristic for this junction
+                    G, mu = _patch_moments(xin, kh, kw)
+                else:
+                    v = xin.reshape(-1, xin.shape[-1])
+                    G, mu = (v.T @ v) / v.shape[0], jnp.mean(v, axis=0)
+                if isinstance(mod, Conv2d):
+                    n_samp = (xin.shape[0] * (xin.shape[1] - kh + 1)
+                              * (xin.shape[2] - kw + 1))
+                else:
+                    n_samp = int(np.prod(xin.shape[:-1]))
+                flat = xin.reshape(-1, xin.shape[-1])
+                ch_mu = jnp.mean(flat, axis=0)
+                ch_sq = jnp.mean(flat ** 2, axis=0)
+                st = stats.setdefault(c, {"G": 0, "mu": 0, "ch_mu": 0,
+                                          "ch_sq": 0, "n": 0})
+                st["G"] = st["G"] + G
+                st["mu"] = st["mu"] + mu
+                st["ch_mu"] = st["ch_mu"] + ch_mu
+                st["ch_sq"] = st["ch_sq"] + ch_sq
+                st["n"] += n_samp
+                counts[c] = counts.get(c, 0) + 1
+        for c, st in stats.items():
+            for key in ("G", "mu", "ch_mu", "ch_sq"):
+                st[key] = st[key] / counts[c]
+        for c in consumers:
+            mods[c]._capture_in = False
+
     n_pruned = 0
     for prod_path, bn_paths, cons_path in junctions:
         prod = model.get_submodule(prod_path)
@@ -1256,18 +1335,26 @@ def prune_chains(model, variables: dict, keep_ratio: float,
         cp = _get(params, cons_path.split("."))
         if pp is None or cp is None:
             continue
-        wa = pp["weight"].astype(jnp.float32)
-        na = jnp.sqrt(jnp.sum(wa ** 2, axis=(0, 1, 2) if conv else (0,)))
-        g = jnp.ones((M,), jnp.float32)
-        for bp_path in bn_paths:
-            bp = _get(params, bp_path.split("."))
-            bs = _get(state, bp_path.split("."))
-            bn = model.get_submodule(bp_path)
-            g = g * jnp.abs(bp["scale"]) * jax.lax.rsqrt(
-                bs["var"].astype(jnp.float32) + bn.eps)
         wb = cp["weight"].astype(jnp.float32)
         nb = jnp.sqrt(jnp.sum(wb ** 2, axis=(0, 1, 3) if conv else (1,)))
-        imp = np.asarray(na * g * nb)
+        st = stats.get(cons_path)
+        if st is not None:
+            # measured contribution: the captured input already carries
+            # the producer/BN/activation chain, so no weight heuristics
+            var_c = jnp.maximum(st["ch_sq"] - st["ch_mu"] ** 2, 0.0)
+            imp = np.asarray(var_c * nb ** 2)
+        else:
+            wa = pp["weight"].astype(jnp.float32)
+            na = jnp.sqrt(jnp.sum(wa ** 2,
+                                  axis=(0, 1, 2) if conv else (0,)))
+            g = jnp.ones((M,), jnp.float32)
+            for bp_path in bn_paths:
+                bp = _get(params, bp_path.split("."))
+                bs = _get(state, bp_path.split("."))
+                bn = model.get_submodule(bp_path)
+                g = g * jnp.abs(bp["scale"]) * jax.lax.rsqrt(
+                    bs["var"].astype(jnp.float32) + bn.eps)
+            imp = np.asarray(na * g * nb)
         S = np.sort(np.argsort(-imp, kind="stable")[:k])
 
         ax_out = 3 if conv else 1
@@ -1286,7 +1373,54 @@ def prune_chains(model, variables: dict, keep_ratio: float,
             bs["mean"] = jnp.take(bs["mean"], S, axis=0)
             bs["var"] = jnp.take(bs["var"], S, axis=0)
             model.get_submodule(bp_path).num_features = k
-        cp["weight"] = jnp.take(cp["weight"], S, axis=2 if conv else 0)
+        if st is not None and st["n"] < 2 * (k * (np.prod(cons.kernel_size)
+                                                 if conv else 1)):
+            # rank guard: fewer calibration patches than unknowns makes
+            # the LS refit interpolate noise (measured: a 50-sample Gram
+            # on a 1728-dim junction was 5 orders worse than slicing) —
+            # fall back to slice and tell the user how much data to add
+            logger.warning(
+                f"prune_chains: {cons_path} refit skipped — only "
+                f"{st['n']} calibration patches for a "
+                f"{k * (int(np.prod(cons.kernel_size)) if conv else 1)}"
+                f"-dim solve; add calibration batches (>=2x that many "
+                f"patches); sliced instead")
+            st = None
+        if st is not None:
+            # closed-form consumer refit over the kept channels: least
+            # squares on the (patch) Gram with an intercept row that
+            # absorbs the dropped channels' means into the bias
+            dt = cp["weight"].dtype
+            if conv:
+                kh, kw = cons.kernel_size
+                O = wb.shape[3]
+                Wf = jnp.transpose(wb, (2, 0, 1, 3)).reshape(-1, O)
+                Sp = (np.asarray(S)[:, None] * (kh * kw)
+                      + np.arange(kh * kw)[None, :]).reshape(-1)
+            else:
+                O = wb.shape[1]
+                Wf = wb
+                Sp = np.asarray(S)
+            G, mu = st["G"], st["mu"]
+            b0 = cp.get("bias")
+            b0 = (b0.astype(jnp.float32) if b0 is not None
+                  else jnp.zeros((O,), jnp.float32))
+            GS = G[np.ix_(Sp, Sp)]
+            muS = mu[Sp]
+            lam = ridge * jnp.trace(GS) / Sp.shape[0]
+            A = jnp.block([[GS + lam * jnp.eye(Sp.shape[0]), muS[:, None]],
+                           [muS[None, :], jnp.ones((1, 1))]])
+            Bm = jnp.concatenate([G[Sp] @ Wf + muS[:, None] * b0[None, :],
+                                  (mu @ Wf + b0)[None, :]], axis=0)
+            X = jnp.linalg.solve(A, Bm)
+            Wp, bp_new = X[:-1], X[-1]
+            if conv:
+                Wp = jnp.transpose(Wp.reshape(k, kh, kw, O), (1, 2, 0, 3))
+            cp["weight"] = Wp.astype(dt)
+            cp["bias"] = bp_new.astype(dt)
+            cons.use_bias = True
+        else:
+            cp["weight"] = jnp.take(cp["weight"], S, axis=2 if conv else 0)
         if conv:
             cons.in_channels = k
         else:

@@ -74,6 +74,7 @@ class Conv2d(Module):
         # transient deploy-time flag: tap this conv's input absmax during a
         # quantization calibration pass (deploy.quantize_int8)
         self._calib = False
+        self._capture_in = False  # full-input tap (deploy.prune_chains refit)
         assert in_channels % groups == 0 and out_channels % groups == 0
 
     def init_params(self, rng):
@@ -89,6 +90,8 @@ class Conv2d(Module):
     def __call__(self, params, x, ctx: Ctx):
         if self._calib:
             ctx.tap("in_absmax", jnp.max(jnp.abs(x.astype(jnp.float32))))
+        if getattr(self, "_capture_in", False):
+            ctx.tap("in", x)
         on_tpu = jax.default_backend() in ("tpu", "axon")
         sm = self.strip_matmul and not ctx.training and on_tpu
         pw = self.pw_matmul and not ctx.training and on_tpu
@@ -114,6 +117,7 @@ class Linear(Module):
         self.out_features = out_features
         self.use_bias = bias
         self._calib = False  # int8 PTQ calibration tap (deploy.quantize_int8)
+        self._capture_in = False  # full-input tap (deploy.prune_chains refit)
 
     def init_params(self, rng):
         k1, k2 = jax.random.split(rng)
@@ -125,6 +129,8 @@ class Linear(Module):
     def __call__(self, params, x, ctx: Ctx):
         if self._calib:
             ctx.tap("in_absmax", jnp.max(jnp.abs(x.astype(jnp.float32))))
+        if getattr(self, "_capture_in", False):
+            ctx.tap("in", x)
         y = x @ params["weight"]
         if self.use_bias:
             y = y + params["bias"]
