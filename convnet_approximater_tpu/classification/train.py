@@ -180,9 +180,11 @@ class TrainHelper:
 
         # donate the reassigned-every-step trees on real TPU runtimes only
         # (in-place weight/moment updates; the axon relay rejects aliased
-        # buffers — see hooks/finetune.py for the full rationale)
+        # buffers at RUN time while reporting backend 'tpu' — r4d bug:
+        # every relay train step died at its first loss readback)
+        from convnet_approximater_tpu.utils import supports_buffer_donation
         donate = ((0, 1, 2, 3) if use_ema else (0, 1, 2)) \
-            if jax.default_backend() == "tpu" else ()
+            if supports_buffer_donation() else ()
 
         amp = bool(cfg.amp)
         mixup_a, cutmix_a = float(cfg.mixup or 0.0), float(cfg.cutmix or 0.0)

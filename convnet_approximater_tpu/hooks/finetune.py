@@ -621,7 +621,8 @@ class L2Reconstruct(Hook):
         # Gated to real TPU runtimes: CPU ignores donation with a warning,
         # and the axon relay REJECTS aliased-buffer executables
         # (INVALID_ARGUMENT at run time — measured, scripts/exp_train_donate.py)
-        donate = (0, 1, 2) if jax.default_backend() == "tpu" else ()
+        from convnet_approximater_tpu.utils import supports_buffer_donation
+        donate = (0, 1, 2) if supports_buffer_donation() else ()
 
         @partial(jax.jit, donate_argnums=donate)
         def train_step(params, state, opt_state, mask, t_vars, images, labels, rng):

@@ -1,6 +1,7 @@
 from .dtype import cast_floating
 from .config import Config, get_cfg, init_cfg, print_cfg, save_cfg, update_cfg
 from .general import (check_file, device_resident, is_method_overridden,
+                      supports_buffer_donation,
                       parse_path, to_2tuple)
 from .logger import build_logger, get_logger
 from .random import random_seed

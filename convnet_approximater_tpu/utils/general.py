@@ -61,3 +61,28 @@ def device_resident(variables, mesh=None):
         return out["params"], out["state"]
     return (jax.device_put(variables["params"]),
             jax.device_put(variables.get("state", {})))
+
+
+def supports_buffer_donation() -> bool:
+    """True on real TPU runtimes; False on CPU/virtual meshes AND on the
+    axon relay.
+
+    The relay reports backend ``"tpu"`` (``jax.default_backend()``) but
+    REJECTS aliased-buffer executables with a runtime INVALID_ARGUMENT —
+    found round 4d when the trainers' donation gates keyed on the
+    backend string alone: every TrainHelper/L2Reconstruct step on the
+    relay died at its first loss readback.  Detect the relay through the
+    platform-version string (and the pinned ``jax_platforms`` config)
+    instead.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        if "axon" in str(jax.config.jax_platforms or "").lower():
+            return False
+        ver = jax.devices()[0].client.platform_version
+        return "axon" not in str(ver).lower()
+    except Exception:  # conservative: no donation when in doubt
+        return False

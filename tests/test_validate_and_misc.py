@@ -280,3 +280,35 @@ def test_serve_cli_data_parallel(tmp_path):
         capture_output=True, text=True, timeout=600, env=env)
     assert r4.returncode == 0, r4.stderr[-2000:]
     assert "img/s end-to-end" in r4.stdout
+
+
+def test_supports_buffer_donation_gate(monkeypatch):
+    """Donation must stay OFF on CPU and on the axon relay (which reports
+    backend 'tpu' but rejects aliased buffers at run time — the r4d
+    every-relay-train-step-dies bug), ON only for real TPU runtimes."""
+    import jax
+
+    from convnet_approximater_tpu.utils import general
+
+    assert general.supports_buffer_donation() is False  # CPU suite
+
+    class _Client:
+        platform_version = "PJRT C API\naxon 0.1.0; TFRT TPU v5 lite"
+
+    class _Dev:
+        client = _Client()
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "devices", lambda: [_Dev()])
+
+    class _Cfg:
+        jax_platforms = "axon,cpu"
+
+    monkeypatch.setattr(jax, "config", _Cfg())
+    assert general.supports_buffer_donation() is False  # relay: config pin
+
+    _Cfg.jax_platforms = None
+    assert general.supports_buffer_donation() is False  # relay: version str
+
+    _Client.platform_version = "PJRT C API\nTFRT TPU v5"
+    assert general.supports_buffer_donation() is True  # real TPU
