@@ -96,6 +96,14 @@ def time_apply(model, variables, x, n1=16, n2=64, repeats=3):
         return time.time() - t0
 
     run(4)  # warm
+    # Relay roundtrip drift is tens of ms: widen the iteration span until
+    # the measured delta clears it, else sub-ms models time as noise (an
+    # int8 AlexNet once "measured" 0.000 ms when t2-t1 went negative).
+    while True:
+        span = min(run(n2) for _ in range(2)) - min(run(n1) for _ in range(2))
+        if span >= 0.10 or n2 >= 4096:
+            break
+        n1, n2 = n1 * 4, n2 * 4
     slopes = []
     for _ in range(repeats):
         t1 = min(run(n1) for _ in range(2))

@@ -62,8 +62,18 @@ def time_forward(model, variables, input_shape, num_iters=10, warmup=3,
     for _ in range(max(warmup, 1)):
         run(1)
     n1, n2 = num_iters, num_iters * 4
-    t1 = min(run(n1) for _ in range(2))
-    t2 = min(run(n2) for _ in range(2))
+    # The axon relay's readback roundtrip drifts by tens of ms between
+    # calls; a slope whose measured delta (t2-t1) sits below that drift is
+    # noise and can even go non-positive (observed: a 0.3 ms int8 AlexNet
+    # "timed" at 0.000 ms).  Widen the iteration span until the delta
+    # clears the floor.  CPU has no relay, keep the cheap single pass.
+    min_span_s = 0.0 if jax.default_backend() == "cpu" else 0.10
+    while True:
+        t1 = min(run(n1) for _ in range(2))
+        t2 = min(run(n2) for _ in range(2))
+        if (t2 - t1) >= min_span_s or n2 >= 4096:
+            break
+        n1, n2 = n1 * 4, n2 * 4
     per = max((t2 - t1) / (n2 - n1), 1e-9)
     return fn, x, np.asarray([per])
 
