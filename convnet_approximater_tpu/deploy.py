@@ -1435,3 +1435,191 @@ def prune_chains(model, variables: dict, keep_ratio: float,
         logger.info(f"prune_chains: {n_pruned} junctions pruned "
                     f"(keep_ratio {keep_ratio}, round_to {round_to})")
     return n_pruned
+
+
+def _trunk_groups(model) -> List[dict]:
+    """Discover residual-trunk channel groups: sets of producer convs whose
+    outputs all land on the SAME tensor width through identity adds, plus
+    every consumer reading that width.  The walk is shape-generic over
+    torchvision-style residual models (root ``conv1``/``bn1`` stem, stage
+    ``Sequential``s of blocks exposing ``conv1`` + ``downsample`` + a last
+    ``conv2``/``conv3``, optional ``fc`` behind a global avgpool)."""
+    from convnet_approximater_tpu.nn.layers import Linear
+
+    def is_block(m):
+        return (isinstance(getattr(m, "conv1", None), Conv2d)
+                and hasattr(m, "downsample")
+                and (isinstance(getattr(m, "conv3", None), Conv2d)
+                     or isinstance(getattr(m, "conv2", None), Conv2d)))
+
+    groups: List[dict] = []
+    cur = None
+    if isinstance(getattr(model, "conv1", None), Conv2d) \
+            and isinstance(getattr(model, "bn1", None), BatchNorm2d):
+        cur = {"producers": [("conv1", "bn1")], "consumers": []}
+    for lname, layer in model.named_children():
+        if not isinstance(layer, Sequential):
+            continue
+        blocks = list(layer.named_children())
+        if not blocks or not all(is_block(b) for _, b in blocks):
+            continue
+        for bname, block in blocks:
+            bp = f"{lname}.{bname}"
+            last = "conv3" if isinstance(getattr(block, "conv3", None),
+                                         Conv2d) else "conv2"
+            lastbn = "bn3" if last == "conv3" else "bn2"
+            if not isinstance(getattr(block, lastbn, None), BatchNorm2d):
+                lastbn = None
+            if block.downsample is not None:
+                # projection shortcut: the incoming trunk ends here
+                if cur is not None:
+                    cur["consumers"] += [f"{bp}.conv1", f"{bp}.downsample.0"]
+                    groups.append(cur)
+                ds_bn = isinstance(
+                    block.downsample._children.get("1"), BatchNorm2d)
+                cur = {"producers": [(f"{bp}.downsample.0",
+                                      f"{bp}.downsample.1" if ds_bn else None),
+                                     (f"{bp}.{last}",
+                                      f"{bp}.{lastbn}" if lastbn else None)],
+                       "consumers": []}
+            else:
+                # identity shortcut: input trunk == output trunk
+                if cur is None:
+                    cur = {"producers": [], "consumers": []}
+                cur["consumers"].append(f"{bp}.conv1")
+                cur["producers"].append(
+                    (f"{bp}.{last}", f"{bp}.{lastbn}" if lastbn else None))
+    if cur is not None:
+        fc = getattr(model, "fc", None)
+        if isinstance(fc, Linear) and cur["producers"] and fc.in_features \
+                == model.get_submodule(
+                    cur["producers"][0][0]).out_channels:
+            cur["consumers"].append("fc")
+        if cur["consumers"]:
+            groups.append(cur)
+    return [g for g in groups if g["producers"] and g["consumers"]]
+
+
+def prune_trunks(model, variables: dict, keep_ratio: float,
+                 round_to: int = 64, filter_fn=None,
+                 dry_run: bool = False, verbose: bool = False) -> int:
+    """Residual-TRUNK structured channel pruning (shared masks).
+
+    ``prune_chains`` deliberately stops at residual block boundaries: the
+    identity add pins every block's I/O width to the stage trunk, so no
+    single producer->consumer junction can cut it.  This pass prunes that
+    width anyway by slicing ONE shared channel mask through everything
+    that touches the trunk — the stage's projection shortcut, every
+    block's last conv (+ its BN), every next-block ``conv1`` input, the
+    next stage's shortcut + ``conv1``, and the classifier behind the
+    global avgpool.  The elementwise adds then stay shape-consistent by
+    construction (the channel-pruning extension He et al. ICCV'17 §4.1
+    leave to "future work" for multi-branch nets; reference parity
+    anchor: the reference has no pruning at all — this extends its
+    approximate-and-recover pipeline, /root/reference/src/approx/core/
+    low_rank_exp.py, to the width axis of residual families).
+
+    Selection is weight-heuristic only: channel importance is
+    ``sqrt(sum_p ||W_p[m]||^2 g_m^2) * sqrt(sum_c ||W_c[:,m]||^2)`` over
+    all producers p (with absorbed BN gain g) and consumers c — a
+    data-driven refit cannot be per-junction here because the mask is
+    shared; the CE/KD recovery fine-tune from the pruned init is the
+    accuracy story (``--emit-recovery`` covers it via structure_passes
+    configs).  ``round_to`` snaps kept widths to MXU-tile multiples.
+    Composes with ``prune_chains`` (disjoint axes: block-internal vs
+    trunk), ``fold_batchnorm``, casting, and ``quantize_int8``.
+    Returns the number of trunk groups pruned.
+    """
+    import numpy as np
+
+    from convnet_approximater_tpu.utils.logger import get_logger
+
+    logger = get_logger()
+    params = variables["params"]
+    state = variables.get("state", {})
+    n_pruned = 0
+    for gi, g in enumerate(_trunk_groups(model)):
+        prods = [(model.get_submodule(p), p, bn) for p, bn in g["producers"]]
+        cons = [(model.get_submodule(c), c) for c in g["consumers"]]
+        M = prods[0][0].out_channels
+        if any(p.out_channels != M for p, _, _ in prods):
+            continue  # malformed/custom group — leave it alone
+        if filter_fn is not None and not filter_fn(g["producers"][0][0],
+                                                   prods[0][0]):
+            continue
+        k = _prune_round(int(round(M * keep_ratio)), M, round_to)
+        if k >= M:
+            if verbose:
+                logger.info(f"prune_trunks: group {gi} keep {k}/{M} "
+                            f"(snapped) — skipped")
+            continue
+        if dry_run:
+            n_pruned += 1
+            continue
+
+        prod_e = jnp.zeros((M,), jnp.float32)
+        for mod, path, bn_path in prods:
+            pp = _get(params, path.split("."))
+            if pp is None:
+                prod_e = None
+                break
+            na = jnp.sum(pp["weight"].astype(jnp.float32) ** 2,
+                         axis=(0, 1, 2))
+            if bn_path is not None:
+                bp = _get(params, bn_path.split("."))
+                bs = _get(state, bn_path.split("."))
+                bn = model.get_submodule(bn_path)
+                gain = jnp.abs(bp["scale"]) * jax.lax.rsqrt(
+                    bs["var"].astype(jnp.float32) + bn.eps)
+                na = na * gain ** 2
+            prod_e = prod_e + na
+        if prod_e is None:
+            continue
+        cons_e = jnp.zeros((M,), jnp.float32)
+        for mod, path in cons:
+            cp = _get(params, path.split("."))
+            if cp is None:
+                cons_e = None
+                break
+            w = cp["weight"].astype(jnp.float32)
+            cons_e = cons_e + (jnp.sum(w ** 2, axis=(0, 1, 3))
+                               if isinstance(mod, Conv2d)
+                               else jnp.sum(w ** 2, axis=1))
+        if cons_e is None:
+            continue
+        imp = np.asarray(jnp.sqrt(prod_e) * jnp.sqrt(cons_e))
+        S = np.sort(np.argsort(-imp, kind="stable")[:k])
+
+        for mod, path, bn_path in prods:
+            pp = _get(params, path.split("."))
+            pp["weight"] = jnp.take(pp["weight"], S, axis=3)
+            if "bias" in pp:
+                pp["bias"] = jnp.take(pp["bias"], S, axis=0)
+            mod.out_channels = k
+            if bn_path is not None:
+                bp = _get(params, bn_path.split("."))
+                bs = _get(state, bn_path.split("."))
+                bp["scale"] = jnp.take(bp["scale"], S, axis=0)
+                bp["bias"] = jnp.take(bp["bias"], S, axis=0)
+                bs["mean"] = jnp.take(bs["mean"], S, axis=0)
+                bs["var"] = jnp.take(bs["var"], S, axis=0)
+                model.get_submodule(bn_path).num_features = k
+        for mod, path in cons:
+            cp = _get(params, path.split("."))
+            if isinstance(mod, Conv2d):
+                cp["weight"] = jnp.take(cp["weight"], S, axis=2)
+                mod.in_channels = k
+            else:
+                cp["weight"] = jnp.take(cp["weight"], S, axis=0)
+                mod.in_features = k
+        n_pruned += 1
+        if verbose:
+            e = imp.astype(np.float64) ** 2
+            logger.info(
+                f"prune_trunks: group {gi} ({len(prods)} producers, "
+                f"{len(cons)} consumers): keep {k}/{M} (importance "
+                f"energy {e[S].sum() / max(e.sum(), 1e-30):.4f})")
+    if n_pruned and not dry_run:
+        logger.info(f"prune_trunks: {n_pruned} trunk groups pruned "
+                    f"(keep_ratio {keep_ratio}, round_to {round_to})")
+    return n_pruned

@@ -376,13 +376,40 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
     # plain-CNN cross-layer junctions: gate on a dry count (param-free,
     # leaves the probe model unmutated); the attention/ConvNeXt families
     # have their dedicated width apps above
-    from convnet_approximater_tpu.deploy import prune_chains
+    from convnet_approximater_tpu.deploy import prune_chains, prune_trunks
+
+    def build_trunkprune(model, variables, rng, calib):
+        # shared-mask residual-trunk cut stacked on the block-internal
+        # junctions — the deepest width surface a residual family has
+        from convnet_approximater_tpu.deploy import (prune_chains,
+                                                     prune_trunks)
+
+        nt = prune_trunks(model, variables, keep_ratio=0.5, round_to=64)
+        if nt == 0:
+            raise _NoTargets("no residual trunks")
+        prune_chains(model, variables, keep_ratio=0.5, round_to=64)
+        fold_batchnorm(model, variables)
+        return model, _cast(variables)
+
+    def build_trunkprune_int8(model, variables, rng, calib):
+        from convnet_approximater_tpu.deploy import (prune_chains,
+                                                     prune_trunks)
+
+        nt = prune_trunks(model, variables, keep_ratio=0.5, round_to=64)
+        if nt == 0:
+            raise _NoTargets("no residual trunks")
+        prune_chains(model, variables, keep_ratio=0.5, round_to=64)
+        return _build_int8(model, variables, dtype, calib)
 
     has_chain = prune_chains(probe_model, {"params": {}, "state": {}},
                              keep_ratio=0.5, round_to=64, dry_run=True) > 0
     if has_chain and not (has_ffn or has_block):
         out.append(("chainprune/0.5", build_chainprune))
         out.append(("chainprune/0.5+int8", build_chainprune_int8))
+        if prune_trunks(probe_model, {"params": {}, "state": {}},
+                        keep_ratio=0.5, round_to=64, dry_run=True) > 0:
+            out.append(("trunk+chainprune/0.5", build_trunkprune))
+            out.append(("trunk+chainprune/0.5+int8", build_trunkprune_int8))
     return out
 
 
@@ -581,6 +608,11 @@ def recovery_plan(name: str, v3_energy: float = 0.9, dwsep_rank: int = 1):
         stages.append(dict(app=dict(type="DwSepRep", ranks=dwsep_rank),
                            filters=[dict(type="DepthwiseConvFilter")],
                            calibration=False))
+    if "trunk+" in name:
+        # the trunk mask is shared across blocks: one structure pass, one
+        # CE recovery (ordered before the chain pass, as the builder does)
+        stages.append(dict(structure_pass=dict(
+            fn="prune_trunks", keep_ratio=0.5, round_to=64)))
     if "chainprune/" in name:
         # cross-layer pass: expressed as a structure_passes rewrite (the
         # Runner/export replay it), recovered by a CE-only fine-tune

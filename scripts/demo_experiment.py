@@ -41,7 +41,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--app", default="v1",
-                    choices=("v1", "v3", "v4", "prune", "mlpprune"),
+                    choices=("v1", "v3", "v4", "prune", "mlpprune",
+                             "trunkprune"),
                     help="v1: reference scheme-1 (9-row matrix); v3: "
                          "channel-rank factorization (5-row matrix — V3 "
                          "has no separate decomposed form); v4: Tucker-2 "
@@ -49,7 +50,10 @@ def main():
                          "prune: FfnPrune hidden-channel pruning (use "
                          "--model MSCAN_Classifier; greedy+refit via a "
                          "CalibrationHook on the training data); mlpprune: "
-                         "the ConvNeXt-block variant (--model ConvNeXt)")
+                         "the ConvNeXt-block variant (--model ConvNeXt); "
+                         "trunkprune: prune_trunks+prune_chains structure "
+                         "passes (--model ResNet18/50 — residual trunk + "
+                         "block internals at --keep-ratio)")
     ap.add_argument("--keep-ratio", type=float, default=0.75,
                     help="FfnPrune/MlpPrune hidden keep ratio (--app prune)")
     ap.add_argument("--int8", action="store_true",
@@ -172,7 +176,12 @@ def main():
 
     # --- rows 2-9: pipeline configs ---------------------------------------
     def pipeline(hooks_py, tag, decomp):
-        if args.app in ("prune", "mlpprune"):
+        if args.app == "trunkprune":
+            # cross-layer cuts are structure passes, not per-module apps;
+            # round_to=None — the demo is the accuracy protocol, tile
+            # snapping is a deploy-surface concern
+            app_py = "dict(type='Dummy')"
+        elif args.app in ("prune", "mlpprune"):
             app_type = "FfnPrune" if args.app == "prune" else "MlpPrune"
             app_py = f"dict(type='{app_type}', keep_ratio={args.keep_ratio})"
         elif args.app == "v3":
@@ -189,7 +198,16 @@ def main():
         # ResNet block convs are bias-less (BN absorbs the bias), so
         # SimpleConvFilter rejects them — key on kernel size instead,
         # mirroring the bench/config convention for the family
-        if args.app in ("prune", "mlpprune"):
+        passes_py = ""
+        if args.app == "trunkprune":
+            filters_py = "[]"
+            passes_py = (
+                "structure_passes = ["
+                f"dict(fn='prune_trunks', keep_ratio={args.keep_ratio}, "
+                "round_to=None), "
+                f"dict(fn='prune_chains', keep_ratio={args.keep_ratio}, "
+                "round_to=None)]\n")
+        elif args.app in ("prune", "mlpprune"):
             # the prune apps key on module TYPE (FFN / ConvNeXtBlock) and
             # select channels from data: all sites, calibration hook for
             # the greedy selection + closed-form projection refit
@@ -213,7 +231,7 @@ model = dict(type="{args.model}", num_classes={args.num_classes},
              init_cfg=r"{base_ckpt}")
 app = {app_py}
 filters = {filters_py}
-hooks = {hooks_py}
+{passes_py}hooks = {hooks_py}
 """)
         init_cfg(cfg)
         update_cfg(work_dir=os.path.join(args.work_dir, tag), config_name=tag, seed=0)
@@ -243,6 +261,11 @@ hooks = {hooks_py}
         else ((False, args.app),)
     for decomp, prefix in variants:
         pipeline("[]", f"{prefix}_none", decomp)
+        if args.app == "trunkprune":
+            # structure passes leave no Substitution to L2-reconstruct
+            # against — CE from the pruned init is the recovery story
+            pipeline(f"[{ce_hook}]", f"{prefix}_ce", decomp)
+            continue
         pipeline(f"[{l2_hook}]", f"{prefix}_l2", decomp)
         pipeline(f"[{l2_hook}, {ce_hook}]", f"{prefix}_l2ce", decomp)
         pipeline(f"[{ce_hook}]", f"{prefix}_ce", decomp)

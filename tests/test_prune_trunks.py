@@ -1,0 +1,194 @@
+"""deploy.prune_trunks: residual-trunk channel pruning with shared masks.
+
+Covers: trunk-group discovery on BasicBlock and Bottleneck families (stem
+merge when layer1 has no projection, per-stage groups, fc consumer),
+shape/param consistency, zero-channel exactness through the identity adds,
+keep=1 no-op, dry-run gating, and composition with prune_chains /
+fold_batchnorm / int8.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convnet_approximater_tpu.deploy import (_trunk_groups, fold_batchnorm,
+                                             prune_chains, prune_trunks)
+from convnet_approximater_tpu.models import build_model
+
+KEY = jax.random.key(0)
+
+
+def _build(depth):
+    m = build_model(dict(type="ResNet", depth=depth, num_classes=10))
+    return m, {"params": m.init(KEY), "state": m.init_state()}
+
+
+def test_group_discovery_r18_r50():
+    m18, _ = _build(18)
+    gs = _trunk_groups(m18)
+    # R18 layer1 has no projection -> the stem merges into group 0
+    assert len(gs) == 4
+    assert gs[0]["producers"][0] == ("conv1", "bn1")
+    assert "layer2.0.downsample.0" in gs[0]["consumers"]
+    assert gs[-1]["consumers"][-1] == "fc"
+
+    m50, _ = _build(50)
+    gs50 = _trunk_groups(m50)
+    # R50 layer1.0 projects 64->256, so the stem is its own group
+    assert len(gs50) == 5
+    assert gs50[0]["producers"] == [("conv1", "bn1")]
+    assert gs50[0]["consumers"] == ["layer1.0.conv1", "layer1.0.downsample.0"]
+    assert gs50[1]["producers"][0][0] == "layer1.0.downsample.0"
+
+
+def test_keep_all_is_noop():
+    m, v = _build(18)
+    before = jax.tree_util.tree_map(lambda a: a.shape, v["params"])
+    assert prune_trunks(m, v, keep_ratio=1.0, round_to=None) == 0
+    assert jax.tree_util.tree_map(lambda a: a.shape, v["params"]) == before
+
+
+def test_prunes_and_stays_runnable_composed():
+    m, v = _build(18)
+    n0 = sum(int(np.prod(a.shape))
+             for a in jax.tree_util.tree_leaves(v["params"]))
+    nt = prune_trunks(m, v, keep_ratio=0.5, round_to=64)
+    nc = prune_chains(m, v, keep_ratio=0.5, round_to=64)
+    assert nt == 4 and nc == 8
+    n1 = sum(int(np.prod(a.shape))
+             for a in jax.tree_util.tree_leaves(v["params"]))
+    assert n1 < n0 * 0.3, (n0, n1)  # trunk+chain halving ~ 4x param cut
+    x = jax.random.normal(jax.random.key(1), (2, 64, 64, 3))
+    y, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
+    assert fold_batchnorm(m, v) > 0  # sliced BNs still fold
+    y2, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), rtol=2e-2,
+                               atol=2e-3)
+
+
+def test_zero_trunk_channel_drop_is_exact():
+    """Zero one channel through EVERY producer/BN/consumer of the last
+    trunk group; dropping exactly that channel must leave logits exact."""
+    m, v = _build(18)
+    gs = _trunk_groups(m)
+    g = gs[-1]
+    c = 5
+    p, s = v["params"], v["state"]
+
+    def node(tree, path):
+        for k in path.split("."):
+            tree = tree[k]
+        return tree
+
+    for prod_path, bn_path in g["producers"]:
+        pp = node(p, prod_path)
+        pp["weight"] = pp["weight"].at[..., c].set(0.0)
+        bp, bs = node(p, bn_path), node(s, bn_path)
+        bp["scale"] = bp["scale"].at[c].set(0.0)
+        bp["bias"] = bp["bias"].at[c].set(0.0)
+        bs["mean"] = bs["mean"].at[c].set(0.0)
+    for cons_path in g["consumers"]:
+        cp = node(p, cons_path)
+        if cp["weight"].ndim == 4:
+            cp["weight"] = cp["weight"].at[:, :, c, :].set(0.0)
+        else:
+            cp["weight"] = cp["weight"].at[c, :].set(0.0)
+    x = jax.random.normal(jax.random.key(2), (2, 64, 64, 3))
+    y0, _, _ = m.apply(p, x, state=s, training=False)
+
+    M = m.get_submodule(g["producers"][0][0]).out_channels
+    n = prune_trunks(m, v, keep_ratio=(M - 1) / M, round_to=None,
+                     filter_fn=lambda path, mod: path == g["producers"][0][0])
+    assert n == 1
+    assert m.get_submodule(g["producers"][0][0]).out_channels == M - 1
+    assert m.fc.in_features == M - 1
+    y1, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dry_run_counts_param_free():
+    m, v = _build(18)
+    before = jax.tree_util.tree_map(lambda a: a.shape, v["params"])
+    n = prune_trunks(m, v, keep_ratio=0.5, round_to=64, dry_run=True)
+    assert n == 4
+    assert jax.tree_util.tree_map(lambda a: a.shape, v["params"]) == before
+    m2, _ = _build(18)
+    assert prune_trunks(m2, {"params": {}, "state": {}}, keep_ratio=0.5,
+                        round_to=64, dry_run=True) == 4
+
+
+def test_structure_pass_replay_reloads_ckpt(tmp_path):
+    """A checkpoint saved from a trunk+chain pruned model reloads onto a
+    fresh model by replaying the same passes (the structure_passes
+    contract — selection replay need not match, shapes must)."""
+    from convnet_approximater_tpu.utils.serialize import (load_model,
+                                                          save_model)
+
+    m, v = _build(18)
+    prune_trunks(m, v, keep_ratio=0.5, round_to=64)
+    prune_chains(m, v, keep_ratio=0.5, round_to=64)
+    x = jax.random.normal(jax.random.key(3), (1, 64, 64, 3))
+    y0, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    path = str(tmp_path / "pruned.ckpt.npz")
+    save_model(v, path)
+
+    m2, v2 = _build(18)
+    prune_trunks(m2, v2, keep_ratio=0.5, round_to=64)
+    prune_chains(m2, v2, keep_ratio=0.5, round_to=64)
+    v2 = load_model(v2, path, strict=True)
+    y1, _, _ = m2.apply(v2["params"], x, state=v2["state"], training=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-6)
+
+
+def test_planner_trunk_candidates_gated():
+    from convnet_approximater_tpu.deploy_planner import (default_candidates,
+                                                         recovery_plan)
+
+    m, _ = _build(18)
+    names = [n for n, _ in default_candidates(m)]
+    assert "trunk+chainprune/0.5" in names
+    assert "trunk+chainprune/0.5+int8" in names
+    # VGG has junctions but no residual trunks
+    vgg = build_model(dict(type="VGG", depth=16, num_classes=10))
+    names2 = [n for n, _ in default_candidates(vgg)]
+    assert "chainprune/0.5" in names2
+    assert not any(n.startswith("trunk+") for n in names2)
+
+    s = recovery_plan("trunk+chainprune/0.5+int8")
+    assert [st.get("structure_pass", {}).get("fn") for st in s[:2]] == \
+        ["prune_trunks", "prune_chains"]
+    assert s[2] == dict(qat=True)
+
+
+def test_emit_recovery_accumulates_structure_passes(tmp_path):
+    """Chained structure-pass stages: stage N's emitted config must replay
+    ALL earlier passes (the stage N-1 checkpoint has both cuts applied)."""
+    import argparse
+
+    import scripts.plan_serving as ps
+
+    cfg = tmp_path / "r18.py"
+    cfg.write_text("model = dict(type='ResNet', depth=18, num_classes=10)\n")
+    args = argparse.Namespace(
+        config=str(cfg), emit_recovery=str(tmp_path / "rec"),
+        input_size=(64, 64, 3), recovery_epochs=1, recovery_ce_epochs=1,
+        v3_energy=0.9)
+    plan = {"winner": "trunk+chainprune/0.5+int8",
+            "report": [{"name": "trunk+chainprune/0.5+int8",
+                        "note": "needs_recovery"}]}
+
+    class _L:
+        def info(self, *a, **k):
+            pass
+
+    ps.emit_recovery_configs(args, plan, _L())
+    import glob
+    files = sorted(glob.glob(str(tmp_path / "rec" / "*.py")))
+    assert len(files) == 3
+    s2 = open(files[1]).read()   # stage 2: chains — must replay trunks too
+    assert "prune_trunks" in s2 and "prune_chains" in s2
+    s3 = open(files[2]).read()   # stage 3: QAT — must replay both
+    assert "prune_trunks" in s3 and "prune_chains" in s3 \
+        and "PrepareQAT" in s3
