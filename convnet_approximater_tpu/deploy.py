@@ -1440,11 +1440,22 @@ def prune_chains(model, variables: dict, keep_ratio: float,
 def _trunk_groups(model) -> List[dict]:
     """Discover residual-trunk channel groups: sets of producer convs whose
     outputs all land on the SAME tensor width through identity adds, plus
-    every consumer reading that width.  The walk is shape-generic over
+    every consumer reading that width.  A model can define its own
+    ``trunk_groups()`` (MSCAN does — its trunk also threads LayerNorms and
+    layer-scale vectors, which the group lists under ``norms`` /
+    ``vectors``); otherwise the walk is shape-generic over
     torchvision-style residual models (root ``conv1``/``bn1`` stem, stage
     ``Sequential``s of blocks exposing ``conv1`` + ``downsample`` + a last
     ``conv2``/``conv3``, optional ``fc`` behind a global avgpool)."""
     from convnet_approximater_tpu.nn.layers import Linear
+
+    hook = getattr(model, "trunk_groups", None)
+    if callable(hook):
+        groups = hook()
+        for g in groups:
+            g.setdefault("norms", [])
+            g.setdefault("vectors", [])
+        return [g for g in groups if g["producers"] and g["consumers"]]
 
     def is_block(m):
         return (isinstance(getattr(m, "conv1", None), Conv2d)
@@ -1587,7 +1598,16 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
                                else jnp.sum(w ** 2, axis=1))
         if cons_e is None:
             continue
-        imp = np.asarray(jnp.sqrt(prod_e) * jnp.sqrt(cons_e))
+        vec_gain = jnp.ones((M,), jnp.float32)
+        for vp in g.get("vectors", ()):
+            parts = vp.split(".")
+            parent = _get(params, parts[:-1])
+            if parent is not None and parts[-1] in parent:
+                # layer-scale style per-channel multipliers gate the
+                # producer outputs — fold their magnitude into importance
+                vec_gain = vec_gain * jnp.maximum(
+                    jnp.abs(parent[parts[-1]].astype(jnp.float32)), 1e-8)
+        imp = np.asarray(jnp.sqrt(prod_e) * jnp.sqrt(cons_e) * vec_gain)
         S = np.sort(np.argsort(-imp, kind="stable")[:k])
 
         for mod, path, bn_path in prods:
@@ -1612,6 +1632,21 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
             else:
                 cp["weight"] = jnp.take(cp["weight"], S, axis=0)
                 mod.in_features = k
+        for npth in g.get("norms", ()):
+            nm = model.get_submodule(npth)
+            npar = _get(params, npth.split("."))
+            npar["scale"] = jnp.take(npar["scale"], S, axis=0)
+            npar["bias"] = jnp.take(npar["bias"], S, axis=0)
+            nst = _get(state, npth.split("."))
+            if nst:  # BatchNorm carries running stats; LayerNorm doesn't
+                nst["mean"] = jnp.take(nst["mean"], S, axis=0)
+                nst["var"] = jnp.take(nst["var"], S, axis=0)
+            nm.num_features = k
+        for vp in g.get("vectors", ()):
+            parts = vp.split(".")
+            parent = _get(params, parts[:-1])
+            if parent is not None and parts[-1] in parent:
+                parent[parts[-1]] = jnp.take(parent[parts[-1]], S, axis=0)
         n_pruned += 1
         if verbose:
             e = imp.astype(np.float64) ** 2

@@ -168,6 +168,42 @@ class MSCAN(BlockStageExec, Module):
             self.layers.append(nn.ModuleList([down, stage, norm]))
             cur += nb
 
+    def trunk_groups(self, prefix: str = ""):
+        """Residual-trunk channel groups for ``deploy.prune_trunks``.
+
+        Each stage's width is pinned by the block residual adds, so its
+        trunk is one shared-mask group: the stem/downsample's last conv
+        (+BN) and every block's ``attn.proj_2`` / ``mlp.fc2`` produce it;
+        every block's ``attn.proj_1`` / ``mlp.fc1`` and the next stage's
+        downsample consume it; the block BNs, the stage LayerNorm, and
+        the per-block layer-scale vectors slice along (``norms`` /
+        ``vectors``).  The MSCA internals and FFN hiddens are untouched
+        (disjoint axes — FfnPrune and the rep rewrites stack on top).
+        Paths are DENSE module names: run the trunk pass before any
+        substitution (the ``structure_passes`` ordering guarantees it).
+        """
+        groups = []
+        names = [n for n, _ in self.layers.named_children()]
+        for i, (name, layer) in enumerate(self.layers.named_children()):
+            base = f"{prefix}layers.{name}"
+            producers = ([(f"{base}.0.proj.3", f"{base}.0.proj.4")] if i == 0
+                         else [(f"{base}.0.proj", f"{base}.0.norm")])
+            consumers, norms, vectors = [], [], []
+            for bname, _blk in layer[1].named_children():
+                bb = f"{base}.1.{bname}"
+                consumers += [f"{bb}.attn.proj_1", f"{bb}.mlp.fc1"]
+                producers += [(f"{bb}.attn.proj_2", None),
+                              (f"{bb}.mlp.fc2", None)]
+                norms += [f"{bb}.norm1", f"{bb}.norm2"]
+                vectors += [f"{bb}.layer_scale_1", f"{bb}.layer_scale_2"]
+            norms.append(f"{base}.2")  # the stage LayerNorm
+            groups.append(dict(producers=producers, consumers=consumers,
+                               norms=norms, vectors=vectors))
+        for i in range(len(groups) - 1):
+            groups[i]["consumers"].append(
+                f"{prefix}layers.{names[i + 1]}.0.proj")
+        return groups
+
     def __call__(self, params, x, ctx: Ctx):
         features = []
         layers_params = params.get("layers", {})
@@ -213,6 +249,13 @@ class MSCAN_Classifier(SwitchableModel):
             remat=remat,
         )
         self.head = nn.Linear(num_channels[-1], num_classes, bias=True)
+
+    def trunk_groups(self):
+        """`deploy.prune_trunks` groups: the backbone's, plus the GAP head
+        consuming the last trunk."""
+        groups = self.backbone.trunk_groups(prefix="backbone.")
+        groups[-1]["consumers"].append("head")
+        return groups
 
     def __call__(self, params, x, ctx: Ctx):
         x = self.child("backbone", params, x, ctx)[-1]

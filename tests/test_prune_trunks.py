@@ -192,3 +192,46 @@ def test_emit_recovery_accumulates_structure_passes(tmp_path):
     s3 = open(files[2]).read()   # stage 3: QAT — must replay both
     assert "prune_trunks" in s3 and "prune_chains" in s3 \
         and "PrepareQAT" in s3
+
+
+def test_mscan_trunk_hook_and_scan_parity():
+    """MSCAN defines its own trunk_groups() (LayerNorms + layer-scale
+    vectors slice along); blocks stay structurally identical so the
+    scan-over-blocks engine still engages, bit-exact vs unrolled."""
+    mscan = build_model(dict(type="MSCAN_Classifier", num_classes=10))
+    v = {"params": mscan.init(KEY), "state": mscan.init_state()}
+    gs = _trunk_groups(mscan)
+    assert len(gs) == 4
+    assert gs[0]["producers"][0][0] == "backbone.layers.0.0.proj.3"
+    assert gs[-1]["consumers"][-1] == "head"
+    assert any("layer_scale" in p for p in gs[0]["vectors"])
+
+    n0 = sum(int(np.prod(a.shape))
+             for a in jax.tree_util.tree_leaves(v["params"]))
+    n = prune_trunks(mscan, v, keep_ratio=0.5, round_to=None)
+    assert n == 4
+    n1 = sum(int(np.prod(a.shape))
+             for a in jax.tree_util.tree_leaves(v["params"]))
+    assert n1 < n0 * 0.6
+    assert mscan.head.in_features == 128
+    x = jax.random.normal(jax.random.key(4), (2, 64, 64, 3))
+    y, _, _ = mscan.apply(v["params"], x, state=v["state"], training=False)
+    assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
+    mscan.backbone.scan_blocks = "never"
+    y2, _, _ = mscan.apply(v["params"], x, state=v["state"], training=False)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+def test_mscan_trunk_composes_with_ffnprune():
+    from convnet_approximater_tpu.core import FfnPrune
+    from convnet_approximater_tpu.deploy_planner import apply_app
+
+    mscan = build_model(dict(type="MSCAN_Classifier", num_classes=10))
+    v = {"params": mscan.init(KEY), "state": mscan.init_state()}
+    assert prune_trunks(mscan, v, keep_ratio=0.5, round_to=None) == 4
+    n = apply_app(mscan, v, FfnPrune(keep_ratio=0.5, round_to=None), [],
+                  jax.random.key(5))
+    assert n > 0
+    x = jax.random.normal(jax.random.key(6), (2, 64, 64, 3))
+    y, _, _ = mscan.apply(v["params"], x, state=v["state"], training=False)
+    assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
