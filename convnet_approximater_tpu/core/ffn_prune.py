@@ -63,7 +63,7 @@ import numpy as np
 
 from convnet_approximater_tpu.layers import Substitution
 from convnet_approximater_tpu.models.convnext import ConvNeXtBlock
-from convnet_approximater_tpu.models.mscan import FFN
+from convnet_approximater_tpu.models.mscan import FFN, SpatialAttention
 from convnet_approximater_tpu.nn import Ctx
 from convnet_approximater_tpu.nn.layers import GELU
 from convnet_approximater_tpu.utils.logger import get_logger
@@ -372,3 +372,89 @@ class MlpPrune(FfnPrune):
         new["pwconv2"]["weight"] = W2p.astype(dt)
         new["pwconv2"]["bias"] = b2p.astype(dt)
 
+
+@APP.register_module()
+class AttnPrune(FfnPrune):
+    """SpatialAttention instance: prune the gated MSCA branch's width.
+
+    MSCAN's other width axis: between ``proj_1`` and ``proj_2`` the MSCA
+    branch runs at the full stage width — ``conv0`` (5x5 dw), the strip
+    bank (1xk/kx1 dw at k in {7, 11, 21}), ``channel_mix`` and the
+    elementwise gate ``u * attn`` — ALL VPU-bound depthwise work (the
+    serving floor's profile, doc/perf-notes.md).  The gate ties the
+    branch's in/out widths (h_m = attn_m * u_m), so ONE shared mask
+    slices proj_1's output, conv0, every strip conv, channel_mix (both
+    axes), and proj_2's input; the consumer refit and greedy selection
+    run UNCHANGED on the measured gated hidden ``h = MSCA(GELU(proj_1
+    x))``.  Unlike FfnPrune's matmul-width cut this shrinks the VPU
+    elementwise/depthwise time, which scales ~linearly with C.
+    Composes with MscaRep (applies to the pruned MSCA at width k),
+    FfnPrune (disjoint module), and prune_trunks (disjoint axis).
+    """
+
+    _src_type = SpatialAttention
+    _tgt_type = SpatialAttention
+
+    def _hidden_dim(self, mod) -> int:
+        return mod.inner_channel
+
+    def _get_tgt_args(self, src: SpatialAttention) -> Dict:
+        sgu = src.spatial_gating_unit
+        return dict(num_channel=src.num_channel, k1_size=sgu.k1_size,
+                    k_sizes=sgu.k_sizes, inner_channel=self._k)
+
+    def _weight_imp(self, old: dict) -> jnp.ndarray:
+        n1 = jnp.sqrt(jnp.sum(old["proj_1"]["weight"].astype(jnp.float32)
+                              ** 2, axis=(0, 1, 2)))
+        nm = jnp.sqrt(jnp.sum(
+            old["spatial_gating_unit"]["channel_mix"]["weight"]
+            .astype(jnp.float32) ** 2, axis=(0, 1, 2)))
+        n2 = jnp.sqrt(jnp.sum(old["proj_2"]["weight"].astype(jnp.float32)
+                              ** 2, axis=(0, 1, 3)))
+        # h_m = attn_m * u_m: attn_m is bounded by mix's OUT column m,
+        # u_m by proj_1's out channel m; proj_2's in row m reads it
+        return n1 * nm * n2
+
+    def _consumer(self, old: dict):
+        w = old["proj_2"]["weight"]
+        M, C = w.shape[2], w.shape[3]
+        W2 = w.reshape(M, C).astype(jnp.float32)
+        b2 = old["proj_2"].get(
+            "bias", jnp.zeros((C,), jnp.float32)).astype(jnp.float32)
+        return W2, b2, w.dtype
+
+    def _hidden_acts(self, src: SpatialAttention, old: dict, x) -> jnp.ndarray:
+        ctx = Ctx(training=False)
+        u = src.proj_1(old["proj_1"], x.astype(jnp.float32), ctx)
+        u = GELU()({}, u, ctx)
+        h = src.spatial_gating_unit(old["spatial_gating_unit"], u, ctx)
+        return h.reshape(-1, h.shape[-1])
+
+    def _apply(self, old: dict, new: dict, S, W2p, b2p, dt):
+        k, C = W2p.shape
+
+        def take_out(o, n):
+            n["weight"] = jnp.take(o["weight"], S, axis=3)
+            if "bias" in o:
+                n["bias"] = jnp.take(o["bias"], S, axis=0)
+            else:
+                n.pop("bias", None)
+
+        take_out(old["proj_1"], new["proj_1"])
+        so, sn = old["spatial_gating_unit"], new["spatial_gating_unit"]
+        take_out(so["conv0"], sn["conv0"])
+        bo = so["sd_convs"].get("branches", {})
+        bn_ = sn["sd_convs"].setdefault("branches", {})
+        for name, branch in bo.items():
+            for cn in ("conv1", "conv2"):
+                if cn in branch:  # the identity branch carries no params
+                    take_out(branch[cn], bn_.setdefault(name, {})
+                             .setdefault(cn, {}))
+        wm = jnp.take(jnp.take(so["channel_mix"]["weight"], S, axis=2),
+                      S, axis=3)
+        sn["channel_mix"]["weight"] = wm
+        if "bias" in so["channel_mix"]:
+            sn["channel_mix"]["bias"] = jnp.take(so["channel_mix"]["bias"],
+                                                 S, axis=0)
+        new["proj_2"]["weight"] = W2p.reshape(1, 1, k, C).astype(dt)
+        new["proj_2"]["bias"] = b2p.astype(dt)

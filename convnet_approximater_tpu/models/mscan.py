@@ -58,11 +58,21 @@ class FFN(Module):
 
 
 class SpatialAttention(Module):
-    def __init__(self, num_channel: int, k1_size: int = 5, k_sizes=(7, 11, 21)):
+    """``inner_channel`` (default: ``num_channel``) is the width of the
+    gated MSCA branch between the two projections — the axis
+    :class:`~convnet_approximater_tpu.core.AttnPrune` shrinks (the
+    elementwise gate inside MSCA ties the branch in/out widths, so the
+    whole chain rides one mask)."""
+
+    def __init__(self, num_channel: int, k1_size: int = 5, k_sizes=(7, 11, 21),
+                 inner_channel: int = None):
         super().__init__()
-        self.proj_1 = nn.Conv2d(num_channel, num_channel, 1)
-        self.spatial_gating_unit = MSCA(num_channel, k1_size, k_sizes)
-        self.proj_2 = nn.Conv2d(num_channel, num_channel, 1)
+        self.num_channel = num_channel
+        self.inner_channel = inner_channel or num_channel
+        inner = self.inner_channel
+        self.proj_1 = nn.Conv2d(num_channel, inner, 1)
+        self.spatial_gating_unit = MSCA(inner, k1_size, k_sizes)
+        self.proj_2 = nn.Conv2d(inner, num_channel, 1)
 
     def __call__(self, params, x, ctx: Ctx):
         shortcut = x

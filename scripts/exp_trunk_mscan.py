@@ -78,6 +78,28 @@ def main():
         log(f"  -> {t_dense / t:.3f}x vs dense, {t_p / t:.3f}x vs the "
             f"3.404-class row")
 
+    # the OTHER width axis: the gated MSCA branch (VPU-bound depthwise)
+    from convnet_approximater_tpu.core import AttnPrune
+
+    m, var = build()
+    run_pipeline(m, var, AttnPrune(keep_ratio=0.5), [])
+    run_pipeline(m, var, FfnPrune(keep_ratio=0.5, round_to=128), [])
+    m, var = best_rep(m, var, shape)
+    t = serve_time(m, var, shape,
+                   "MSCAN-t attnprune 0.5 + ffnprune + rep")
+    log(f"  -> {t_dense / t:.3f}x vs dense, {t_p / t:.3f}x vs the "
+        f"3.404-class row")
+
+    m, var = build()
+    prune_trunks(m, var, keep_ratio=0.5, round_to=64)
+    run_pipeline(m, var, AttnPrune(keep_ratio=0.5), [])
+    run_pipeline(m, var, FfnPrune(keep_ratio=0.5, round_to=128), [])
+    m, var = best_rep(m, var, shape)
+    t = serve_time(m, var, shape,
+                   f"MSCAN-t trunk+attn+ffn prune 0.5 + rep (quad)")
+    log(f"  -> {t_dense / t:.3f}x vs dense, {t_p / t:.3f}x vs the "
+        f"3.404-class row")
+
 
 if __name__ == "__main__":
     main()

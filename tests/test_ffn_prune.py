@@ -346,3 +346,57 @@ def test_apply_app_two_pass_calibration():
                            state=variables["state"], training=False)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=1e-3, atol=1e-4)
+
+
+# -- AttnPrune: the gated MSCA branch's width -----------------------------
+
+def _attn(C=8, inner=None, key=KEY):
+    from convnet_approximater_tpu.models.mscan import SpatialAttention
+
+    src = SpatialAttention(C, 5, (7, 11), inner_channel=inner)
+    return src, src.init(key)
+
+
+def test_attn_prune_keep_all_exact():
+    from convnet_approximater_tpu.core import AttnPrune
+
+    src, sp = _attn(C=8)
+    x = jax.random.normal(jax.random.key(1), (2, 12, 12, 8))
+    y0 = src(sp, x, Ctx(training=False))
+    for calib in (None, x):
+        tgt, tp = _run_app(AttnPrune(keep=8), src, sp, x, calib=calib)
+        y1 = tgt(tp, x, Ctx(training=False))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_attn_prune_shrinks_all_branch_tensors():
+    from convnet_approximater_tpu.core import AttnPrune
+
+    src, sp = _attn(C=8)
+    x = jax.random.normal(jax.random.key(2), (2, 12, 12, 8))
+    tgt, tp = _run_app(AttnPrune(keep=4), src, sp, x, calib=x)
+    assert tgt.inner_channel == 4 and tgt.num_channel == 8
+    assert tp["proj_1"]["weight"].shape == (1, 1, 8, 4)
+    assert tp["spatial_gating_unit"]["conv0"]["weight"].shape[3] == 4
+    assert tp["spatial_gating_unit"]["channel_mix"]["weight"].shape[2:] == (4, 4)
+    assert tp["proj_2"]["weight"].shape == (1, 1, 4, 8)
+    for bname, branch in tp["spatial_gating_unit"]["sd_convs"]["branches"].items():
+        for cn in ("conv1", "conv2"):
+            if cn in branch:
+                assert branch[cn]["weight"].shape[3] == 4, (bname, cn)
+    y = tgt(tp, x, Ctx(training=False))
+    assert y.shape == x.shape and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_attn_prune_composes_with_rep_and_ffnprune():
+    from convnet_approximater_tpu.core import AttnPrune, MscaRep
+
+    m, v = _make_mscan()
+    x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+    na = apply_app(m, v, AttnPrune(keep_ratio=0.5), [], KEY)
+    nf = apply_app(m, v, FfnPrune(keep_ratio=0.5, round_to=None), [], KEY)
+    nr = apply_app(m, v, MscaRep(decomp=1, fix=True), [], KEY)
+    assert na == 4 and nf == 4 and nr == 4
+    y, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
