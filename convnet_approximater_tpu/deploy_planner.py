@@ -596,6 +596,9 @@ def recovery_plan(name: str, v3_energy: float = 0.9, dwsep_rank: int = 1):
                                     data_driven=True),
                            filters=[dict(type="DenseKxKFilter")],
                            calibration=True))
+    if "attnprune/" in name:
+        stages.append(dict(app=dict(type="AttnPrune", keep_ratio=0.5),
+                           filters=[], calibration=True))
     if "ffnprune/" in name:
         stages.append(dict(app=dict(type="FfnPrune", keep_ratio=0.5,
                                     round_to=128),

@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--app", default="v1",
                     choices=("v1", "v3", "v4", "prune", "mlpprune",
-                             "trunkprune"),
+                             "attnprune", "trunkprune"),
                     help="v1: reference scheme-1 (9-row matrix); v3: "
                          "channel-rank factorization (5-row matrix — V3 "
                          "has no separate decomposed form); v4: Tucker-2 "
@@ -53,7 +53,9 @@ def main():
                          "the ConvNeXt-block variant (--model ConvNeXt); "
                          "trunkprune: prune_trunks+prune_chains structure "
                          "passes (--model ResNet18/50 — residual trunk + "
-                         "block internals at --keep-ratio)")
+                         "block internals at --keep-ratio); attnprune: "
+                         "the gated-MSCA-branch width cut (--model "
+                         "MSCAN_Classifier)")
     ap.add_argument("--keep-ratio", type=float, default=0.75,
                     help="FfnPrune/MlpPrune hidden keep ratio (--app prune)")
     ap.add_argument("--int8", action="store_true",
@@ -181,8 +183,9 @@ def main():
             # round_to=None — the demo is the accuracy protocol, tile
             # snapping is a deploy-surface concern
             app_py = "dict(type='Dummy')"
-        elif args.app in ("prune", "mlpprune"):
-            app_type = "FfnPrune" if args.app == "prune" else "MlpPrune"
+        elif args.app in ("prune", "mlpprune", "attnprune"):
+            app_type = {"prune": "FfnPrune", "mlpprune": "MlpPrune",
+                        "attnprune": "AttnPrune"}[args.app]
             app_py = f"dict(type='{app_type}', keep_ratio={args.keep_ratio})"
         elif args.app == "v3":
             app_py = (f"dict(type='LowRankExpV3', "
@@ -207,7 +210,7 @@ def main():
                 "round_to=None), "
                 f"dict(fn='prune_chains', keep_ratio={args.keep_ratio}, "
                 "round_to=None)]\n")
-        elif args.app in ("prune", "mlpprune"):
+        elif args.app in ("prune", "mlpprune", "attnprune"):
             # the prune apps key on module TYPE (FFN / ConvNeXtBlock) and
             # select channels from data: all sites, calibration hook for
             # the greedy selection + closed-form projection refit
