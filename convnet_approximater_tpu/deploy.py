@@ -1551,7 +1551,20 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
     n_pruned = 0
     for gi, g in enumerate(_trunk_groups(model)):
         prods = [(model.get_submodule(p), p, bn) for p, bn in g["producers"]]
-        cons = [(model.get_submodule(c), c) for c in g["consumers"]]
+        # a consumer entry is a path string, or a dict for consumers that
+        # read the trunk as ONE SEGMENT of a channel-concatenated input
+        # (SegNeXt's squeeze conv): {"path": ..., "offset_modules": [...]}
+        # — the segment offset is the summed current widths of the listed
+        # modules (earlier groups slice in stage order, so widths of prior
+        # segments are final by the time this group is processed)
+        cons = []
+        for c in g["consumers"]:
+            if isinstance(c, dict):
+                off = sum(model.get_submodule(p).num_features
+                          for p in c.get("offset_modules", ()))
+                cons.append((model.get_submodule(c["path"]), c["path"], off))
+            else:
+                cons.append((model.get_submodule(c), c, None))
         M = prods[0][0].out_channels
         if any(p.out_channels != M for p, _, _ in prods):
             continue  # malformed/custom group — leave it alone
@@ -1587,12 +1600,15 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
         if prod_e is None:
             continue
         cons_e = jnp.zeros((M,), jnp.float32)
-        for mod, path in cons:
+        for mod, path, off in cons:
             cp = _get(params, path.split("."))
             if cp is None:
                 cons_e = None
                 break
             w = cp["weight"].astype(jnp.float32)
+            if off is not None:
+                w = w[:, :, off:off + M, :] if isinstance(mod, Conv2d) \
+                    else w[off:off + M]
             cons_e = cons_e + (jnp.sum(w ** 2, axis=(0, 1, 3))
                                if isinstance(mod, Conv2d)
                                else jnp.sum(w ** 2, axis=1))
@@ -1624,14 +1640,23 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
                 bs["mean"] = jnp.take(bs["mean"], S, axis=0)
                 bs["var"] = jnp.take(bs["var"], S, axis=0)
                 model.get_submodule(bn_path).num_features = k
-        for mod, path in cons:
+        for mod, path, off in cons:
             cp = _get(params, path.split("."))
-            if isinstance(mod, Conv2d):
-                cp["weight"] = jnp.take(cp["weight"], S, axis=2)
-                mod.in_channels = k
+            conv_c = isinstance(mod, Conv2d)
+            total = cp["weight"].shape[2 if conv_c else 0]
+            if off is None:
+                idx = np.asarray(S)
+                new_in = k
             else:
-                cp["weight"] = jnp.take(cp["weight"], S, axis=0)
-                mod.in_features = k
+                idx = np.concatenate([np.arange(off), np.asarray(S) + off,
+                                      np.arange(off + M, total)])
+                new_in = total - (M - k)
+            if conv_c:
+                cp["weight"] = jnp.take(cp["weight"], idx, axis=2)
+                mod.in_channels = new_in
+            else:
+                cp["weight"] = jnp.take(cp["weight"], idx, axis=0)
+                mod.in_features = new_in
         for npth in g.get("norms", ()):
             nm = model.get_submodule(npth)
             npar = _get(params, npth.split("."))

@@ -69,6 +69,21 @@ class SegNeXt(SwitchableModel):
             iters=ham_iters,
         )
 
+    def trunk_groups(self):
+        """``deploy.prune_trunks`` groups: the backbone's, with the Ham
+        head's squeeze conv consuming each tapped stage as one SEGMENT of
+        its channel-concatenated input (offset = summed final widths of
+        the earlier tapped stages' LayerNorms — groups slice in stage
+        order, so those are final when this group is processed)."""
+        groups = self.backbone.trunk_groups(prefix="backbone.")
+        names = [n for n, _ in self.backbone.layers.named_children()]
+        for pos, i in enumerate(self.in_indices):
+            groups[i]["consumers"].append(dict(
+                path="decode_head.squeeze",
+                offset_modules=[f"backbone.layers.{names[j]}.2"
+                                for j in self.in_indices[:pos]]))
+        return groups
+
     def __call__(self, params, x, ctx: Ctx):
         feats = self.child("backbone", params, x, ctx)
         logits = self.child("decode_head", params,

@@ -235,3 +235,24 @@ def test_mscan_trunk_composes_with_ffnprune():
     x = jax.random.normal(jax.random.key(6), (2, 64, 64, 3))
     y, _, _ = mscan.apply(v["params"], x, state=v["state"], training=False)
     assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_segnext_trunk_concat_consumer():
+    """SegNeXt's squeeze conv reads the tapped stages as one concatenated
+    input; each stage's trunk group slices its own SEGMENT (offset =
+    earlier tapped stages' final widths), so the concat shape stays
+    consistent and the head still runs."""
+    from convnet_approximater_tpu.segmentation import SegNeXt
+
+    m = SegNeXt(num_classes=19, num_channels=(16, 32, 64, 96),
+                num_blocks=(1, 1, 2, 1), ham_channels=64, ham_rank=16,
+                ham_iters=2)
+    v = {"params": m.init(KEY), "state": m.init_state()}
+    assert m.decode_head.squeeze.in_channels == 32 + 64 + 96
+    n = prune_trunks(m, v, keep_ratio=0.5, round_to=None)
+    assert n == 4
+    assert m.decode_head.squeeze.in_channels == 16 + 32 + 48
+    assert v["params"]["decode_head"]["squeeze"]["weight"].shape[2] == 96
+    x = jax.random.normal(jax.random.key(7), (1, 64, 64, 3))
+    y, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    assert y.shape == (1, 8, 8, 19) and bool(jnp.all(jnp.isfinite(y)))
