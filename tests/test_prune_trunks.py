@@ -256,3 +256,18 @@ def test_segnext_trunk_concat_consumer():
     x = jax.random.normal(jax.random.key(7), (1, 64, 64, 3))
     y, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
     assert y.shape == (1, 8, 8, 19) and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_shipped_trunk_config_parses_and_passes_apply(tmp_path):
+    import os
+
+    from convnet_approximater_tpu.utils import get_cfg, init_cfg
+
+    cfg_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "prune",
+        "trunk-prune_ce_resnet18.py")
+    init_cfg(cfg_path)
+    cfg = get_cfg()
+    assert [p["fn"] for p in cfg.structure_passes] == \
+        ["prune_trunks", "prune_chains"]
+    assert cfg.model["type"] == "ResNet" and cfg.model["depth"] == 18
