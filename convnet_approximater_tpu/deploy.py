@@ -1455,6 +1455,8 @@ def _trunk_groups(model) -> List[dict]:
         for g in groups:
             g.setdefault("norms", [])
             g.setdefault("vectors", [])
+            g.setdefault("depthwise", [])
+            g.setdefault("attrs", [])
         return [g for g in groups if g["producers"] and g["consumers"]]
 
     def is_block(m):
@@ -1565,8 +1567,13 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
                 cons.append((model.get_submodule(c["path"]), c["path"], off))
             else:
                 cons.append((model.get_submodule(c), c, None))
-        M = prods[0][0].out_channels
-        if any(p.out_channels != M for p, _, _ in prods):
+        def _out_w(mod):
+            # a producer is a Conv2d or a Linear (ConvNeXt's pwconv2)
+            return (mod.out_channels if isinstance(mod, Conv2d)
+                    else mod.out_features)
+
+        M = _out_w(prods[0][0])
+        if any(_out_w(p) != M for p, _, _ in prods):
             continue  # malformed/custom group — leave it alone
         if filter_fn is not None and not filter_fn(g["producers"][0][0],
                                                    prods[0][0]):
@@ -1588,7 +1595,7 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
                 prod_e = None
                 break
             na = jnp.sum(pp["weight"].astype(jnp.float32) ** 2,
-                         axis=(0, 1, 2))
+                         axis=(0, 1, 2) if isinstance(mod, Conv2d) else 0)
             if bn_path is not None:
                 bp = _get(params, bn_path.split("."))
                 bs = _get(state, bn_path.split("."))
@@ -1628,10 +1635,14 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
 
         for mod, path, bn_path in prods:
             pp = _get(params, path.split("."))
-            pp["weight"] = jnp.take(pp["weight"], S, axis=3)
+            if isinstance(mod, Conv2d):
+                pp["weight"] = jnp.take(pp["weight"], S, axis=3)
+                mod.out_channels = k
+            else:
+                pp["weight"] = jnp.take(pp["weight"], S, axis=1)
+                mod.out_features = k
             if "bias" in pp:
                 pp["bias"] = jnp.take(pp["bias"], S, axis=0)
-            mod.out_channels = k
             if bn_path is not None:
                 bp = _get(params, bn_path.split("."))
                 bs = _get(state, bn_path.split("."))
@@ -1657,6 +1668,15 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
             else:
                 cp["weight"] = jnp.take(cp["weight"], idx, axis=0)
                 mod.in_features = new_in
+        for dpth in g.get("depthwise", ()):
+            # channel-tied pass-through (ConvNeXt's dw 7x7 ON the trunk):
+            # one weight slice changes in, out, AND groups together
+            dm = model.get_submodule(dpth)
+            dp = _get(params, dpth.split("."))
+            dp["weight"] = jnp.take(dp["weight"], S, axis=3)
+            if "bias" in dp:
+                dp["bias"] = jnp.take(dp["bias"], S, axis=0)
+            dm.in_channels = dm.out_channels = dm.groups = k
         for npth in g.get("norms", ()):
             nm = model.get_submodule(npth)
             npar = _get(params, npth.split("."))
@@ -1672,6 +1692,11 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
             parent = _get(params, parts[:-1])
             if parent is not None and parts[-1] in parent:
                 parent[parts[-1]] = jnp.take(parent[parts[-1]], S, axis=0)
+        for apath, aname in g.get("attrs", ()):
+            # width attributes later passes CONSTRUCT from (MlpPrune's
+            # target block, analysis) — stale values crash depthwise ops
+            setattr(model.get_submodule(apath) if apath else model,
+                    aname, k)
         n_pruned += 1
         if verbose:
             e = imp.astype(np.float64) ** 2

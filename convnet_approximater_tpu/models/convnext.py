@@ -119,6 +119,43 @@ class ConvNeXt(BlockStageExec, SwitchableModel):
         self.norm = nn.LayerNorm(dims[-1], eps=1e-6)
         self.head = nn.Linear(dims[-1], num_classes)
 
+    def trunk_groups(self):
+        """``deploy.prune_trunks`` groups: per stage, the downsample conv
+        and every block's ``pwconv2`` produce the trunk; every block's
+        ``pwconv1`` and the next downsample conv consume it; the
+        channel-tied dw 7x7 rides the mask as a ``depthwise``
+        pass-through, block LNs + the inter-stage/final LNs slice along,
+        and the ``gamma`` layer-scale vectors too.  Disjoint from
+        MlpPrune's hidden axis and DwSepRep's kernel factorization."""
+        groups = []
+        for i in range(4):
+            if i == 0:
+                producers = [("downsample_layers.0.0", None)]
+                norms = ["downsample_layers.0.1"]
+            else:
+                producers = [(f"downsample_layers.{i}.1", None)]
+                norms = []
+            consumers, vectors, depthwise = [], [], []
+            attrs = []
+            for bname, _blk in self.stages[i].named_children():
+                bb = f"stages.{i}.{bname}"
+                depthwise.append(f"{bb}.dwconv")
+                consumers.append(f"{bb}.pwconv1")
+                producers.append((f"{bb}.pwconv2", None))
+                norms.append(f"{bb}.norm")
+                vectors.append(f"{bb}.gamma.gamma")
+                attrs.append((bb, "dim"))  # MlpPrune rebuilds from dim
+            if i < 3:
+                norms.append(f"downsample_layers.{i + 1}.0")
+                consumers.append(f"downsample_layers.{i + 1}.1")
+            else:
+                norms.append("norm")
+                consumers.append("head")
+            groups.append(dict(producers=producers, consumers=consumers,
+                               norms=norms, vectors=vectors,
+                               depthwise=depthwise, attrs=attrs))
+        return groups
+
     def __call__(self, params, x, ctx: Ctx):
         dp = params.get("downsample_layers", {})
         sp = params.get("stages", {})

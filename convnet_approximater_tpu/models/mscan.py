@@ -198,7 +198,7 @@ class MSCAN(BlockStageExec, Module):
             base = f"{prefix}layers.{name}"
             producers = ([(f"{base}.0.proj.3", f"{base}.0.proj.4")] if i == 0
                          else [(f"{base}.0.proj", f"{base}.0.norm")])
-            consumers, norms, vectors = [], [], []
+            consumers, norms, vectors, attrs = [], [], [], []
             for bname, _blk in layer[1].named_children():
                 bb = f"{base}.1.{bname}"
                 consumers += [f"{bb}.attn.proj_1", f"{bb}.mlp.fc1"]
@@ -206,9 +206,12 @@ class MSCAN(BlockStageExec, Module):
                               (f"{bb}.mlp.fc2", None)]
                 norms += [f"{bb}.norm1", f"{bb}.norm2"]
                 vectors += [f"{bb}.layer_scale_1", f"{bb}.layer_scale_2"]
+                # width attrs the prune/rep apps construct targets from
+                attrs += [(bb, "num_channel"), (f"{bb}.attn", "num_channel"),
+                          (f"{bb}.mlp", "num_channel")]
             norms.append(f"{base}.2")  # the stage LayerNorm
             groups.append(dict(producers=producers, consumers=consumers,
-                               norms=norms, vectors=vectors))
+                               norms=norms, vectors=vectors, attrs=attrs))
         for i in range(len(groups) - 1):
             groups[i]["consumers"].append(
                 f"{prefix}layers.{names[i + 1]}.0.proj")

@@ -271,3 +271,35 @@ def test_shipped_trunk_config_parses_and_passes_apply(tmp_path):
     assert [p["fn"] for p in cfg.structure_passes] == \
         ["prune_trunks", "prune_chains"]
     assert cfg.model["type"] == "ResNet" and cfg.model["depth"] == 18
+
+
+def test_convnext_trunk_composes_with_mlpprune_dwsep():
+    """ConvNeXt trunk: Linear producers (pwconv2), the channel-tied dw7x7
+    as a depthwise pass-through, LN/gamma slicing, and width attrs updated
+    so MlpPrune's rebuilt blocks and DwSepRep still compose."""
+    from convnet_approximater_tpu.core import DwSepRep, MlpPrune
+    from convnet_approximater_tpu.deploy_planner import apply_app
+    from convnet_approximater_tpu.filters import DepthwiseConvFilter
+
+    m = build_model(dict(type="ConvNeXt", depths=(1, 1, 2, 1),
+                         dims=(16, 32, 64, 96), num_classes=10))
+    v = {"params": m.init(KEY), "state": m.init_state()}
+    n = prune_trunks(m, v, keep_ratio=0.5, round_to=None)
+    assert n == 4
+    assert m.head.in_features == 48 and m.norm.num_features == 48
+    assert m.stages[0][0].dwconv.groups == 8
+    assert m.stages[0][0].dim == 8
+    x = jax.random.normal(jax.random.key(8), (2, 64, 64, 3))
+    y0, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    assert bool(jnp.all(jnp.isfinite(y0)))
+    # scan parity on the pruned model
+    m.scan_blocks = "never"
+    y1, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    m.scan_blocks = "auto"
+    # the ConvNeXt record stack still composes on the pruned trunk
+    nm = apply_app(m, v, MlpPrune(keep_ratio=0.5, round_to=None), [], KEY)
+    nd = apply_app(m, v, DwSepRep(ranks=1), [DepthwiseConvFilter()], KEY)
+    assert nm == 5 and nd == 5
+    y2, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
+    assert y2.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y2)))
