@@ -1621,15 +1621,19 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
                                else jnp.sum(w ** 2, axis=1))
         if cons_e is None:
             continue
-        vec_gain = jnp.ones((M,), jnp.float32)
+        # layer-scale style per-channel multipliers gate the producer
+        # outputs — fold their magnitude into importance as the RMS over
+        # the group's vectors (a PRODUCT underflows f32 with many blocks'
+        # 1e-2-scale gammas, and channels also ride the residual bypass,
+        # so per-path products overstate the coupling anyway)
+        vec_sq, n_vec = jnp.zeros((M,), jnp.float32), 0
         for vp in g.get("vectors", ()):
             parts = vp.split(".")
             parent = _get(params, parts[:-1])
             if parent is not None and parts[-1] in parent:
-                # layer-scale style per-channel multipliers gate the
-                # producer outputs — fold their magnitude into importance
-                vec_gain = vec_gain * jnp.maximum(
-                    jnp.abs(parent[parts[-1]].astype(jnp.float32)), 1e-8)
+                vec_sq = vec_sq + parent[parts[-1]].astype(jnp.float32) ** 2
+                n_vec += 1
+        vec_gain = jnp.sqrt(vec_sq / n_vec) if n_vec else 1.0
         imp = np.asarray(jnp.sqrt(prod_e) * jnp.sqrt(cons_e) * vec_gain)
         S = np.sort(np.argsort(-imp, kind="stable")[:k])
 
