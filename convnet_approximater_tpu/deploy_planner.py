@@ -294,6 +294,24 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
             raise _NoTargets("no conv-FFN modules")
         return build_mscarep(model, variables, rng, calib)
 
+    def build_quad_prune_rep(model, variables, rng, calib):
+        # the r4e MSCAN-t record quad (doc/perf-notes.md: 1.912 ms =
+        # 1.61x over ffnprune+rep): all three width axes at keep 0.5 —
+        # stage trunks (shared masks), the gated MSCA branch, the FFN
+        # hidden — then the full rep recipe on the slimmed model
+        from convnet_approximater_tpu.core import AttnPrune, FfnPrune
+        from convnet_approximater_tpu.deploy import prune_trunks
+
+        nt = prune_trunks(model, variables, keep_ratio=0.5, round_to=64)
+        na = apply_app(model, variables, AttnPrune(keep_ratio=0.5), [],
+                       rng, calib_batches=calib)
+        nf = apply_app(model, variables,
+                       FfnPrune(keep_ratio=0.5, round_to=128), [], rng,
+                       calib_batches=calib)
+        if nt == 0 and na == 0 and nf == 0:
+            raise _NoTargets("no prunable width axes")
+        return build_mscarep(model, variables, rng, calib)
+
     def build_mlpprune(model, variables, rng, calib):
         from convnet_approximater_tpu.core import MlpPrune
 
@@ -367,12 +385,33 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
         out.append(("mscarep/d1+fix+dconv0+arb-ffnrep", build_mscarep))
     if has_ffn and has_msca:
         out.append(("ffnprune/0.5+mscarep", build_ffnprune_rep))
+        out.append(("trunk+attnprune+ffnprune/0.5+mscarep",
+                    build_quad_prune_rep))
     if has_block:
         out.append(("mlpprune/0.5", build_mlpprune))
         out.append(("mlpprune/0.5+int8", build_mlpprune_int8))
         if has_dw:
             out.append((f"dwsep/r={dwsep_rank}+mlpprune/0.5+int8",
                         build_dwsep_mlpprune_int8))
+
+            def build_trunk_dwsep_mlpprune_int8(model, variables, rng,
+                                                calib):
+                # the r4e ConvNeXt-T record quad (3.999 ms = 1.16x over
+                # the triple): trunk halving first, then the triple on
+                # the slimmed model
+                from convnet_approximater_tpu.deploy import prune_trunks
+
+                nt = prune_trunks(model, variables, keep_ratio=0.5,
+                                  round_to=128)
+                if nt == 0:
+                    raise _NoTargets("no trunks")
+                return build_dwsep_mlpprune_int8(model, variables, rng,
+                                                 calib)
+
+            if callable(getattr(probe_model, "trunk_groups", None)):
+                out.append((
+                    f"trunk+dwsep/r={dwsep_rank}+mlpprune/0.5+int8",
+                    build_trunk_dwsep_mlpprune_int8))
     # plain-CNN cross-layer junctions: gate on a dry count (param-free,
     # leaves the probe model unmutated); the attention/ConvNeXt families
     # have their dedicated width apps above
@@ -586,6 +625,14 @@ def recovery_plan(name: str, v3_energy: float = 0.9, dwsep_rank: int = 1):
     (``scripts/plan_serving.py --emit-recovery`` writes the configs).
     """
     stages = []
+    if "trunk+" in name:
+        # the trunk mask is shared across blocks and the builders apply it
+        # FIRST: one structure pass, recovered by the following stages' CE.
+        # round_to mirrors the builder (ConvNeXt's quad snaps to 128, the
+        # others to 64) — the replayed widths must match the checkpoint
+        stages.append(dict(structure_pass=dict(
+            fn="prune_trunks", keep_ratio=0.5,
+            round_to=128 if "mlpprune" in name else 64)))
     if name.startswith("v3/"):
         stages.append(dict(app=dict(type="LowRankExpV3", energy=v3_energy,
                                     data_driven=True),
@@ -596,7 +643,7 @@ def recovery_plan(name: str, v3_energy: float = 0.9, dwsep_rank: int = 1):
                                     data_driven=True),
                            filters=[dict(type="DenseKxKFilter")],
                            calibration=True))
-    if "attnprune/" in name:
+    if "attnprune" in name:
         stages.append(dict(app=dict(type="AttnPrune", keep_ratio=0.5),
                            filters=[], calibration=True))
     if "ffnprune/" in name:
@@ -611,11 +658,6 @@ def recovery_plan(name: str, v3_energy: float = 0.9, dwsep_rank: int = 1):
         stages.append(dict(app=dict(type="DwSepRep", ranks=dwsep_rank),
                            filters=[dict(type="DepthwiseConvFilter")],
                            calibration=False))
-    if "trunk+" in name:
-        # the trunk mask is shared across blocks: one structure pass, one
-        # CE recovery (ordered before the chain pass, as the builder does)
-        stages.append(dict(structure_pass=dict(
-            fn="prune_trunks", keep_ratio=0.5, round_to=64)))
     if "chainprune/" in name:
         # cross-layer pass: expressed as a structure_passes rewrite (the
         # Runner/export replay it), recovered by a CE-only fine-tune
