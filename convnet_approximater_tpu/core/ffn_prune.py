@@ -395,6 +395,68 @@ class AttnPrune(FfnPrune):
     _src_type = SpatialAttention
     _tgt_type = SpatialAttention
 
+    def optimize(self, sub: Substitution, params: dict):
+        """Calibrated path override: select on the full hidden, REFIT on
+        the pruned branch's MEASURED hidden.
+
+        Unlike FfnPrune (kept hidden channels compute identically after
+        the cut), slicing ``channel_mix`` on BOTH axes changes the kept
+        channels' activations (attn_m loses the dropped rows' mixed-in
+        contributions), so the base class's moment-space refit would
+        optimize against statistics the pruned network never produces.
+        Here: greedy-select S on the full gated hidden (the base
+        objective), install the sliced branch, run it on the SAME
+        calibration maps to get ``h2``, and solve the projection by
+        ridge least squares of ``[h2, 1] @ [W2'; b2']`` onto the
+        ORIGINAL branch output ``h @ W2 + b2``.
+        """
+        logger = get_logger()
+        index = self._opt_curr
+        x = self._raw.get(index)
+        if x is None or not self.refit:
+            return super().optimize(sub, params)
+        self._opt_curr += 1
+        old, new = params["old"], params["new"]
+        src = sub.old_module
+        M, k = self._hidden_dim(src), self._hidden_dim(sub.new_module)
+        W2, b2, dt = self._consumer(old)
+        h = self._hidden_acts(src, old, x).astype(jnp.float32)
+        n = h.shape[0]
+        if n < M:
+            logger.warning(
+                f"calibration sample ({n} pixels) is smaller than the "
+                f"hidden dim ({M}): the covariance is rank-deficient — "
+                f"selection quality degrades past rank {n}; raise the "
+                f"CalibrationHook num_batches/batch_size")
+        mu = jnp.mean(h, axis=0)
+        Kc = (h.T @ h) / n - jnp.outer(mu, mu)
+        S, explained = _greedy_select(np.asarray(Kc),
+                                      np.asarray(Kc @ W2), k)
+        total = float(jnp.trace(W2.T @ (Kc @ W2)))
+        kept = min(explained / max(total, 1e-30), 1.0)
+        # install the sliced branch (proj_2 provisionally sliced), then
+        # measure what the PRUNED branch actually produces
+        self._apply(old, new, S, W2[S], b2, dt)
+        h2 = self._hidden_acts(sub.new_module, new, x).astype(jnp.float32)
+        if n < 2 * (k + 1):
+            logger.warning(
+                f"AttnPrune: {n} calibration pixels for a {k + 1}-dim "
+                f"solve — refit skipped, sliced projection kept")
+            return
+        y = h @ W2 + b2[None, :]
+        A = jnp.concatenate([h2, jnp.ones((n, 1), jnp.float32)], axis=1)
+        G2 = A.T @ A / n
+        lam = self.ridge * jnp.trace(G2[:k, :k]) / k
+        reg = jnp.diag(jnp.concatenate([jnp.full((k,), lam),
+                                        jnp.zeros((1,))]))
+        X = jnp.linalg.solve(G2 + reg, (A.T @ y) / n)
+        new["proj_2"]["weight"] = X[:k].reshape(1, 1, k, y.shape[1]) \
+            .astype(dt)
+        new["proj_2"]["bias"] = X[k].astype(dt)
+        logger.info(f"keep {k}/{M} (contribution energy {kept:.4f}), "
+                    f"projection refit on the PRUNED branch's hidden over "
+                    f"{n} calib pixels")
+
     def _hidden_dim(self, mod) -> int:
         return mod.inner_channel
 
@@ -404,16 +466,26 @@ class AttnPrune(FfnPrune):
                     k_sizes=sgu.k_sizes, inner_channel=self._k)
 
     def _weight_imp(self, old: dict) -> jnp.ndarray:
-        n1 = jnp.sqrt(jnp.sum(old["proj_1"]["weight"].astype(jnp.float32)
-                              ** 2, axis=(0, 1, 2)))
-        nm = jnp.sqrt(jnp.sum(
-            old["spatial_gating_unit"]["channel_mix"]["weight"]
-            .astype(jnp.float32) ** 2, axis=(0, 1, 2)))
-        n2 = jnp.sqrt(jnp.sum(old["proj_2"]["weight"].astype(jnp.float32)
-                              ** 2, axis=(0, 1, 3)))
-        # h_m = attn_m * u_m: attn_m is bounded by mix's OUT column m,
-        # u_m by proj_1's out channel m; proj_2's in row m reads it
-        return n1 * nm * n2
+        so = old["spatial_gating_unit"]
+
+        def ch_norm(w, axes=(0, 1, 2)):
+            return jnp.sqrt(jnp.sum(w.astype(jnp.float32) ** 2, axis=axes))
+
+        n1 = ch_norm(old["proj_1"]["weight"])
+        nc0 = ch_norm(so["conv0"]["weight"])
+        # the bank is a SUM of per-channel cascades (+ identity): combine
+        # branch strengths in quadrature, cascade taps as a product
+        bank_sq = jnp.ones_like(n1)  # the identity branch
+        for branch in so["sd_convs"].get("branches", {}).values():
+            if "conv1" in branch:
+                bank_sq = bank_sq + (ch_norm(branch["conv1"]["weight"])
+                                     * ch_norm(branch["conv2"]["weight"])) ** 2
+        nm = ch_norm(so["channel_mix"]["weight"])
+        n2 = ch_norm(old["proj_2"]["weight"], axes=(0, 1, 3))
+        # h_m = attn_m * u_m: attn_m is bounded by the conv0 -> bank ->
+        # mix-column-m chain, u_m by proj_1's out channel m; proj_2's in
+        # row m reads it (the every-op-touching-m convention of the base)
+        return n1 * nc0 * jnp.sqrt(bank_sq) * nm * n2
 
     def _consumer(self, old: dict):
         w = old["proj_2"]["weight"]

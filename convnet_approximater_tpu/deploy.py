@@ -1475,6 +1475,10 @@ def _trunk_groups(model) -> List[dict]:
             continue
         blocks = list(layer.named_children())
         if not blocks or not all(is_block(b) for _, b in blocks):
+            # a non-residual Sequential (e.g. a plain conv stack) can
+            # change the tensor width — carrying the open group across it
+            # would fuse producers/consumers of DIFFERENT widths
+            cur = None
             continue
         for bname, block in blocks:
             bp = f"{lname}.{bname}"
@@ -1600,9 +1604,13 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
                 bp = _get(params, bn_path.split("."))
                 bs = _get(state, bn_path.split("."))
                 bn = model.get_submodule(bn_path)
-                gain = jnp.abs(bp["scale"]) * jax.lax.rsqrt(
-                    bs["var"].astype(jnp.float32) + bn.eps)
-                na = na * gain ** 2
+                # a fold_batchnorm-ed (or otherwise param-less) norm just
+                # contributes no gain — don't crash on hook-declared paths
+                if bp is not None and bs is not None \
+                        and isinstance(bn, BatchNorm2d):
+                    gain = jnp.abs(bp["scale"]) * jax.lax.rsqrt(
+                        bs["var"].astype(jnp.float32) + bn.eps)
+                    na = na * gain ** 2
             prod_e = prod_e + na
         if prod_e is None:
             continue
@@ -1650,11 +1658,14 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
             if bn_path is not None:
                 bp = _get(params, bn_path.split("."))
                 bs = _get(state, bn_path.split("."))
-                bp["scale"] = jnp.take(bp["scale"], S, axis=0)
-                bp["bias"] = jnp.take(bp["bias"], S, axis=0)
-                bs["mean"] = jnp.take(bs["mean"], S, axis=0)
-                bs["var"] = jnp.take(bs["var"], S, axis=0)
-                model.get_submodule(bn_path).num_features = k
+                if bp is not None:
+                    bp["scale"] = jnp.take(bp["scale"], S, axis=0)
+                    bp["bias"] = jnp.take(bp["bias"], S, axis=0)
+                if bs is not None and "mean" in bs:
+                    bs["mean"] = jnp.take(bs["mean"], S, axis=0)
+                    bs["var"] = jnp.take(bs["var"], S, axis=0)
+                if hasattr(model.get_submodule(bn_path), "num_features"):
+                    model.get_submodule(bn_path).num_features = k
         for mod, path, off in cons:
             cp = _get(params, path.split("."))
             conv_c = isinstance(mod, Conv2d)
@@ -1684,6 +1695,8 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
         for npth in g.get("norms", ()):
             nm = model.get_submodule(npth)
             npar = _get(params, npth.split("."))
+            if npar is None:  # folded away — nothing left to slice
+                continue
             npar["scale"] = jnp.take(npar["scale"], S, axis=0)
             npar["bias"] = jnp.take(npar["bias"], S, axis=0)
             nst = _get(state, npth.split("."))

@@ -303,13 +303,15 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
         from convnet_approximater_tpu.deploy import prune_trunks
 
         nt = prune_trunks(model, variables, keep_ratio=0.5, round_to=64)
-        na = apply_app(model, variables, AttnPrune(keep_ratio=0.5), [],
-                       rng, calib_batches=calib)
-        nf = apply_app(model, variables,
-                       FfnPrune(keep_ratio=0.5, round_to=128), [], rng,
-                       calib_batches=calib)
-        if nt == 0 and na == 0 and nf == 0:
-            raise _NoTargets("no prunable width axes")
+        if nt == 0:
+            # the candidate NAME claims a trunk stage; serving a surface
+            # whose recovery plan misdescribes it is worse than skipping
+            raise _NoTargets("no prunable trunks")
+        apply_app(model, variables, AttnPrune(keep_ratio=0.5), [],
+                  rng, calib_batches=calib)
+        apply_app(model, variables,
+                  FfnPrune(keep_ratio=0.5, round_to=128), [], rng,
+                  calib_batches=calib)
         return build_mscarep(model, variables, rng, calib)
 
     def build_mlpprune(model, variables, rng, calib):
@@ -385,8 +387,12 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
         out.append(("mscarep/d1+fix+dconv0+arb-ffnrep", build_mscarep))
     if has_ffn and has_msca:
         out.append(("ffnprune/0.5+mscarep", build_ffnprune_rep))
-        out.append(("trunk+attnprune+ffnprune/0.5+mscarep",
-                    build_quad_prune_rep))
+        from convnet_approximater_tpu.deploy import prune_trunks as _pt
+
+        if _pt(probe_model, {"params": {}, "state": {}}, keep_ratio=0.5,
+               round_to=64, dry_run=True) > 0:
+            out.append(("trunk+attnprune+ffnprune/0.5+mscarep",
+                        build_quad_prune_rep))
     if has_block:
         out.append(("mlpprune/0.5", build_mlpprune))
         out.append(("mlpprune/0.5+int8", build_mlpprune_int8))
@@ -420,9 +426,6 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
     def build_trunkprune(model, variables, rng, calib):
         # shared-mask residual-trunk cut stacked on the block-internal
         # junctions — the deepest width surface a residual family has
-        from convnet_approximater_tpu.deploy import (prune_chains,
-                                                     prune_trunks)
-
         nt = prune_trunks(model, variables, keep_ratio=0.5, round_to=64)
         if nt == 0:
             raise _NoTargets("no residual trunks")
@@ -431,9 +434,6 @@ def default_candidates(probe_model, dtype=jnp.bfloat16, v3_energy: float = 0.9,
         return model, _cast(variables)
 
     def build_trunkprune_int8(model, variables, rng, calib):
-        from convnet_approximater_tpu.deploy import (prune_chains,
-                                                     prune_trunks)
-
         nt = prune_trunks(model, variables, keep_ratio=0.5, round_to=64)
         if nt == 0:
             raise _NoTargets("no residual trunks")

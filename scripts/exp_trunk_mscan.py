@@ -28,8 +28,6 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cat_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-import jax.numpy as jnp
-
 from bench import B, KEY, log, run_pipeline
 from exp_prune_families import best_rep, serve_time
 from convnet_approximater_tpu.core import FfnPrune
@@ -96,7 +94,7 @@ def main():
     run_pipeline(m, var, FfnPrune(keep_ratio=0.5, round_to=128), [])
     m, var = best_rep(m, var, shape)
     t = serve_time(m, var, shape,
-                   f"MSCAN-t trunk+attn+ffn prune 0.5 + rep (quad)")
+                   "MSCAN-t trunk+attn+ffn prune 0.5 + rep (quad)")
     log(f"  -> {t_dense / t:.3f}x vs dense, {t_p / t:.3f}x vs the "
         f"3.404-class row")
 

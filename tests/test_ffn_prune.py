@@ -400,3 +400,29 @@ def test_attn_prune_composes_with_rep_and_ffnprune():
     assert na == 4 and nf == 4 and nr == 4
     y, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
     assert y.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_attn_prune_refit_on_pruned_branch_beats_slicing():
+    """channel_mix couples channels: dropped rows feed kept columns, so a
+    refit fit to the UNPRUNED hidden is mis-specified.  The override fits
+    the projection to the pruned branch's measured hidden — on a mix with
+    strong off-diagonal coupling it must reconstruct better than plain
+    slicing."""
+    from convnet_approximater_tpu.core import AttnPrune
+
+    src, sp = _attn(C=8)
+    # strong coupling: every mix column reads every row
+    key = jax.random.key(11)
+    sp["spatial_gating_unit"]["channel_mix"]["weight"] = \
+        jax.random.normal(key, sp["spatial_gating_unit"]["channel_mix"]
+                          ["weight"].shape)
+    x = jax.random.normal(jax.random.key(12), (4, 12, 12, 8))
+    y0 = src(sp, x, Ctx(training=False))
+
+    tgt_r, tp_r = _run_app(AttnPrune(keep=4, refit=True), src, sp, x,
+                           calib=x)
+    tgt_s, tp_s = _run_app(AttnPrune(keep=4, refit=False), src, sp, x,
+                           calib=x)
+    err_r = float(jnp.mean((tgt_r(tp_r, x, Ctx(training=False)) - y0) ** 2))
+    err_s = float(jnp.mean((tgt_s(tp_s, x, Ctx(training=False)) - y0) ** 2))
+    assert err_r < err_s, (err_r, err_s)
