@@ -58,6 +58,19 @@ def main():
     log(f"  -> {t_dense / t:.3f}x vs dense, {t_rec / t:.3f}x vs the "
         f"14.00-class row")
 
+    # the full width quad (AttnPrune transfers: the backbone's gated MSCA
+    # branches are the same modules the classifier prunes)
+    from convnet_approximater_tpu.core import AttnPrune
+
+    m, var = build()
+    prune_trunks(m, var, keep_ratio=0.5, round_to=64)
+    run_pipeline(m, var, AttnPrune(keep_ratio=0.5), [])
+    run_pipeline(m, var, FfnPrune(keep_ratio=0.5, round_to=128), [])
+    m, var = best_rep(m, var, shape)
+    t = serve_time(m, var, shape, "SegNeXt-T trunk+attn+ffn prune + rep")
+    log(f"  -> {t_dense / t:.3f}x vs dense, {t_rec / t:.3f}x vs the "
+        f"14.00-class row")
+
 
 if __name__ == "__main__":
     main()
