@@ -1725,3 +1725,44 @@ def prune_trunks(model, variables: dict, keep_ratio: float,
         logger.info(f"prune_trunks: {n_pruned} trunk groups pruned "
                     f"(keep_ratio {keep_ratio}, round_to {round_to})")
     return n_pruned
+
+
+def prune_width(model, variables: dict, keep_ratio: float,
+                round_to: int = 64, ffn_round_to: int = 128,
+                dry_run: bool = False, verbose: bool = False) -> int:
+    """Every width axis the model has, one config-expressible pass.
+
+    Applies, in dependency order: ``prune_trunks`` (shared-mask stage
+    trunks), ``prune_chains`` (producer->consumer junctions), then the
+    per-module width apps on a ``SwitchableModel`` — ``AttnPrune`` (gated
+    MSCA branches), ``FfnPrune`` (conv-FFN hiddens), ``MlpPrune``
+    (ConvNeXt MLPs) — each a no-op where the model has no such axis.
+    This is the r4e record quad (MSCAN-t 1.912 ms, doc/perf-notes.md) as
+    ONE ``structure_passes`` entry, so quad-pruned checkpoints replay
+    through the Runner, ClassInference, AND export_model:
+
+        structure_passes = [dict(fn="prune_width", keep_ratio=0.5)]
+
+    App selections here are weight-heuristic (a structure pass has no
+    calibration stream); for the data-driven greedy+refit selections run
+    the apps through the normal pipeline instead.  Returns the total
+    number of sites/groups pruned.
+    """
+    n = prune_trunks(model, variables, keep_ratio, round_to=round_to,
+                     dry_run=dry_run, verbose=verbose)
+    n += prune_chains(model, variables, keep_ratio, round_to=round_to,
+                      dry_run=dry_run, verbose=verbose)
+    if not hasattr(model, "register_switchable"):
+        return n
+    from convnet_approximater_tpu.core import AttnPrune, FfnPrune, MlpPrune
+    from convnet_approximater_tpu.deploy_planner import apply_app
+
+    for app in (AttnPrune(keep_ratio=keep_ratio),
+                FfnPrune(keep_ratio=keep_ratio, round_to=ffn_round_to),
+                MlpPrune(keep_ratio=keep_ratio, round_to=ffn_round_to)):
+        if dry_run:
+            model.register_switchable(app.src_type, [])
+            n += model.length_switchable
+        else:
+            n += apply_app(model, variables, app, [], jax.random.key(0))
+    return n

@@ -303,3 +303,38 @@ def test_convnext_trunk_composes_with_mlpprune_dwsep():
     assert nm == 5 and nd == 5
     y2, _, _ = m.apply(v["params"], x, state=v["state"], training=False)
     assert y2.shape == (2, 10) and bool(jnp.all(jnp.isfinite(y2)))
+
+
+def test_prune_width_single_pass_replay(tmp_path):
+    """prune_width: every width axis in ONE structure pass — a quad-pruned
+    MSCAN checkpoint saved from a Runner run reloads by replaying the same
+    config (shapes deterministic at a given keep_ratio)."""
+    from convnet_approximater_tpu.nn.module import Ctx
+    from convnet_approximater_tpu.runner import Runner
+    from convnet_approximater_tpu.utils import init_cfg, update_cfg
+
+    cfg = tmp_path / "quad.py"
+    cfg.write_text(
+        "model = dict(type='MSCAN_Classifier', num_classes=4,"
+        " num_channels=(8, 16), num_blocks=(1, 1), exp_ratios=(4, 4))\n"
+        "app = dict(type='Dummy')\n"
+        "filters = []\n"
+        "structure_passes = [dict(fn='prune_width', keep_ratio=0.5,"
+        " round_to=None, ffn_round_to=None)]\n"
+        "hooks = []\n")
+    init_cfg(str(cfg))
+    update_cfg(work_dir=str(tmp_path / "w1"), config_name="quad", seed=0)
+    r1 = Runner()
+    r1.run()
+    x = jax.random.normal(jax.random.key(9), (2, 32, 32, 3))
+    y1 = r1.model(r1.variables["params"], x,
+                  Ctx(training=False, state=r1.variables["state"]))
+
+    init_cfg(str(cfg))
+    update_cfg(work_dir=str(tmp_path / "w2"), config_name="quad2", seed=0,
+               checkpoint=str(tmp_path / "w1" / "quad.ckpt.npz"))
+    r2 = Runner(deploy=True, skip_optim=True)
+    r2.run()
+    y2 = r2.model(r2.variables["params"], x,
+                  Ctx(training=False, state=r2.variables["state"]))
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y1))
