@@ -338,3 +338,32 @@ def test_prune_width_single_pass_replay(tmp_path):
     y2 = r2.model(r2.variables["params"], x,
                   Ctx(training=False, state=r2.variables["state"]))
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(y1))
+
+
+def test_pruned_resnet_tp_matches_replicated():
+    """Multi-chip compatibility of the pruned record surface: the ResNet
+    TP preset shards a trunk+chain pruned model (changed widths) with the
+    same rules, and the sharded forward matches the replicated one on the
+    virtual 4x2 mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from convnet_approximater_tpu.parallel import make_mesh, param_shardings
+    from convnet_approximater_tpu.parallel.tp import resnet_tp_rules
+
+    m, v = _build(18)
+    assert prune_trunks(m, v, keep_ratio=0.5, round_to=64) == 4
+    prune_chains(m, v, keep_ratio=0.5, round_to=64)
+    mesh = make_mesh(data=4, model=2)
+    x = jax.random.normal(jax.random.key(10), (8, 32, 32, 3))
+
+    def fwd(params, state, xx):
+        y, _, _ = m.apply(params, xx, state=state, training=False)
+        return y
+
+    y_ref = jax.jit(fwd)(v["params"], v["state"], x)
+    p_sh = param_shardings(v["params"], mesh, resnet_tp_rules())
+    params = jax.tree_util.tree_map(jax.device_put, v["params"], p_sh)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    y_tp = jax.jit(fwd)(params, v["state"], x_sh)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
