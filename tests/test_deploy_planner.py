@@ -138,6 +138,8 @@ def test_plan_serving_cli(tmp_path):
          "--config", str(cfg), "--batch", "2",
          "--input-size", "32", "32", "3", "--min-agree", "0.0",
          "--out", str(plan_path), "--export", str(art),
+         "--skip", "trunk+",  # the quad candidates re-time the whole
+         # arbitrated rep on CPU — minutes the smoke doesn't need
          "--platform", "cpu"],
         capture_output=True, text=True, timeout=900, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
@@ -284,6 +286,7 @@ def test_emit_recovery_cli_and_chain_runs(tmp_path):
          "--out", str(tmp_path / "plan.json"),
          "--emit-recovery", str(rec_dir),
          "--recovery-epochs", "1", "--recovery-ce-epochs", "1",
+         "--skip", "trunk+",
          "--platform", "cpu"],
         capture_output=True, text=True, timeout=1200, env=env)
     assert r.returncode == 0, r.stderr[-3000:]
