@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--samples", type=int, default=512)
     ap.add_argument("--app", default="v1",
                     choices=("v1", "v3", "v4", "prune", "mlpprune",
-                             "attnprune", "trunkprune"),
+                             "attnprune", "trunkprune", "quadprune"),
                     help="v1: reference scheme-1 (9-row matrix); v3: "
                          "channel-rank factorization (5-row matrix — V3 "
                          "has no separate decomposed form); v4: Tucker-2 "
@@ -55,7 +55,9 @@ def main():
                          "passes (--model ResNet18/50 — residual trunk + "
                          "block internals at --keep-ratio); attnprune: "
                          "the gated-MSCA-branch width cut (--model "
-                         "MSCAN_Classifier)")
+                         "MSCAN_Classifier); quadprune: deploy.prune_width "
+                         "— every width axis in one structure pass (the "
+                         "r4e record-quad surface; --model MSCAN_Classifier)")
     ap.add_argument("--keep-ratio", type=float, default=0.75,
                     help="FfnPrune/MlpPrune hidden keep ratio (--app prune)")
     ap.add_argument("--int8", action="store_true",
@@ -178,7 +180,7 @@ def main():
 
     # --- rows 2-9: pipeline configs ---------------------------------------
     def pipeline(hooks_py, tag, decomp):
-        if args.app == "trunkprune":
+        if args.app in ("trunkprune", "quadprune"):
             # cross-layer cuts are structure passes, not per-module apps;
             # round_to=None — the demo is the accuracy protocol, tile
             # snapping is a deploy-surface concern
@@ -210,6 +212,12 @@ def main():
                 "round_to=None), "
                 f"dict(fn='prune_chains', keep_ratio={args.keep_ratio}, "
                 "round_to=None)]\n")
+        elif args.app == "quadprune":
+            filters_py = "[]"
+            passes_py = (
+                "structure_passes = ["
+                f"dict(fn='prune_width', keep_ratio={args.keep_ratio}, "
+                "round_to=None, ffn_round_to=None)]\n")
         elif args.app in ("prune", "mlpprune", "attnprune"):
             # the prune apps key on module TYPE (FFN / ConvNeXtBlock) and
             # select channels from data: all sites, calibration hook for
@@ -264,7 +272,7 @@ filters = {filters_py}
         else ((False, args.app),)
     for decomp, prefix in variants:
         pipeline("[]", f"{prefix}_none", decomp)
-        if args.app == "trunkprune":
+        if args.app in ("trunkprune", "quadprune"):
             # structure passes leave no Substitution to L2-reconstruct
             # against — CE from the pruned init is the recovery story
             pipeline(f"[{ce_hook}]", f"{prefix}_ce", decomp)
