@@ -80,7 +80,14 @@ class Runner(BaseRunner):
         state = self.model.init_state()
         self.variables = {"params": params, "state": state}
         self.variables = self.model.init_weights(self.variables)
-        self._apply_structure_passes()
+        if self._apply_structure_passes():
+            # Structure passes may internally re-register switchables for
+            # their own apps (e.g. prune_width's AttnPrune/FfnPrune/MlpPrune
+            # loop), clobbering the registration made above — whichever of
+            # their src_types matched last would leak into the app loop
+            # below and crash the configured app's initialize().  Re-register
+            # for the configured app (ADVICE r4).
+            self.model.register_switchable(self.app.src_type, self.filters)
         for idx in range(self.model.length_switchable):
             name = self.model.switchable_names[idx]
             src = self.model.get_switchable_module(idx)
@@ -136,7 +143,7 @@ class Runner(BaseRunner):
         """
         passes = self.cfg.structure_passes
         if not passes:
-            return
+            return False
         import convnet_approximater_tpu.deploy as deploy
 
         for p in passes:
@@ -144,6 +151,7 @@ class Runner(BaseRunner):
             fn = getattr(deploy, p.pop("fn"))
             n = fn(self.model, self.variables, **p)
             get_logger().info(f"structure pass {fn.__name__}: {n} sites")
+        return True
 
     def _restructure_state(self, name: str, sub):
         """Wrap any existing state subtree at ``name`` under 'old' and add

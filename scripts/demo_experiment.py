@@ -59,7 +59,8 @@ def main():
                          "— every width axis in one structure pass (the "
                          "r4e record-quad surface; --model MSCAN_Classifier)")
     ap.add_argument("--keep-ratio", type=float, default=0.75,
-                    help="FfnPrune/MlpPrune hidden keep ratio (--app prune)")
+                    help="width keep ratio for every pruning app (--app "
+                         "prune/mlpprune/attnprune/trunkprune/quadprune)")
     ap.add_argument("--int8", action="store_true",
                     help="also evaluate the trained original under int8 PTQ "
                          "(fold -> calibrate on real batches -> quantize) — "

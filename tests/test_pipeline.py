@@ -181,3 +181,33 @@ def test_reference_mirror_configs():
         assert cfg.app.do_decomp is True  # inherited from the dodecomp base
     cfg = Config(os.path.join(root, "msca-rep", "msca-rep_d1_mscan-t.py"))
     assert cfg.app.fix is False and cfg.app.decomp == 1
+
+
+def test_quadprune_structure_pass_convnext(small_model_cfg):
+    """ADVICE r4 (medium): prune_width's internal apply_app calls re-run
+    register_switchable for its own apps; on ConvNeXt the LAST app in its
+    tuple (MlpPrune) matches ConvNeXtBlocks, leaking them into the Runner's
+    app loop where Dummy.initialize's isinstance assert crashes.  The Runner
+    must re-register for the configured app after structure passes."""
+    write, tmp_path = small_model_cfg
+    path = write(
+        "quad_convnext.py",
+        "model = dict(type='ConvNeXt', num_classes=10,\n"
+        "             depths=(1, 1, 1, 1), dims=(32, 32, 64, 64))\n"
+        "app = dict(type='Dummy')\nfilters = []\nhooks = []\n"
+        "structure_passes = [dict(fn='prune_width', keep_ratio=0.5,\n"
+        "                         round_to=None, ffn_round_to=None)]\n",
+    )
+    _init_global_cfg(path, tmp_path)
+    runner = Runner()
+    runner.run()  # crashed before the re-register fix
+    # Dummy's src_type (DummyLayer) matches nothing in ConvNeXt
+    assert runner.model.length_switchable == 0
+    # the quad pass really ran: MLP hiddens are halved
+    blk = runner.model.stages[0][0]
+    assert blk.hidden == 32 * 2  # 4*dim * 0.5 keep
+    x = jnp.zeros((1, 32, 32, 3))
+    y, _, _ = runner.model.apply(runner.variables["params"], x,
+                                 state=runner.variables["state"],
+                                 training=False)
+    assert y.shape == (1, 10)
