@@ -148,8 +148,115 @@ def ablationcam(feats, override_score_fn, chunk: int = 32):
     return _combine(feats, w)
 
 
+# ---------------------------------------------------------------------------
+# full-gradient decomposition (whole-model, not per-block)
+# ---------------------------------------------------------------------------
+
+def fullgrad(model, variables, x, class_idx, include_input: bool = True):
+    """FullGrad saliency (Srinivas & Fleuret, NeurIPS 2019) — the last
+    reference CAM with no counterpart (``pytorch_grad_cam.FullGrad``,
+    ``/root/reference/scripts/visualization/cam.py:22`` wired at
+    ``:214-224``).
+
+    Exact decomposition for ReLU-style nets:
+    ``f(x) = <grad_x f, x> + sum_l <grad_{b_l} f, b_l>`` — the saliency sums
+    the input-gradient term with every layer's per-position bias-gradient
+    map: ``S = psi(grad_x f . x) + sum_l sum_c psi(grad_{z_l} f . b_l)``
+    where ``psi`` = abs -> bilinear upsample to the input -> per-map
+    min-max normalize.
+
+    Unlike the per-block methods this needs the gradient of the class score
+    w.r.t. EVERY bias-carrying layer's *output* (the broadcast bias makes
+    ``grad_{b_l}`` per-position).  JAX-natively that is one ``jax.grad``
+    over a dict of zero additive taps injected at each ``Conv2d`` /
+    ``BatchNorm2d`` output (BN's implicit bias is
+    ``beta - mean * scale / sqrt(var + eps)``, per the paper's Sec. 3.3).
+    Non-spatial layers (Linear) carry no spatial map and are skipped, as in
+    the reference library.  Scan-over-blocks collapses per-block paths —
+    callers unroll first (``model.scan_blocks = 'off'``); scan-internal
+    sites (tracer outputs) are skipped defensively.
+
+    Returns an (H, W) heatmap at the input resolution.
+    """
+    hi, wi = x.shape[1], x.shape[2]
+    g_x, bias_terms = fullgrad_terms(model, variables, x, class_idx)
+
+    def _psi(maps):  # (h, w, C) -> (hi, wi): abs, upsample, per-map norm, sum
+        m = jnp.abs(maps.astype(jnp.float32))
+        m = jax.image.resize(m, (hi, wi, m.shape[-1]), method="bilinear")
+        lo = jnp.min(m, axis=(0, 1), keepdims=True)
+        hi_ = jnp.max(m, axis=(0, 1), keepdims=True)
+        return jnp.sum((m - lo) / (hi_ - lo + 1e-8), axis=-1)
+
+    heat = jnp.zeros((hi, wi), jnp.float32)
+    if include_input:
+        heat = heat + _psi(g_x[0] * x[0])
+    for g, b in bias_terms.values():
+        heat = heat + _psi(g[0] * b)
+    return heat
+
+
+def fullgrad_terms(model, variables, x, class_idx):
+    """The raw full-gradient decomposition: ``(grad_x f, {path: (grad_z f,
+    effective_bias)})``.  For ReLU-style nets these satisfy the paper's
+    Proposition 1 (completeness): ``f(x) = <grad_x f, x> + sum_l
+    <grad_{z_l} f, broadcast(b_l)>`` — the closed-form anchor the sanity
+    test checks."""
+    from convnet_approximater_tpu import nn as _nn
+
+    state = variables.get("state", {})
+    sites = {}  # dotted path -> (output shape, effective bias (C,))
+    holder = {"taps": None, "discover": True}
+    conv_t, bn_t = _nn.Conv2d, _nn.BatchNorm2d
+    origs = {t: t.__call__ for t in (conv_t, bn_t)}
+
+    def _make(t, orig):
+        def patched(self_, params, xx, ctx, **kw):
+            y = orig(self_, params, xx, ctx, **kw)
+            path = ".".join(ctx._path)
+            if holder["discover"]:
+                b = None
+                if t is conv_t:
+                    b = params.get("bias") if isinstance(params, dict) else None
+                else:  # BN: implicit bias from running stats (eval mode)
+                    st = ctx.get_state()
+                    b = params["bias"] - st["mean"] * jax.lax.rsqrt(
+                        st["var"] + self_.eps) * params["scale"]
+                if (b is not None and y.ndim == 4
+                        and not isinstance(y, jax.core.Tracer)):
+                    sites[path] = (y.shape, b)
+            else:
+                tap = holder["taps"].get(path)
+                if tap is not None:
+                    y = y + tap
+            return y
+
+        return patched
+
+    for t, orig in origs.items():
+        t.__call__ = _make(t, orig)
+    try:
+        model.apply(variables["params"], x, state=state, training=False)
+        holder["discover"] = False
+
+        def score(taps, xv):
+            holder["taps"] = taps
+            y, _, _ = model.apply(variables["params"], xv, state=state,
+                                  training=False)
+            return y[0, class_idx]
+
+        zeros = {p: jnp.zeros(s, jnp.float32) for p, (s, _) in sites.items()}
+        g_taps, g_x = jax.grad(score, argnums=(0, 1))(zeros, x)
+    finally:
+        for t, orig in origs.items():
+            t.__call__ = orig
+
+    return g_x, {p: (g_taps[p], sites[p][1]) for p in sites}
+
+
 # name -> (fn, convention): 'grad' takes (feats, grads); 'feat' takes
-# (feats); 'score'/'override' need model re-forwards (wired in the script)
+# (feats); 'score'/'override' need model re-forwards (wired in the script);
+# 'model' takes the whole (model, variables, x, class) — no block choice
 CAM_METHODS = {
     "gradcam": (gradcam, "grad"),
     "gradcam++": (gradcam_pp, "grad"),
@@ -161,4 +268,5 @@ CAM_METHODS = {
     "eigencam": (eigencam, "feat"),
     "scorecam": (scorecam, "score"),
     "ablationcam": (ablationcam, "override"),
+    "fullgrad": (fullgrad, "model"),
 }

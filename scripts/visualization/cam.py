@@ -132,7 +132,11 @@ def main():
             return logits_with_block_output(model, variables, x, msca, y)[0, cls]
 
         fn, kind = CAM_METHODS[args.method]
-        if kind == "grad":
+        if kind == "model":  # fullgrad: whole-model bias-gradient decomposition
+            if hasattr(model, "scan_blocks"):
+                model.scan_blocks = "off"  # unique per-block tap paths
+            heat = fn(model, variables, x, cls)
+        elif kind == "grad":
             heat = fn(feats, jax.grad(class_score)(feats))
         elif kind == "feat":
             heat = fn(feats)

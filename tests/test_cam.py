@@ -122,3 +122,70 @@ def test_cam_cli_all_methods(tmp_path):
             capture_output=True, text=True, timeout=900, env=env)
         assert r.returncode == 0, (method, r.stderr[-2000:])
         assert "wrote" in r.stdout, method
+
+
+def _fullgrad_net():
+    """Tiny conv-BN-ReLU net with a bias-free linear head: the exact setting
+    of FullGrad's Proposition 1 (completeness)."""
+    from convnet_approximater_tpu import nn
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 4, 3, padding=1, bias=False)
+            self.bn = nn.BatchNorm2d(4)
+            self.relu1 = nn.ReLU()
+            self.conv2 = nn.Conv2d(4, 8, 3, padding=1, bias=True)
+            self.relu2 = nn.ReLU()
+            self.pool = nn.AdaptiveAvgPool2d(1)
+            self.flat = nn.Flatten()
+            self.fc = nn.Linear(8, 5, bias=False)
+
+        def __call__(self, params, x, ctx):
+            for name in ("conv1", "bn", "relu1", "conv2", "relu2",
+                         "pool", "flat", "fc"):
+                x = self.child(name, params, x, ctx)
+            return x
+
+    m = Net()
+    key = jax.random.PRNGKey(0)
+    params = m.init(key)
+    state = m.init_state()
+    # non-trivial BN running stats so the implicit-bias path is exercised
+    state["bn"]["mean"] = jax.random.normal(jax.random.PRNGKey(3), (4,)) * 0.3
+    state["bn"]["var"] = jnp.abs(jax.random.normal(jax.random.PRNGKey(4), (4,))) + 0.5
+    return m, {"params": params, "state": state}
+
+
+def test_fullgrad_completeness():
+    """Proposition 1 (Srinivas & Fleuret 2019): for a ReLU net,
+    f(x) = <grad_x f, x> + sum_l <grad_{z_l} f, broadcast(b_l)> exactly —
+    the closed-form anchor for the whole tap machinery (input gradients,
+    per-position bias gradients, BN implicit bias)."""
+    from convnet_approximater_tpu.visualization import fullgrad_terms
+
+    m, variables = _fullgrad_net()
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 3))
+    cls = 2
+    y, _, _ = m.apply(variables["params"], x, state=variables["state"],
+                      training=False)
+    f = float(y[0, cls])
+
+    g_x, terms = fullgrad_terms(m, variables, x, cls)
+    assert set(terms) == {"bn", "conv2"}  # bias-free conv1 / fc excluded
+    total = float(jnp.vdot(g_x, x))
+    for g, b in terms.values():
+        total += float(jnp.sum(g * b))  # b broadcasts over (1, h, w, C)
+    np.testing.assert_allclose(total, f, rtol=1e-4)
+
+
+def test_fullgrad_heatmap_shape_and_methods_entry():
+    from convnet_approximater_tpu.visualization import fullgrad
+
+    m, variables = _fullgrad_net()
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 3))
+    heat = np.asarray(fullgrad(m, variables, x, 0))
+    assert heat.shape == (8, 8)
+    assert np.all(np.isfinite(heat)) and np.all(heat >= 0)
+    fn, kind = CAM_METHODS["fullgrad"]
+    assert kind == "model" and fn is fullgrad
