@@ -12,6 +12,9 @@ setup(
     name="convnet-approximater-tpu",
     version=version,
     description="TPU-native post-training ConvNet approximation framework",
+    license="MIT",
+    license_files=["LICENSE"],
+    classifiers=["License :: OSI Approved :: MIT License"],
     packages=find_packages(include=["convnet_approximater_tpu*"]),
     python_requires=">=3.10",
     # the full runtime surface (VERDICT r3 missing #4): jax/optax for the
