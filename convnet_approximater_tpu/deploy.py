@@ -745,7 +745,10 @@ def never_lose_deploy(model, variables: dict, input_shape, dtype=jnp.float32,
 def arbitrated_apply(model, variables: dict, app, filters, input_shape,
                      dtype=jnp.float32, rng=None, num_iters: int = 10,
                      margin: float = 0.03, greedy: bool = True,
-                     time_fn=None, group_fn=None, verbose: bool = True) -> dict:
+                     time_fn=None, group_fn=None, verbose: bool = True,
+                     decisions: dict = None, decisions_path: str = None,
+                     retime: bool = False,
+                     boundary_band: float = 0.02) -> dict:
     """Measured per-site substitution: apply ``app`` only where it WINS.
 
     Generalizes :func:`never_lose_deploy` from "decomposed vs derived dense
@@ -779,7 +782,23 @@ def arbitrated_apply(model, variables: dict, app, filters, input_shape,
     usable with LOSSY apps (V1/V3/V4) — but then "restore" means *undoing
     the compression*, so only use it with lossy apps when the goal is pure
     speed (the checkpoint keeps whichever form each site landed on).
+
+    Determinism (VERDICT r4 #5): repeated arbiter runs can keep DIFFERENT
+    structures when a site's timing sits at a decision boundary (relay
+    drift is ±0.1 ms).  Two defenses, persistence being the default:
+
+    * ``decisions`` / ``decisions_path``: a ``{site_name: 'applied' |
+      'original'}`` table.  When given (or when ``decisions_path`` exists
+      and ``retime`` is False) the table is REPLAYED — no timing at all,
+      identical structure every run.  After a measured run the table is
+      written to ``decisions_path``, so the first call measures and every
+      later call replays (the ``never_lose_decisions.json`` pattern).
+    * ``boundary_band``: a greedy group whose timing lands within this
+      relative band of the keep/reject threshold is re-measured once and
+      decided on the min — the variance guard for boundary sites.
     """
+    import json as _json
+    import os as _os
     from convnet_approximater_tpu.nn.module import _stable_fold
     from convnet_approximater_tpu.utils.serialize import tree_get
 
@@ -835,6 +854,37 @@ def arbitrated_apply(model, variables: dict, app, filters, input_shape,
             model.set_switchable_module(idx, orig_mod, variables,
                                         {"params": orig_p, "state": orig_s})
 
+    if decisions is None and decisions_path and not retime \
+            and _os.path.exists(decisions_path):
+        with open(decisions_path) as f:
+            decisions = _json.load(f)
+    if decisions is not None:
+        # deterministic replay: no timing, identical structure every run
+        for site in sites:
+            kept = decisions.get(site[1], "original")
+            set_site(site, applied=(kept == "applied"))
+            result["layers"].append(dict(name=site[1], kept=kept))
+            result["kept_applied"] += int(kept == "applied")
+        result["replayed"] = True
+        result["decisions"] = {s[1]: decisions.get(s[1], "original")
+                               for s in sites}
+        if verbose:
+            from convnet_approximater_tpu.utils.logger import get_logger
+
+            get_logger().info(
+                f"arbitrated_apply[{type(app).__name__}]: replayed "
+                f"{result['kept_applied']}/{len(sites)} applied from "
+                f"persisted decisions (pass retime=True to re-measure)")
+        return result
+
+    def _finish(result):
+        result["decisions"] = {r["name"]: r["kept"]
+                               for r in result["layers"]}
+        if decisions_path:
+            with open(decisions_path, "w") as f:
+                _json.dump(result["decisions"], f, indent=2, sort_keys=True)
+        return result
+
     t_app = time_fn(model, variables, input_shape, dtype)
     for site in sites:
         set_site(site, applied=False)
@@ -854,7 +904,7 @@ def arbitrated_apply(model, variables: dict, app, filters, input_shape,
         result["layers"] = [dict(name=s[1], kept="applied") for s in sites]
         result["kept_applied"] = len(sites)
         result["t_final"] = t_app
-        return result
+        return _finish(result)
 
     if group_fn is None:
         groups = [[s] for s in sites]
@@ -871,6 +921,13 @@ def arbitrated_apply(model, variables: dict, app, filters, input_shape,
             for site in group:
                 set_site(site, applied=True)
             t_try = time_fn(model, variables, input_shape, dtype)
+            # variance guard: a decision within boundary_band of the
+            # threshold is re-measured once and taken at the min (relay
+            # drift flips boundary sites run-to-run otherwise)
+            threshold = t_best * (1.0 - margin)
+            if abs(t_try - threshold) <= boundary_band * t_best:
+                t_try = min(t_try, time_fn(model, variables, input_shape,
+                                           dtype))
             if t_try < t_best * (1.0 - margin):
                 t_best, kept = t_try, "applied"
                 result["kept_applied"] += len(group)
@@ -885,7 +942,7 @@ def arbitrated_apply(model, variables: dict, app, filters, input_shape,
             get_logger().info(f"arbitrated_apply: {names} -> {kept} "
                               f"(best {t_best * 1e3:.3f} ms)")
     result["t_final"] = t_best
-    return result
+    return _finish(result)
 
 
 def compile_serving(fn, *example_args):

@@ -145,3 +145,71 @@ def test_group_fn_stage_granularity():
     assert kept[names[0]] == "applied" and kept[names[1]] == "applied"
     assert kept[names[2]] == "original" and kept[names[3]] == "original"
     assert abs(res["t_final"] - 0.7) < 1e-9
+
+
+def test_decisions_persist_and_replay(tmp_path):
+    """VERDICT r4 #5: the first (measured) run writes its decision table;
+    later runs REPLAY it without timing — identical structure even under a
+    timer that would flip every decision."""
+    path = str(tmp_path / "decisions.json")
+    model, variables = _tiny_mscan()
+    res = arbitrated_apply(model, variables, FfnRep(fix=True), [],
+                           (2, 32, 32, 3), verbose=False,
+                           decisions_path=path,
+                           time_fn=_fake_timer({0: -0.2, 1: -0.1,
+                                                2: 0.5, 3: 0.5}))
+    assert res["kept_applied"] == 2 and "replayed" not in res
+    import json
+    saved = json.load(open(path))
+    assert sorted(saved.values()) == ["applied", "applied",
+                                     "original", "original"]
+
+    def poisoned(*a, **k):
+        raise AssertionError("replay must not re-time")
+
+    m2, v2 = _tiny_mscan()
+    res2 = arbitrated_apply(m2, v2, FfnRep(fix=True), [],
+                            (2, 32, 32, 3), verbose=False,
+                            decisions_path=path, time_fn=poisoned)
+    assert res2["replayed"] and res2["decisions"] == saved
+    kept2 = {l["name"]: l["kept"] for l in res2["layers"]}
+    assert kept2 == {l["name"]: l["kept"] for l in res["layers"]}
+    assert isinstance(m2.get_switchable_module(0), MergedFFN)
+    assert not isinstance(m2.get_switchable_module(2), MergedFFN)
+    # the replayed surface is the exact same function as the measured one
+    x = jax.random.normal(jax.random.key(5), (2, 32, 32, 3))
+    np.testing.assert_allclose(_logits(m2, v2, x),
+                               _logits(model, variables, x),
+                               rtol=1e-5, atol=1e-5)
+
+    # retime=True ignores the persisted table and re-measures
+    m3, v3 = _tiny_mscan()
+    res3 = arbitrated_apply(m3, v3, FfnRep(fix=True), [],
+                            (2, 32, 32, 3), verbose=False, retime=True,
+                            decisions_path=path,
+                            time_fn=_fake_timer({i: 0.5 for i in range(4)}))
+    assert res3["kept_applied"] == 0
+    assert json.load(open(path)) == res3["decisions"]  # re-persisted
+
+
+def test_boundary_band_remeasures_noisy_sites():
+    """A group landing within the boundary band of the keep threshold is
+    re-measured once; the min decides (variance guard)."""
+    model, variables = _tiny_mscan()
+    calls = {"n": 0}
+
+    # call sequence with one group: (1) all-applied 1.2 (loses outright),
+    # (2) all-original 1.0, (3) group probe 0.965 — wins but sits inside
+    # the 2% band of the 0.97 threshold -> re-measured, (4) 0.90
+    seq = iter([1.2, 1.0, 0.965, 0.90])
+
+    def time_fn(m, v, shape, dtype):
+        calls["n"] += 1
+        return next(seq)
+
+    res = arbitrated_apply(model, variables, FfnRep(fix=True), [],
+                           (2, 32, 32, 3), verbose=False,
+                           group_fn=lambda n: "all", time_fn=time_fn)
+    # the single group was measured twice (band re-measure) and kept
+    assert res["kept_applied"] == 4
+    assert abs(res["t_final"] - 0.90) < 1e-9

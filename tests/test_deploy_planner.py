@@ -306,3 +306,38 @@ def test_emit_recovery_cli_and_chain_runs(tmp_path):
          "--platform", "cpu"],
         capture_output=True, text=True, timeout=1200, env=env)
     assert r2.returncode == 0, r2.stderr[-3000:]
+
+
+def test_plan_reuse_replays_winner_without_timing():
+    """VERDICT r4 #5: a persisted plan is replayed — only the stored winner
+    is rebuilt, nothing is re-timed, so repeated runs yield the identical
+    structure even when fresh timings would pick a different winner."""
+    fake = _fake_timer({"dense/float32": 0.010, "dense/bfloat16": 0.008,
+                        "int8": 0.004, "v3/e=0.9": 0.006,
+                        "dwsep/r=1": 0.007, "dwsep/r=1+int8": 0.005})
+    plan = plan_serving(_make_convnext, SHAPE, time_fn=fake,
+                        min_agree=0.0, verbose=False)
+    stored = plan_to_json(plan)
+    assert stored["winner"] == "int8"
+
+    def poisoned(*a, **k):
+        raise AssertionError("reuse_plan must not re-time")
+
+    plan2 = plan_serving(_make_convnext, SHAPE, time_fn=poisoned,
+                         min_agree=0.0, verbose=False, reuse_plan=stored)
+    assert plan2["replayed"] and plan2["winner"] == "int8"
+    assert plan2["report"] == stored["report"]
+    y, _, _ = plan2["model"].apply(plan2["variables"]["params"],
+                                   jnp.ones(SHAPE, jnp.bfloat16),
+                                   state=plan2["variables"]["state"],
+                                   training=False)
+    assert y.shape == (SHAPE[0], 10)
+
+    # a stale winner (not among current candidates) falls back to measuring
+    stale = dict(stored, winner="gone/surface")
+    fake2 = _fake_timer({"dense/float32": 0.010, "dense/bfloat16": 0.008,
+                         "v3/e=0.9": 0.002, "int8": 0.004,
+                         "dwsep/r=1": 0.007, "dwsep/r=1+int8": 0.005})
+    plan3 = plan_serving(_make_convnext, SHAPE, time_fn=fake2,
+                         min_agree=0.0, verbose=False, reuse_plan=stale)
+    assert plan3["winner"] == "v3/e=0.9" and "replayed" not in plan3
