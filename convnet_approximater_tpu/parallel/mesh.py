@@ -66,34 +66,52 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 
-def param_shardings(params: dict, mesh: Mesh, tp_rules: Sequence[tuple] = ()) -> dict:
+def param_shardings(params: dict, mesh: Mesh, tp_rules: Sequence[tuple] = (),
+                    warn: bool = True) -> dict:
     """Shardings for a param tree: replicated by default, with optional
     tensor-parallel rules ``(path_suffix, PartitionSpec)`` matched against the
     '/'-joined flat path (e.g. ``("head/weight", P(None, MODEL_AXIS))`` to
     column-shard the classifier).  A ``^``-prefixed rule matches the FULL
     path only — use it to pin a root-level param whose name is a suffix of
     deeper ones (e.g. ResNet's stem ``^conv1/weight`` vs the blocks'
-    ``layerN/i/conv1/weight``).  First matching rule wins.
+    ``layerN/i/conv1/weight``).  A ``?`` prefix (before any ``^``) marks a
+    rule OPTIONAL: it matches normally but is excluded from the unmatched
+    warning — used by the presets' int8-serving aliases, which only exist
+    on quantized trees.  First matching rule wins.
 
-    A rule that matches no param is almost always a typo'd path (the model
-    would silently train fully replicated); it is reported with a warning so
-    misconfigured TP layouts are visible."""
+    A non-optional rule that matches no param is almost always a typo'd
+    path (the model would silently train fully replicated); it is reported
+    with a warning so misconfigured TP layouts are visible."""
     from convnet_approximater_tpu.utils.logger import get_logger
     from convnet_approximater_tpu.utils.serialize import flatten_tree, unflatten_tree
 
     flat = flatten_tree(params)
     out = {}
     used = [False] * len(tp_rules)
+    stripped = [(s[1:] if s.startswith("?") else s, s.startswith("?"))
+                for s, _ in tp_rules]
     for key in flat:
         spec = P()
-        for i, (suffix, rule_spec) in enumerate(tp_rules):
+        for i, (suffix, _opt) in enumerate(stripped):
             if (key == suffix[1:] if suffix.startswith("^")
                     else key.endswith(suffix)):
-                spec = rule_spec
+                spec = tp_rules[i][1]
                 used[i] = True
                 break
         out[key] = NamedSharding(mesh, spec)
-    unmatched = [tp_rules[i][0] for i, u in enumerate(used) if not u]
+    matched_suffixes = {stripped[i][0] for i, u in enumerate(used) if u}
+    unmatched = [
+        tp_rules[i][0] for i, u in enumerate(used)
+        if not u and not stripped[i][1]
+        # a dense rule whose int8 twin matched is not a typo — the tree is
+        # quantized (weight -> weight_q) and the layout is carried by the
+        # alias
+        and not (stripped[i][0].endswith("/weight")
+                 and stripped[i][0][:-len("/weight")] + "/weight_q"
+                 in matched_suffixes)]
+    if not warn:
+        unmatched = []  # deploy-rewritten trees (folded/pruned) drop params
+                        # the training-time preset legitimately names
     if unmatched:
         get_logger().warning(
             f"param_shardings: tp rules matched no params (typo?): {unmatched}"

@@ -32,12 +32,47 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import MODEL_AXIS, param_shardings, replicate
 
 
+def int8_aliases(rules):
+    """Derive the int8-serving twins of a preset's ``*/weight`` rules.
+
+    ``deploy.quantize_int8`` rewrites dense convs/Linears to
+    ``QuantConv2d``/``QuantLinear`` whose param trees rename ``weight`` ->
+    ``weight_q`` (+ per-out-channel ``w_scale``, scalar ``act_scale``) —
+    without aliases the quantized record surfaces silently fall back to
+    fully-replicated params under TP (VERDICT r4 #4).  For each
+    ``X/weight`` rule: ``X/weight_q`` gets the same spec; when the spec
+    shards the OUT channel (last axis), ``X/w_scale`` and ``X/bias``
+    follow with a 1-D shard (a row-parallel in-channel shard leaves the
+    per-out-channel scale replicated).
+    """
+    out = []
+    for pat, spec in rules:
+        if not pat.endswith("/weight"):
+            continue
+        base = "?" + pat[: -len("/weight")]  # ?-optional: quantized trees only
+        out.append((base + "/weight_q", spec))
+        axes = tuple(spec)
+        if axes and axes[-1] == MODEL_AXIS:  # out-channel (column) shard
+            out.append((base + "/w_scale", P(MODEL_AXIS)))
+            out.append((base + "/bias", P(MODEL_AXIS)))
+        elif pat.startswith("^"):
+            # a full-path pin (e.g. the replicated stem) must also pin its
+            # scale/bias, or the block-level aliases would catch them
+            out.append((base + "/w_scale", P()))
+            out.append((base + "/bias", P()))
+    return out
+
+
+def _with_int8(rules):
+    return rules + int8_aliases(rules)
+
+
 def mscan_tp_rules():
     """Megatron-style MSCAN layout: classifier head + channel-mix 1x1 convs
     column-sharded; FFN fc1 column-parallel over the hidden dim (dconv is
     depthwise over that same sharded hidden dim), fc2 row-parallel — XLA
     inserts the psum on fc2's output."""
-    return [
+    return _with_int8([
         ("head/weight", P(None, MODEL_AXIS)),
         ("head/bias", P(MODEL_AXIS)),
         ("channel_mix/weight", P(None, None, None, MODEL_AXIS)),
@@ -47,7 +82,7 @@ def mscan_tp_rules():
         ("dconv/weight", P(None, None, None, MODEL_AXIS)),
         ("dconv/bias", P(MODEL_AXIS)),
         ("fc2/weight", P(None, None, MODEL_AXIS, None)),
-    ]
+    ])
 
 
 def convnext_tp_rules():
@@ -55,13 +90,13 @@ def convnext_tp_rules():
     over the 4x hidden dim, pwconv2 row-parallel (psum on its output);
     classifier head column-sharded.  The depthwise 7x7 and norms act on
     the un-sharded block dim and stay replicated."""
-    return [
+    return _with_int8([
         ("head/weight", P(None, MODEL_AXIS)),
         ("head/bias", P(MODEL_AXIS)),
         ("pwconv1/weight", P(None, MODEL_AXIS)),
         ("pwconv1/bias", P(MODEL_AXIS)),
         ("pwconv2/weight", P(MODEL_AXIS, None)),
-    ]
+    ])
 
 
 def resnet_tp_rules():
@@ -72,7 +107,7 @@ def resnet_tp_rules():
     (3-ch input / residual-add alignment); the ``fc`` head column-shards.
     The ``^`` rule pins the root stem whose name is a suffix of the block
     convs' paths."""
-    return [
+    return _with_int8([
         ("^conv1/weight", P()),  # stem: 7x7 on 3 channels — replicate
         ("^bn1/scale", P()), ("^bn1/bias", P()),  # stem bn follows
         ("conv1/weight", P(None, None, None, MODEL_AXIS)),
@@ -81,20 +116,20 @@ def resnet_tp_rules():
         ("conv2/weight", P(None, None, MODEL_AXIS, None)),
         ("fc/weight", P(None, MODEL_AXIS)),
         ("fc/bias", P(MODEL_AXIS)),
-    ]
+    ])
 
 
 def _classifier_megatron(fc1: str, fc2: str, head: str):
     """Column fc1 / row fc2 (psum on its output) / column head — the
     textbook megatron MLP split, where VGG/AlexNet keep ~90% of their
     params (VGG-16: 123.6M of 138M live in the fc stack)."""
-    return [
+    return _with_int8([
         (f"classifier/{fc1}/weight", P(None, MODEL_AXIS)),
         (f"classifier/{fc1}/bias", P(MODEL_AXIS)),
         (f"classifier/{fc2}/weight", P(MODEL_AXIS, None)),
         (f"classifier/{head}/weight", P(None, MODEL_AXIS)),
         (f"classifier/{head}/bias", P(MODEL_AXIS)),
-    ]
+    ])
 
 
 def vgg_tp_rules():

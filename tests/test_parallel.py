@@ -276,3 +276,44 @@ def test_classifier_megatron_tp_matches_replicated(family):
                     jax.tree_util.tree_leaves(g_tp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=3e-4, atol=3e-5)
+
+
+def test_int8_tp_aliases_shard_quantized_tree(caplog):
+    """VERDICT r4 #4: the int8 serving tree (weight -> weight_q / w_scale)
+    must genuinely shard under the family preset, column scales following
+    the out-channel shard, the ^-pinned stem staying replicated — and a
+    fully-quantized tree must not spam 'typo?' warnings for the dense
+    rules its int8 twins cover."""
+    from convnet_approximater_tpu.deploy import fold_batchnorm, quantize_int8
+    from convnet_approximater_tpu.models import ResNet
+    from convnet_approximater_tpu.parallel import param_shardings
+    from convnet_approximater_tpu.parallel.tp import resnet_tp_rules
+    from convnet_approximater_tpu.utils.serialize import flatten_tree
+
+    m = ResNet(depth=18, num_classes=8)
+    v = {"params": m.init(jax.random.key(0)), "state": m.init_state()}
+    fold_batchnorm(m, v)
+    calib = [jax.random.normal(jax.random.key(1), (2, 32, 32, 3))]
+    assert quantize_int8(m, v, calib) > 0
+
+    mesh = make_mesh(data=4, model=2)
+    with caplog.at_level(logging.WARNING):
+        sh = flatten_tree(param_shardings(v["params"], mesh,
+                                          resnet_tp_rules()))
+    # block conv1: column shard, scale + bias follow
+    assert sh["layer1/0/conv1/weight_q"].spec == P(None, None, None, "model")
+    assert sh["layer1/0/conv1/w_scale"].spec == P("model")
+    assert sh["layer1/0/conv1/bias"].spec == P("model")
+    # block conv2: row-parallel; per-out-channel scale stays replicated
+    assert sh["layer1/0/conv2/weight_q"].spec == P(None, None, "model", None)
+    assert sh["layer1/0/conv2/w_scale"].spec == P()
+    # ^-pinned stem stays fully replicated, scale/bias included
+    assert sh["conv1/weight_q"].spec == P()
+    assert sh["conv1/w_scale"].spec == P()
+    assert sh["conv1/bias"].spec == P()
+    # quantized fc head column-shards
+    assert sh["fc/weight_q"].spec == P(None, "model")
+    # the dense weight rules are covered by their int8 twins -> no typo
+    # warning for them (bn rules DO warn: folding removed those params)
+    warn = " ".join(r.message for r in caplog.records)
+    assert "conv1/weight'" not in warn and "fc/weight'" not in warn
