@@ -240,6 +240,168 @@ def bench_mscan():
     return t_orig / t_rep
 
 
+def bench_records():
+    """Per-family record serving rows (VERDICT r4 #1): the width-prune
+    record surfaces (doc/perf-notes.md r4d/r4e) measured here so the
+    driver artifact carries the actual frontier, not just the exact-
+    rewrite headline.  Each row: ms / img/s / TFLOPs+MFU / accuracy
+    provenance (doc/record_accuracy.json, updated by the recovery runs).
+    The in-build FfnRep arbiter decisions replay from committed tables
+    (doc/record_decisions/*.json) so the measured structure is identical
+    run-to-run — the 1.912-vs-2.319 ms structure-variance fix
+    (perf-notes r4e honesty note (b))."""
+    import json as _json
+
+    from convnet_approximater_tpu.core import (AttnPrune, DwSepRep, FfnPrune,
+                                               FfnRep, MlpPrune, MscaRep)
+    from convnet_approximater_tpu.deploy import (arbitrated_apply,
+                                                 enable_pw_matmul,
+                                                 fold_batchnorm, prune_chains,
+                                                 prune_trunks, quantize_int8)
+    from convnet_approximater_tpu.filters import DepthwiseConvFilter
+    from convnet_approximater_tpu.hooks.inference_time_hook import time_forward
+    from convnet_approximater_tpu.models import build_model
+    from convnet_approximater_tpu.utils import cast_floating
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    dec_dir = os.path.join(root, "doc", "record_decisions")
+    os.makedirs(dec_dir, exist_ok=True)
+    acc_path = os.path.join(root, "doc", "record_accuracy.json")
+    acc = {}
+    if os.path.exists(acc_path):
+        with open(acc_path) as f:
+            acc = _json.load(f)
+
+    def serve_time(m, var, shape, dtype=jnp.bfloat16, iters=8):
+        _, _, times = time_forward(m, var, shape, num_iters=iters,
+                                   warmup=2, dtype=dtype)
+        return float(times.mean())
+
+    def bf16(var):
+        return {"params": cast_floating(var["params"], jnp.bfloat16),
+                "state": var.get("state", {})}
+
+    def best_rep(m, var, shape, family):
+        """MscaRep d1+fix+dconv0 + per-stage arbitrated FfnRep + fold + pw
+        (the exp_prune_families recipe, decisions persisted per family)."""
+        run_pipeline(m, var, MscaRep(decomp=1, fix=True, decomp_conv0=True), [])
+
+        def timed(mm, vv, s, dt):
+            return serve_time(mm, bf16(vv), s, iters=6)
+
+        arbitrated_apply(
+            m, var, FfnRep(fix=True), [], shape, dtype=jnp.bfloat16,
+            time_fn=timed, group_fn=lambda n: n.rsplit(".", 3)[0],
+            verbose=False,
+            decisions_path=os.path.join(dec_dir, f"{family}_ffnrep.json"))
+        fold_batchnorm(m, var)
+        enable_pw_matmul(m)
+        return m, var
+
+    records = []
+
+    def emit(family, surface, shape, m, var, dtype=jnp.bfloat16):
+        t = serve_time(m, var, shape, dtype=dtype)
+        row = {"family": family, "surface": surface,
+               "ms": round(t * 1e3, 3), "img_per_s": int(shape[0] / t),
+               "dtype": jnp.dtype(dtype).name,
+               "accuracy": acc.get(family, "recovery-pending")}
+        try:
+            from convnet_approximater_tpu.hooks.model_analysis import (
+                analyze_model,
+            )
+
+            cost = analyze_model(m, var, shape, dtype=dtype)
+            tflops = cost["flops"] / t / 1e12
+            row["tflops"] = round(tflops, 1)
+            peak = PEAK_TFLOPS.get(jnp.dtype(dtype).name)
+            if peak:
+                row["mfu_pct"] = round(100 * tflops / peak, 1)
+        except Exception:
+            pass
+        records.append(row)
+        log("record_serving " + _json.dumps(row))
+
+    shape224 = (B, 224, 224, 3)
+
+    def mscan_quad(cfg, family, shape):
+        m = build_model(cfg)
+        var = {"params": m.init(KEY), "state": m.init_state()}
+        prune_trunks(m, var, keep_ratio=0.5, round_to=64)
+        run_pipeline(m, var, AttnPrune(keep_ratio=0.5), [])
+        run_pipeline(m, var, FfnPrune(keep_ratio=0.5, round_to=128), [])
+        m, var = best_rep(m, var, shape, family)
+        return m, bf16(var)
+
+    try:
+        m, var = mscan_quad(dict(type="MSCAN_Classifier", num_classes=1000),
+                            "mscan-t", shape224)
+        emit("mscan-t", "quad: trunk+attn+ffn prune 0.5 + arbitrated rep",
+             shape224, m, var)
+    except Exception as e:
+        log(f"record mscan-t failed: {e}")
+
+    try:
+        m, var = mscan_quad(dict(type="MSCAN_Classifier", num_classes=1000,
+                                 num_channels=(64, 128, 320, 512),
+                                 num_blocks=(2, 2, 4, 2),
+                                 exp_ratios=(8, 8, 4, 4)),
+                            "mscan-s", shape224)
+        emit("mscan-s", "quad: trunk+attn+ffn prune 0.5 + arbitrated rep",
+             shape224, m, var)
+    except Exception as e:
+        log(f"record mscan-s failed: {e}")
+
+    try:  # ConvNeXt-T: trunk + dwsep + mlpprune + int8 (exp_trunk_convnext)
+        m = build_model(dict(type="ConvNeXt", arch="tiny", num_classes=1000))
+        var = {"params": m.init(KEY), "state": m.init_state()}
+        prune_trunks(m, var, keep_ratio=0.5, round_to=128)
+        run_pipeline(m, var, MlpPrune(keep_ratio=0.5, round_to=128), [])
+        run_pipeline(m, var, DwSepRep(ranks=1), [DepthwiseConvFilter()])
+        var = bf16(var)
+        calib = [jax.random.normal(jax.random.key(7 + i), shape224,
+                                   jnp.bfloat16) for i in range(2)]
+        quantize_int8(m, var, calib)
+        emit("convnext-t", "trunk 0.5 + dwsep r1 + mlpprune 0.5 + int8",
+             shape224, m, var)
+    except Exception as e:
+        log(f"record convnext-t failed: {e}")
+
+    for depth in (18, 50):  # trunk+chain 0.5 + int8 (exp_prune_trunks)
+        try:
+            m = build_model(dict(type="ResNet", depth=depth,
+                                 num_classes=1000))
+            var = {"params": m.init(KEY), "state": m.init_state()}
+            prune_trunks(m, var, keep_ratio=0.5, round_to=64)
+            prune_chains(m, var, keep_ratio=0.5, round_to=64)
+            fold_batchnorm(m, var)
+            var = bf16(var)
+            calib = [jax.random.normal(jax.random.key(7 + i), shape224,
+                                       jnp.bfloat16) for i in range(2)]
+            quantize_int8(m, var, calib)
+            emit(f"resnet{depth}", "trunk+chain prune 0.5 + int8",
+                 shape224, m, var)
+        except Exception as e:
+            log(f"record resnet{depth} failed: {e}")
+
+    try:  # SegNeXt-T quad @512² (exp_trunk_segnext)
+        from convnet_approximater_tpu.segmentation import SegNeXt
+
+        shape_seg = (16, 512, 512, 3)
+        m = SegNeXt(num_classes=19)
+        var = {"params": m.init(KEY), "state": m.init_state()}
+        prune_trunks(m, var, keep_ratio=0.5, round_to=64)
+        run_pipeline(m, var, AttnPrune(keep_ratio=0.5), [])
+        run_pipeline(m, var, FfnPrune(keep_ratio=0.5, round_to=128), [])
+        m, var = best_rep(m, var, shape_seg, "segnext-t")
+        emit("segnext-t", "quad: trunk+attn+ffn prune 0.5 + arbitrated rep",
+             shape_seg, m, bf16(var))
+    except Exception as e:
+        log(f"record segnext-t failed: {e}")
+
+    return records
+
+
 def wait_for_relay(max_wait_s: int = 2400):
     """The axon relay's remote-compile endpoint has gone down for 40min-3h
     stretches (session log); a headline run launched into an outage would
@@ -282,17 +444,32 @@ def main():
             f"(reference CUDA: {REFERENCE_CUDA_RATIO:.3f}x)")
     except Exception as e:  # secondary bench must never break the JSON line
         log(f"AlexNet bench failed: {e}")
+    records = []
+    try:
+        # the record frontier (VERDICT r4 #1): per-family width-prune
+        # record surfaces with accuracy provenance — the repo's actual
+        # serving numbers, ~2x beyond the exact-rewrite headline above
+        records = bench_records()
+    except Exception as e:
+        log(f"record rows failed: {e}")
     # Headline: wall-clock speedup the MSCA re-parameterization (d1 + fix)
     # delivers on MSCAN-t.  vs_baseline compares against the reference's own
     # achieved decomposition speed ratio (0.54x — its decomposed model was
     # SLOWER than dense): how much better this framework converts
     # decomposition into real speed.
-    print(json.dumps({
+    out = {
         "metric": "mscan-t_mscarep_d1fix_speedup_b64_fp32",
         "value": round(ratio_mscan, 4),
         "unit": "x",
         "vs_baseline": round(ratio_mscan / REFERENCE_CUDA_RATIO, 4),
-    }))
+    }
+    if records:
+        # the per-family record frontier rides along in the same line
+        # (extra keys; the metric schema above stays stable)
+        out["records"] = [
+            {k: r[k] for k in ("family", "ms", "img_per_s", "accuracy")
+             if k in r} for r in records]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
