@@ -33,7 +33,8 @@ def run_pipeline(model, variables, app, filters=()):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="rep", choices=["orig", "rep", "best"])
+    ap.add_argument("--config", default="rep",
+                    choices=["orig", "rep", "best", "quad"])
     ap.add_argument("--trace-dir", default="/tmp/mscan_trace")
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
@@ -41,6 +42,47 @@ def main():
     x = jax.random.normal(KEY, (B, 224, 224, 3))
     model = MSCAN_Classifier(num_classes=1000)
     variables = {"params": model.init(KEY), "state": model.init_state()}
+    if args.config == "quad":
+        # the r4e record surface (bench.bench_records recipe): trunk+attn+
+        # ffn prune 0.5 + rep; the FfnRep arbiter replays the committed
+        # decision table so this profiles the SAME structure bench times
+        from convnet_approximater_tpu.core import AttnPrune, FfnPrune, FfnRep
+        from convnet_approximater_tpu.deploy import (arbitrated_apply,
+                                                     enable_pw_matmul,
+                                                     fold_batchnorm,
+                                                     prune_trunks)
+        from convnet_approximater_tpu.hooks.inference_time_hook import (
+            time_forward,
+        )
+        from convnet_approximater_tpu.utils import cast_floating
+
+        prune_trunks(model, variables, keep_ratio=0.5, round_to=64)
+        model, variables = run_pipeline(model, variables,
+                                        AttnPrune(keep_ratio=0.5))
+        model, variables = run_pipeline(model, variables,
+                                        FfnPrune(keep_ratio=0.5, round_to=128))
+        model, variables = run_pipeline(
+            model, variables, MscaRep(decomp=1, fix=True, decomp_conv0=True))
+
+        def timed(mm, vv, s, dt):
+            vb = {"params": cast_floating(vv["params"], jnp.bfloat16),
+                  "state": vv.get("state", {})}
+            _, _, ts = time_forward(mm, vb, s, num_iters=6, warmup=2,
+                                    dtype=jnp.bfloat16)
+            return float(ts.mean())
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        arbitrated_apply(
+            model, variables, FfnRep(fix=True), [], x.shape,
+            dtype=jnp.bfloat16, time_fn=timed,
+            group_fn=lambda n: n.rsplit(".", 3)[0], verbose=False,
+            decisions_path=os.path.join(root, "doc", "record_decisions",
+                                        "mscan-t_ffnrep.json"))
+        fold_batchnorm(model, variables)
+        enable_pw_matmul(model)
+        variables = {"params": cast_floating(variables["params"]),
+                     "state": variables["state"]}
+        x = x.astype(jnp.bfloat16)
     if args.config in ("rep", "best"):
         model, variables = run_pipeline(
             model, variables,
