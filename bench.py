@@ -246,10 +246,11 @@ def bench_records(budget_s: float = 2700.0):
     driver artifact carries the actual frontier, not just the exact-
     rewrite headline.  Each row: ms / img/s / TFLOPs+MFU / accuracy
     provenance (doc/record_accuracy.json, updated by the recovery runs).
-    The in-build FfnRep arbiter decisions replay from committed tables
-    (doc/record_decisions/*.json) so the measured structure is identical
-    run-to-run — the 1.912-vs-2.319 ms structure-variance fix
-    (perf-notes r4e honesty note (b)).
+    The in-build FfnRep arbiter decisions persist to
+    doc/record_decisions/*.json — the FIRST measured run writes each
+    table (commit it), every later run replays it, so the published
+    structure is identical run-to-run — the 1.912-vs-2.319 ms
+    structure-variance fix (perf-notes r4e honesty note (b)).
 
     ``budget_s`` bounds the section: on a cold compile cache / degraded
     relay each fresh surface can cost tens of minutes to compile; running

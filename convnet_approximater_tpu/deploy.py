@@ -825,6 +825,47 @@ def arbitrated_apply(model, variables: dict, app, filters, input_shape,
         except KeyError:
             return {}
 
+    if decisions is None and decisions_path and not retime \
+            and _os.path.exists(decisions_path):
+        with open(decisions_path) as f:
+            decisions = _json.load(f)
+
+    result = dict(t_applied=None, t_original=None, t_final=None, layers=[],
+                  kept_applied=0)
+
+    if decisions is not None:
+        # deterministic replay: no timing, and the (possibly expensive —
+        # ALS/data-driven solves) app pipeline runs ONLY at sites the
+        # table keeps; 'original' sites are never touched at all.
+        # Timing fields stay None — check result['replayed'].
+        for idx in range(model.length_switchable):
+            name = model.switchable_names[idx]
+            kept = decisions.get(name, "original")
+            if kept == "applied":
+                src = model.get_switchable_module(idx)
+                sub, sp = app.initialize(
+                    src, tree_get(variables["params"], name),
+                    _stable_fold(rng, name))
+                model.set_switchable_module(idx, sub, variables,
+                                            {"params": sp})
+                app.optimize(sub, sp)
+                mod, np_ = app.postprocess(sub, sp)
+                model.set_switchable_module(idx, mod, variables,
+                                            {"params": np_})
+            result["layers"].append(dict(name=name, kept=kept))
+            result["kept_applied"] += int(kept == "applied")
+        result["replayed"] = True
+        result["decisions"] = {r["name"]: r["kept"]
+                               for r in result["layers"]}
+        if verbose:
+            from convnet_approximater_tpu.utils.logger import get_logger
+
+            get_logger().info(
+                f"arbitrated_apply[{type(app).__name__}]: replayed "
+                f"{result['kept_applied']}/{len(result['layers'])} applied "
+                f"from persisted decisions (pass retime=True to re-measure)")
+        return result
+
     # snapshot originals, then substitute every site (the canonical 4-phase
     # loop of deploy_planner.apply_app, recording both forms per site)
     sites = []  # (idx, name, orig_mod, orig_p, orig_s, new_mod, new_p)
@@ -841,7 +882,6 @@ def arbitrated_apply(model, variables: dict, app, filters, input_shape,
         model.set_switchable_module(idx, mod, variables, {"params": np_})
         sites.append((idx, name, src, orig_p, orig_s, mod, np_))
 
-    result = dict(t_applied=None, t_original=None, layers=[], kept_applied=0)
     if not sites:
         return result
 
@@ -853,29 +893,6 @@ def arbitrated_apply(model, variables: dict, app, filters, input_shape,
         else:
             model.set_switchable_module(idx, orig_mod, variables,
                                         {"params": orig_p, "state": orig_s})
-
-    if decisions is None and decisions_path and not retime \
-            and _os.path.exists(decisions_path):
-        with open(decisions_path) as f:
-            decisions = _json.load(f)
-    if decisions is not None:
-        # deterministic replay: no timing, identical structure every run
-        for site in sites:
-            kept = decisions.get(site[1], "original")
-            set_site(site, applied=(kept == "applied"))
-            result["layers"].append(dict(name=site[1], kept=kept))
-            result["kept_applied"] += int(kept == "applied")
-        result["replayed"] = True
-        result["decisions"] = {s[1]: decisions.get(s[1], "original")
-                               for s in sites}
-        if verbose:
-            from convnet_approximater_tpu.utils.logger import get_logger
-
-            get_logger().info(
-                f"arbitrated_apply[{type(app).__name__}]: replayed "
-                f"{result['kept_applied']}/{len(sites)} applied from "
-                f"persisted decisions (pass retime=True to re-measure)")
-        return result
 
     def _finish(result):
         result["decisions"] = {r["name"]: r["kept"]
@@ -1814,12 +1831,20 @@ def prune_width(model, variables: dict, keep_ratio: float,
     from convnet_approximater_tpu.core import AttnPrune, FfnPrune, MlpPrune
     from convnet_approximater_tpu.deploy_planner import apply_app
 
-    for app in (AttnPrune(keep_ratio=keep_ratio),
-                FfnPrune(keep_ratio=keep_ratio, round_to=ffn_round_to),
-                MlpPrune(keep_ratio=keep_ratio, round_to=ffn_round_to)):
-        if dry_run:
-            model.register_switchable(app.src_type, [])
-            n += model.length_switchable
-        else:
-            n += apply_app(model, variables, app, [], jax.random.key(0))
+    # the internal app loop re-runs register_switchable; a caller (Runner /
+    # ClassInference / export_model) may have registered ITS app's sites
+    # already — save and restore that registration so a structure pass is
+    # transparent to the surrounding pipeline (ADVICE r4 + r5 review)
+    saved_registration = list(getattr(model, "_switchable_names", []))
+    try:
+        for app in (AttnPrune(keep_ratio=keep_ratio),
+                    FfnPrune(keep_ratio=keep_ratio, round_to=ffn_round_to),
+                    MlpPrune(keep_ratio=keep_ratio, round_to=ffn_round_to)):
+            if dry_run:
+                model.register_switchable(app.src_type, [])
+                n += model.length_switchable
+            else:
+                n += apply_app(model, variables, app, [], jax.random.key(0))
+    finally:
+        model._switchable_names = saved_registration
     return n

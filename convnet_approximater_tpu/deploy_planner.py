@@ -563,18 +563,29 @@ def plan_serving(make: Callable[[], Tuple[object, dict]],
             variables.setdefault("state", {})
             model, variables = build(model, variables, rng, calib_batches)
             agree = _agreement(model, variables, probe_xs, ref_top1, dtype)
-            if verbose:
-                logger.info(f"[plan] replayed persisted winner {winner} "
-                            f"(agree {agree:.3f}; pass retime to re-measure)")
-            return {
-                "report": reuse_plan["report"],
-                "winner": winner,
-                "model": model,
-                "variables": variables,
-                "dtype": reuse_plan.get("dtype", jnp.dtype(dtype).name),
-                "speedup_vs_dense": reuse_plan.get("speedup_vs_dense"),
-                "replayed": True,
-            }
+            if not winner.startswith("dense/") and agree < min_agree:
+                # the weights/config changed under the persisted plan: the
+                # rebuilt winner no longer meets the accuracy gate the
+                # measured path enforces — fall through to re-timing
+                # rather than silently shipping a disqualified surface
+                logger.warning(
+                    f"[plan] persisted winner {winner} rebuilt with "
+                    f"agreement {agree:.3f} < min_agree {min_agree} — "
+                    "ignoring the stale plan and re-timing")
+            else:
+                if verbose:
+                    logger.info(
+                        f"[plan] replayed persisted winner {winner} "
+                        f"(agree {agree:.3f}; pass retime to re-measure)")
+                return {
+                    "report": reuse_plan["report"],
+                    "winner": winner,
+                    "model": model,
+                    "variables": variables,
+                    "dtype": reuse_plan.get("dtype", jnp.dtype(dtype).name),
+                    "speedup_vs_dense": reuse_plan.get("speedup_vs_dense"),
+                    "replayed": True,
+                }
 
     t_f32 = time_fn("dense/float32", ref_model, ref_vars, input_shape,
                     jnp.float32)

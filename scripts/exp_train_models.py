@@ -65,12 +65,27 @@ def time_steps(step, carry, x, y, n=24):
     return (time.time() - t0) / n, (p, s, o)
 
 
-def bench(name, build):
+def bench(name, build, mfu=False):
+    """Min-of-3 full-train-step timing, f32 and amp.  ``mfu=True`` adds an
+    approximate train MFU line (3x forward FLOPs / step — the standard
+    fwd+bwd estimate).  Returns ``{tag: seconds}`` (shared with
+    exp_train_pruned so the timing protocol cannot drift)."""
     x = jax.random.normal(KEY, (B, 224, 224, 3))
     y = jnp.zeros((B,), jnp.int32)
     tx = optax.adamw(1e-4)
+    out = {}
     for amp in (False, True):
         model, variables = build()
+        fwd_flops = None
+        if mfu:
+            try:
+                from convnet_approximater_tpu.hooks.model_analysis import (
+                    analyze_model,
+                )
+
+                fwd_flops = analyze_model(model, variables, x.shape)["flops"]
+            except Exception:
+                pass
         carry = (variables["params"], variables.get("state", {}),
                  tx.init(variables["params"]))
         step = make_step(model, tx, amp)
@@ -80,8 +95,17 @@ def bench(name, build):
             ts.append(t)
         t = min(ts)
         tag = "amp(bf16)" if amp else "f32"
+        line = ""
+        if fwd_flops:
+            from bench import PEAK_TFLOPS
+
+            tflops = 3 * fwd_flops / t / 1e12
+            peak = PEAK_TFLOPS["bfloat16" if amp else "float32"]
+            line = f" | ~{tflops:.1f} TFLOP/s = {100 * tflops / peak:.1f}% MFU"
         log(f"{name} train step {tag} (CE+AdamW, b={B}): {t*1e3:.2f} ms "
-            f"({B/t:.0f} img/s)")
+            f"({B/t:.0f} img/s){line}")
+        out[tag] = t
+    return out
 
 
 def main():

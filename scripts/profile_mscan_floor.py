@@ -44,8 +44,10 @@ def main():
     variables = {"params": model.init(KEY), "state": model.init_state()}
     if args.config == "quad":
         # the r4e record surface (bench.bench_records recipe): trunk+attn+
-        # ffn prune 0.5 + rep; the FfnRep arbiter replays the committed
-        # decision table so this profiles the SAME structure bench times
+        # ffn prune 0.5 + rep; the FfnRep arbiter replays the persisted
+        # decision table (written by the first bench_records run) so this
+        # profiles the SAME structure bench times — on a checkout where no
+        # table exists yet, this run measures and writes it instead
         from convnet_approximater_tpu.core import AttnPrune, FfnPrune, FfnRep
         from convnet_approximater_tpu.deploy import (arbitrated_apply,
                                                      enable_pw_matmul,

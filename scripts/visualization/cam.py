@@ -133,8 +133,13 @@ def main():
 
         fn, kind = CAM_METHODS[args.method]
         if kind == "model":  # fullgrad: whole-model bias-gradient decomposition
-            if hasattr(model, "scan_blocks"):
-                model.scan_blocks = "off"  # unique per-block tap paths
+            # unroll every scan engine (MSCAN keeps the knob on .backbone,
+            # ConvNeXt on the model itself) — in-scan layers produce tracer
+            # outputs the tap discovery must skip, which would silently
+            # drop all per-block bias terms
+            for mod in [model] + [m for _, m in model.named_modules()]:
+                if hasattr(mod, "scan_blocks"):
+                    mod.scan_blocks = "off"
             heat = fn(model, variables, x, cls)
         elif kind == "grad":
             heat = fn(feats, jax.grad(class_score)(feats))
