@@ -20,6 +20,7 @@ protocol; the synthetic default keeps it self-contained.
 """
 
 import argparse
+import json
 import os
 import sys
 
@@ -30,6 +31,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="AlexNet")
     ap.add_argument("--num-classes", type=int, default=10)
+    ap.add_argument("--model-args", default=None,
+                    help="JSON dict of extra model-config kwargs, e.g. "
+                         "'{\"num_channels\": [64, 128, 320, 512]}' to run "
+                         "the protocol on MSCAN-S dims")
     ap.add_argument("--image-size", type=int, nargs=2, default=(64, 64))
     ap.add_argument("--num-bases", type=int, nargs="+", default=[8, 8, 6, 4])
     ap.add_argument("--indices", type=int, nargs="+", default=[2, 3, 4, 5])
@@ -128,7 +133,9 @@ def main():
     # --- 1. baseline training -------------------------------------------
     from convnet_approximater_tpu.models import build_model
 
-    model = build_model(dict(type=args.model, num_classes=args.num_classes))
+    extra_model = json.loads(args.model_args) if args.model_args else {}
+    model = build_model(dict(type=args.model, num_classes=args.num_classes,
+                             **extra_model))
     variables = {"params": model.init(jax.random.key(0)), "state": model.init_state()}
     aug_cfg = (dict(mixup=0.8, cutmix=1.0, clip_grad=1.0)
                if args.mixup else {})
@@ -240,7 +247,7 @@ def main():
         with open(cfg, "w") as f:
             f.write(f"""
 model = dict(type="{args.model}", num_classes={args.num_classes},
-             init_cfg=r"{base_ckpt}")
+             init_cfg=r"{base_ckpt}", **{extra_model!r})
 app = {app_py}
 filters = {filters_py}
 {passes_py}hooks = {hooks_py}
