@@ -857,13 +857,16 @@ def arbitrated_apply(model, variables: dict, app, filters, input_shape,
         result["replayed"] = True
         result["decisions"] = {r["name"]: r["kept"]
                                for r in result["layers"]}
-        if verbose:
-            from convnet_approximater_tpu.utils.logger import get_logger
+        # logged even with verbose=False: whether a surface was replayed
+        # or re-measured changes what its published numbers MEAN, so the
+        # provenance must be visible in every log (r5: the bench replay
+        # run could not be confirmed from its own output)
+        from convnet_approximater_tpu.utils.logger import get_logger
 
-            get_logger().info(
-                f"arbitrated_apply[{type(app).__name__}]: replayed "
-                f"{result['kept_applied']}/{len(result['layers'])} applied "
-                f"from persisted decisions (pass retime=True to re-measure)")
+        get_logger().info(
+            f"arbitrated_apply[{type(app).__name__}]: replayed "
+            f"{result['kept_applied']}/{len(result['layers'])} applied "
+            f"from persisted decisions (pass retime=True to re-measure)")
         return result
 
     # snapshot originals, then substitute every site (the canonical 4-phase
